@@ -140,6 +140,15 @@ def vbz_encode(signal):
 
 @dataclass
 class Calibration:
+    """DAC -> picoamp conversion in shift/scale form: pA = (dac - offset) / scale.
+
+    The POD5 reads table stores (raw_offset, raw_scale) with
+    pA = (dac + raw_offset) * raw_scale; we expose offset = -raw_offset and
+    scale = 1/raw_scale so downstream code applies one uniform
+    (x - shift) / scale convention (verified against the sm/sd BAM tags on
+    the reference test data: pA medians match ``sm`` within noise).
+    """
+
     offset: float
     scale: float
 
@@ -237,8 +246,8 @@ class Pod5Reader:
             read_id=self._read_ids[row],
             signal=self._read_signal(self._sig_rows[row]),
             calibration=Calibration(
-                offset=float(self._cal_offset[row]),
-                scale=float(self._cal_scale[row]),
+                offset=-float(self._cal_offset[row]),
+                scale=1.0 / float(self._cal_scale[row]),
             ),
             sample_rate=self.sample_rate,
             num_samples=int(self._num_samples[row]),

@@ -1,0 +1,174 @@
+"""Read-id indexed BAM access (reference analog ``src/remora/io.py:183–391``).
+
+A full scan records the stream offset of every kept record keyed by its
+*parent* read id (the ``pi`` tag for split reads, else the query name),
+so signal extracted from POD5 by parent id can be joined back to all of
+its alignments. Skip reasons are tallied for the final report.
+
+Built on FastBamScanner (whole-file decompress + in-memory offsets) —
+the index pass decompresses each BGZF block exactly once and offsets are
+plain byte positions into the decompressed stream.
+"""
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from remora_tpu import RemoraError, log
+from remora_tpu.io.bam import FastBamScanner
+
+LOGGER = log.get_logger()
+
+
+def read_is_primary(read):
+    return not (read.is_supplementary or read.is_secondary)
+
+
+def strands_match(strand, bam_read):
+    if strand is None:
+        return True
+    return (
+        strand not in "+-"
+        or (strand == "+" and bam_read.is_forward)
+        or (strand == "-" and bam_read.is_reverse)
+    )
+
+
+def get_parent_id(bam_read):
+    try:
+        return bam_read.get_tag("pi")
+    except KeyError:
+        return bam_read.query_name
+
+
+@dataclass
+class ReadIndexedBam:
+    """Random access to BAM records by (parent) read id.
+
+    The underlying scanner is constructed lazily per process (pickling an
+    instance across an mp boundary transfers only the path and index).
+    """
+
+    bam_path: str
+    skip_non_primary: bool = True
+    req_tags: set = None
+    read_id_converter: Callable = None
+    parent_read_id_subset: set = None
+    child_read_id_subset: set = None
+
+    def __post_init__(self):
+        self.num_reads = None
+        self.num_records = 0
+        self.skip_reasons = {}
+        self._scanner = None
+        self._bam_idx = None
+        self.header = None
+        self.compute_read_index()
+
+    # pickle support: drop the open scanner
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_scanner"] = None
+        return state
+
+    def open(self):
+        if self._scanner is None:
+            self._scanner = FastBamScanner(self.bam_path)
+            self.header = self._scanner.header
+        return self
+
+    def close(self):
+        self._scanner = None
+
+    def compute_read_index(self):
+        self.open()
+        bam_idx = {}
+        skip_reasons = {}
+
+        def skip(reason):
+            skip_reasons[reason] = skip_reasons.get(reason, 0) + 1
+
+        num_records = 0
+        for read_ptr, read in self._scanner.iter_with_offsets():
+            if (
+                self.child_read_id_subset is not None
+                and read.query_name not in self.child_read_id_subset
+            ):
+                skip("Child read ID filtered")
+                continue
+            index_read_id = get_parent_id(read)
+            if (
+                self.parent_read_id_subset is not None
+                and index_read_id not in self.parent_read_id_subset
+            ):
+                skip("Parent read ID filtered")
+                continue
+            if self.read_id_converter is not None:
+                index_read_id = self.read_id_converter(index_read_id)
+            if self.req_tags is not None:
+                missing = self.req_tags.difference(
+                    t for t, _tc, _v in read.tags
+                )
+                if missing:
+                    skip("Missing BAM tags")
+                    continue
+            if self.skip_non_primary and not read_is_primary(read):
+                skip("Non-primary alignment")
+                continue
+            num_records += 1
+            bam_idx.setdefault(index_read_id, []).append(read_ptr)
+        self._bam_idx = bam_idx
+        self.num_records = num_records
+        self.skip_reasons = skip_reasons
+        self.num_reads = len(bam_idx)
+        LOGGER.debug(
+            f"Indexed {num_records} records / {self.num_reads} reads "
+            f"from {self.bam_path}"
+        )
+
+    def get_alignments(self, read_id):
+        if self._bam_idx is None:
+            raise RemoraError("Bam index not yet computed")
+        self.open()
+        try:
+            read_ptrs = self._bam_idx[read_id]
+        except KeyError:
+            raise RemoraError(f"Could not find {read_id} in {self.bam_path}")
+        for ptr in read_ptrs:
+            yield self._scanner.record_at(ptr)
+
+    def get_first_alignment(self, read_id):
+        return next(self.get_alignments(read_id))
+
+    def __contains__(self, read_id):
+        return read_id in self._bam_idx
+
+    def __getitem__(self, read_id):
+        return self._bam_idx[read_id]
+
+    @property
+    def read_ids(self):
+        return list(self._bam_idx.keys())
+
+    def __iter__(self):
+        self.open()
+        return iter(self._scanner)
+
+
+def get_read_ids(bam_idx, pod5_dr, num_reads, return_num_bam_reads=False):
+    """Read ids present in both the BAM index and the POD5 file."""
+    LOGGER.info("Extracting read IDs from POD5")
+    pod5_read_ids = set(pod5_dr.read_ids)
+    both_read_ids = list(pod5_read_ids.intersection(bam_idx.read_ids))
+    num_both = sum(len(bam_idx[rid]) for rid in both_read_ids)
+    if bam_idx.num_records:
+        LOGGER.info(
+            f"Found {bam_idx.num_records:,} valid BAM records. Found signal "
+            f"in POD5 for {num_both / bam_idx.num_records:.2%} of BAM records."
+        )
+    if not return_num_bam_reads:
+        num_both = len(both_read_ids)
+    if num_reads is None:
+        num_reads = num_both
+    else:
+        num_reads = min(num_reads, num_both)
+    return both_read_ids, num_reads
