@@ -322,7 +322,7 @@ class SigMapRefiner:
     # --- (de)serialization ---
     def asdict(self):
         return {
-            "refine_kmer_levels": self._levels_array,
+            "refine_kmer_levels": self.levels_array if self.is_loaded else None,
             "refine_kmer_center_idx": self.center_idx,
             "refine_do_rough_rescale": self.do_rough_rescale,
             "refine_scale_iters": self.scale_iters,

@@ -1,0 +1,90 @@
+import json
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+# force CPU with a virtual 8-device mesh for sharding tests; must be set
+# before jax import anywhere in the test session
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+DATA_DIR = Path("/root/reference/tests/data")
+
+EXPECTED_CAN_SIZE = 205
+EXPECTED_MOD_SIZE = 210
+
+
+@pytest.fixture(scope="session")
+def can_pod5():
+    return DATA_DIR / "can_reads.pod5"
+
+
+@pytest.fixture(scope="session")
+def can_mappings():
+    return DATA_DIR / "can_mappings.bam"
+
+
+@pytest.fixture(scope="session")
+def mod_pod5():
+    return DATA_DIR / "mod_reads.pod5"
+
+
+@pytest.fixture(scope="session")
+def mod_mappings():
+    return DATA_DIR / "mod_mappings.bam"
+
+
+def _prepare(pod5, bam, out, control):
+    from remora_tpu.core.seq import Motif
+    from remora_tpu.prepare import extract_chunk_dataset
+    from remora_tpu.refine.refiner import SigMapRefiner
+
+    return extract_chunk_dataset(
+        bam_path=str(bam),
+        pod5_path=str(pod5),
+        out_path=str(out),
+        mod_base=None if control else ("m", "5mC"),
+        mod_base_control=control,
+        motifs=[Motif("CG", 0)],
+        focus_ref_pos=None,
+        chunk_context=(200, 200),
+        min_samps_per_base=5,
+        max_chunks_per_read=15,
+        pa_scaling=None,
+        sig_map_refiner=SigMapRefiner(),
+        kmer_context_bases=(4, 4),
+        base_start_justify=False,
+        offset=0,
+        num_reads=None,
+    )
+
+
+@pytest.fixture(scope="session")
+def can_chunks(tmpdir_factory, can_pod5, can_mappings):
+    out = tmpdir_factory.mktemp("remora_tpu_tests") / "can_chunks"
+    _prepare(can_pod5, can_mappings, out, control=True)
+    return out
+
+
+@pytest.fixture(scope="session")
+def mod_chunks(tmpdir_factory, mod_pod5, mod_mappings):
+    out = tmpdir_factory.mktemp("remora_tpu_tests") / "mod_chunks"
+    _prepare(mod_pod5, mod_mappings, out, control=False)
+    return out
+
+
+@pytest.fixture(scope="session")
+def chunks_config(tmpdir_factory, can_chunks, mod_chunks):
+    cfg = tmpdir_factory.mktemp("remora_tpu_tests") / "chunks.cfg"
+    with open(cfg, "w") as fh:
+        json.dump([[str(can_chunks), 0.5], [str(mod_chunks), 0.5]], fh)
+    return cfg

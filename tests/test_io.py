@@ -1,0 +1,100 @@
+"""I/O layer tests against reference test data (BAM + POD5 codecs)."""
+
+import numpy as np
+import pytest
+
+from remora_tpu.io.bam import BamWriter, FastBamScanner, decode_record
+from remora_tpu.io.pod5 import (
+    Pod5Reader,
+    svb16_decode,
+    svb16_encode,
+    vbz_decode,
+    vbz_encode,
+)
+from remora_tpu.io.read import extract_alignments, iter_signal
+from remora_tpu.io.read_index import ReadIndexedBam, get_read_ids
+
+
+def test_bam_scan(can_mappings):
+    s = FastBamScanner(can_mappings)
+    recs = list(s)
+    assert len(recs) == 14
+    r = recs[0]
+    assert r.reference_name == "chr13"
+    assert len(r.query_sequence) > 1000
+    ref = r.get_reference_sequence()
+    assert len(ref) == r.reference_length
+
+
+def test_bam_record_roundtrip(can_mappings):
+    s = FastBamScanner(can_mappings)
+    for rec in s:
+        body = rec.encode()[4:]
+        r2 = decode_record(body, s.header)
+        assert r2.query_name == rec.query_name
+        assert r2.cigartuples == rec.cigartuples
+        assert r2.query_sequence == rec.query_sequence
+        for (t1, tc1, v1), (t2, tc2, v2) in zip(rec.tags, r2.tags):
+            assert (t1, tc1) == (t2, tc2)
+            if hasattr(v1, "size"):
+                assert np.array_equal(v1, v2)
+            else:
+                assert v1 == v2
+
+
+def test_bam_writer_roundtrip(can_mappings, tmp_path):
+    s = FastBamScanner(can_mappings)
+    recs = list(s)
+    out = tmp_path / "out.bam"
+    with BamWriter(out, s.header) as w:
+        for rec in recs:
+            w.write(rec)
+    recs2 = list(FastBamScanner(out))
+    assert len(recs2) == len(recs)
+    assert all(
+        a.query_sequence == b.query_sequence for a, b in zip(recs, recs2)
+    )
+
+
+def test_pod5_read(can_pod5):
+    rdr = Pod5Reader(can_pod5)
+    assert len(rdr) == 14
+    assert rdr.sample_rate == 4000
+    for read in rdr.reads():
+        assert read.signal.size == read.num_samples
+        assert read.signal.dtype == np.int16
+
+
+def test_vbz_roundtrip():
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 7, 8, 1000):
+        sig = rng.integers(-500, 2000, n).astype(np.int16)
+        assert np.array_equal(svb16_decode(svb16_encode(sig), n), sig)
+        if n:
+            assert np.array_equal(vbz_decode(vbz_encode(sig), n), sig)
+
+
+def test_read_index(can_mappings):
+    idx = ReadIndexedBam(str(can_mappings))
+    assert idx.num_records == 14
+    rid = idx.read_ids[0]
+    aligns = list(idx.get_alignments(rid))
+    assert len(aligns) >= 1
+    assert aligns[0].query_name == rid
+
+
+def test_signal_alignment_join(can_pod5, can_mappings):
+    idx = ReadIndexedBam(str(can_mappings))
+    n_joined = 0
+    for read_err in iter_signal(str(can_pod5), num_reads=3):
+        for io_read, err in extract_alignments(read_err, idx):
+            assert err is None
+            assert io_read.query_to_signal is not None
+            assert io_read.query_to_signal.size == len(io_read.seq) + 1
+            assert io_read.ref_to_signal.size == len(io_read.ref_seq) + 1
+            # norm signal should look standardized
+            ns = io_read.norm_signal
+            assert abs(float(np.mean(ns))) < 0.5
+            assert 0.5 < float(np.std(ns)) < 2.0
+            n_joined += 1
+    assert n_joined == 3

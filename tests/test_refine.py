@@ -1,0 +1,143 @@
+"""Refinement subsystem tests: banding, DP parity vs oracle, rescaling."""
+
+import numpy as np
+import pytest
+
+from remora_tpu.refine import dp as fast_dp
+from remora_tpu.refine.band import (
+    adjust_seq_band,
+    compute_sig_band,
+    convert_to_seq_band,
+    validate_band,
+)
+from remora_tpu.refine.levels import all_kmers, extract_levels, index_from_kmer
+from remora_tpu.refine.refiner import SigMapRefiner, compute_dwell_pen_array
+
+from tests import oracle_dp
+
+
+def test_index_from_kmer():
+    assert index_from_kmer("AAA") == 0
+    assert index_from_kmer("AAC") == 1
+    assert index_from_kmer("CAA") == 16
+    assert index_from_kmer("TTT") == 63
+
+
+def test_extract_levels():
+    levels_arr = np.arange(64, dtype=np.float32)
+    int_seq = np.array([0, 1, 2, 3, 0])
+    lv = extract_levels(int_seq, levels_arr, 3, 1)
+    # windows: ACG=6, CGT=27, GTA=44
+    assert lv.tolist() == [0.0, 6.0, 27.0, 44.0, 0.0]
+
+
+def test_dwell_pen_array():
+    arr = compute_dwell_pen_array(4, 3, 0.5)
+    assert np.allclose(arr, [8.0, 4.5, 2.0])
+    # limit clipped to target
+    arr = compute_dwell_pen_array(2, 5, 1.0)
+    assert arr.size == 2
+
+
+def _random_band(rng, seq_len, max_spb=12, bhw=5):
+    spb = rng.integers(1, max_spb, seq_len)
+    bps = np.concatenate([[0], np.cumsum(spb)]).astype(np.int64)
+    levels = rng.normal(size=seq_len).astype(np.float32)
+    sig_band = compute_sig_band(bps, levels, bhw=bhw)
+    seq_band = convert_to_seq_band(sig_band)
+    adjust_seq_band(seq_band)
+    return bps, levels, seq_band
+
+
+def test_band_construction_valid():
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        seq_len = int(rng.integers(5, 80))
+        bps, levels, seq_band = _random_band(rng, seq_len)
+        validate_band(
+            seq_band, sig_len=int(bps[-1]), seq_len=seq_len, is_sig_band=False
+        )
+
+
+@pytest.mark.parametrize("algo", ["Viterbi", "dwell_penalty"])
+def test_dp_matches_oracle(algo):
+    rng = np.random.default_rng(11)
+    sdp = compute_dwell_pen_array(4, 3, 0.5)
+    for _ in range(30):
+        seq_len = int(rng.integers(5, 50))
+        bps, levels, seq_band = _random_band(rng, seq_len)
+        signal = rng.normal(size=int(bps[-1])).astype(np.float32)
+        s1, p1, t1, o1 = oracle_dp.seq_banded_dp(
+            signal, levels, seq_band, sdp, algo
+        )
+        s2, p2, t2, o2 = fast_dp.seq_banded_dp(
+            signal, levels, seq_band, sdp, algo
+        )
+        assert np.array_equal(p1, p2)
+        assert np.array_equal(o1, o2)
+        finite = np.isfinite(s1) & (s1 < 1e30)
+        assert np.allclose(s1[finite], s2[finite], rtol=1e-4, atol=1e-4)
+
+
+def _synthetic_refiner(scale_iters=2):
+    base_lvl = {"A": -1.0, "C": -0.3, "G": 0.3, "T": 1.0}
+    tbl = {
+        k: base_lvl[k[1]] + 0.2 * base_lvl[k[0]] + 0.1 * base_lvl[k[2]]
+        for k in all_kmers(3)
+    }
+    return SigMapRefiner.load_from_dict(
+        tbl, do_rough_rescale=True, scale_iters=scale_iters
+    )
+
+
+def test_refiner_recovers_scaling():
+    rng = np.random.default_rng(1)
+    smr = _synthetic_refiner()
+    assert smr.center_idx == 1
+    n = 300
+    int_seq = rng.integers(0, 4, n)
+    levels = smr.extract_levels(int_seq)
+    dwells = rng.integers(3, 12, n)
+    true_map = np.concatenate([[0], np.cumsum(dwells)])
+    sig = np.repeat(levels, dwells) + rng.normal(0, 0.15, true_map[-1])
+    dacs = sig * 20.0 + 100.0
+    init_map = true_map.copy()
+    init_map[1:-1] = np.maximum.accumulate(
+        np.clip(init_map[1:-1] + rng.integers(-3, 4, n - 1), 1, true_map[-1] - 1)
+    )
+    s1, c1 = smr.rough_rescale(90.0, 25.0, init_map, int_seq, dacs)
+    new_map, s2, c2 = smr.refine_sig_map(s1, c1, init_map.copy(), int_seq, dacs)
+    assert abs(s2 - 100) < 2 and abs(c2 - 20) < 1
+    assert (
+        np.abs(new_map - true_map).mean() < np.abs(init_map - true_map).mean()
+    )
+
+
+def test_refiner_metadata_roundtrip():
+    smr = _synthetic_refiner()
+    md = smr.asdict()
+    smr2 = SigMapRefiner.load_from_metadata(md)
+    assert smr2 == smr
+    assert smr2.kmer_len == 3
+
+
+def test_remora_read_refine_integration():
+    from remora_tpu.data.read import RemoraRead
+
+    rng = np.random.default_rng(5)
+    smr = _synthetic_refiner(scale_iters=1)
+    n = 200
+    int_seq = rng.integers(0, 4, n)
+    levels = smr.extract_levels(int_seq)
+    dwells = rng.integers(4, 10, n)
+    s2s = np.concatenate([[0], np.cumsum(dwells)])
+    sig = np.repeat(levels, dwells) + rng.normal(0, 0.1, s2s[-1])
+    dacs = sig * 15 + 50
+    read = RemoraRead(
+        dacs=dacs, shift=45.0, scale=18.0, seq_to_sig_map=s2s.copy(),
+        int_seq=int_seq,
+    )
+    read.refine_signal_mapping(smr)
+    assert abs(read.shift - 50) < 2
+    assert abs(read.scale - 15) < 1
+    read.check()
