@@ -1,0 +1,498 @@
+"""Streaming modified-base inference: POD5 + BAM -> modBAM.
+
+Reference analog ``src/remora/inference.py:54–653``. Host stages
+(signal decode, alignment join, chunk prep, batch assembly, unbatching,
+tag formatting) stream through bounded queues; the device stage is one
+jitted forward over fixed shapes. Ragged final batches are padded to the
+compiled batch size so XLA never recompiles mid-stream.
+"""
+
+import array
+from collections import defaultdict
+from threading import Thread
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from remora_tpu import RemoraError, constants, log
+from remora_tpu.core.pipeline import (
+    NamedQueue,
+    map_stage,
+    put_item,
+    queue_iter,
+    source_stage,
+)
+from remora_tpu.core.seq import Motif, revcomp
+from remora_tpu.core.tags import format_mm_ml_tags, mods_tags_to_str, softmax
+from remora_tpu.core.util import human_format
+from remora_tpu.data.dataset import CoreDataset
+from remora_tpu.data.metadata import DatasetMetadata
+from remora_tpu.io.bam import BamWriter, FastBamScanner
+from remora_tpu.io.pod5 import DatasetReader
+from remora_tpu.io.read import extract_alignments, iter_signal
+from remora_tpu.io.read_index import ReadIndexedBam, get_read_ids
+
+LOGGER = log.get_logger()
+
+
+def prepare_reads(read_errs, models_metadata, ref_anchored):
+    """Chunk extraction + per-canonical-base in-memory dataset per read."""
+    out_read_errs = []
+    models_kwargs = []
+    motifs = {}
+    for md in models_metadata:
+        motif_seqs, motif_offsets = zip(*md["motifs"])
+        motifs[md["can_base"]] = [Motif(*mot) for mot in md["motifs"]]
+        models_kwargs.append(
+            {
+                "mod_bases": md["mod_bases"],
+                "mod_long_names": md["mod_long_names"],
+                "motif_sequences": list(motif_seqs),
+                "motif_offsets": list(motif_offsets),
+                "chunk_context": md["chunk_context"],
+                "kmer_context_bases": md["kmer_context_bases"],
+                "extra_arrays": {"read_focus_bases": ("int64", "")},
+            }
+        )
+    for io_read, err in read_errs:
+        if err is not None:
+            io_read.prune(drop_move_tag=False)
+            out_read_errs.append((io_read, None, err))
+            continue
+        try:
+            remora_read = io_read.into_remora_read(ref_anchored)
+        except RemoraError as e:
+            io_read.prune(drop_move_tag=False)
+            LOGGER.debug(f"{io_read.child_read_id} Read prep error: {e}")
+            out_read_errs.append((io_read, None, f"Read prep error: {e}"))
+            continue
+        except Exception as e:
+            io_read.prune(drop_move_tag=False)
+            LOGGER.debug(f"{io_read.child_read_id} Unexpected error: {e}")
+            out_read_errs.append((io_read, None, f"Unexpected error: {e}"))
+            continue
+        io_read.prune(drop_move_tag=False)
+        datasets = {}
+        for md, md_kwargs in zip(models_metadata, models_kwargs):
+            mdl_read = remora_read.copy()
+            mdl_read.set_motif_focus_bases(motifs[md["can_base"]])
+            mdl_read.refine_signal_mapping(md["sig_map_refiner"])
+            chunks = list(
+                mdl_read.iter_chunks(
+                    md["chunk_context"],
+                    md["kmer_context_bases"],
+                    md["base_start_justify"],
+                    md["offset"],
+                )
+            )
+            if len(chunks) == 0:
+                LOGGER.debug(
+                    f"{io_read.child_read_id} No {md['can_base']} mod calls"
+                )
+                out_read_errs.append(
+                    (io_read, None, f"No {md['can_base']} mod calls")
+                )
+                continue
+            num_chunks = len(chunks)
+            kwargs = dict(md_kwargs)
+            kwargs["allocate_size"] = num_chunks
+            kwargs["max_seq_len"] = max(c.seq_len for c in chunks)
+            dataset = CoreDataset(
+                mode="w",
+                metadata=DatasetMetadata(**kwargs),
+                batch_size=num_chunks,
+                super_batch_size=num_chunks,
+                infinite_iter=False,
+            )
+            for chunk in chunks:
+                dataset.write_chunk(chunk)
+            datasets[md["can_base"]] = dataset
+        out_read_errs.append((io_read, datasets, None))
+    return out_read_errs
+
+
+def prep_nn_input(read_errs):
+    """Materialize nn inputs (enc kmers + signal) per read."""
+    if len(read_errs) == 0:
+        return [(None, None, "No valid mappings")]
+    read_nn_inputs = []
+    for io_read, read_datasets, err in read_errs:
+        if err is not None:
+            read_nn_inputs.append((io_read, None, err))
+            continue
+        bases_chunks = {}
+        for can_base, ds in read_datasets.items():
+            base_chunks = next(iter(ds))
+            del base_chunks["labels"]
+            bases_chunks[can_base] = base_chunks
+        read_nn_inputs.append((io_read, bases_chunks, None))
+    return read_nn_inputs
+
+
+def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata):
+    """Assemble fixed-size batches spanning read boundaries per can_base."""
+    md_dict = {md["can_base"]: md for md in models_metadata}
+    can_bases = list(md_dict)
+
+    def new_arrays(cb):
+        return (
+            np.empty(
+                (batch_size, 1, md_dict[cb]["chunk_len"]), dtype=np.float32
+            ),
+            np.empty(
+                (batch_size, md_dict[cb]["kmer_len"] * 4,
+                 md_dict[cb]["chunk_len"]),
+                dtype=np.float32,
+            ),
+            np.empty(batch_size, dtype=int),
+        )
+
+    arrs = {cb: new_arrays(cb) for cb in can_bases}
+    b_poss = {cb: 0 for cb in can_bases}
+    b_readss = {cb: [] for cb in can_bases}
+    for read_nn_inputs in prepped_nn_inputs:
+        for io_read, bases_chunks, err in read_nn_inputs:
+            if err is not None:
+                for cb in can_bases:
+                    b_readss[cb].append([io_read, None, None, err])
+                continue
+            for cb, r_chunks in bases_chunks.items():
+                num_chunks = r_chunks["read_focus_bases"].size
+                rb_consumed = 0
+                while b_poss[cb] + num_chunks - rb_consumed >= batch_size:
+                    rb_en = rb_consumed + batch_size - b_poss[cb]
+                    arrs[cb][0][b_poss[cb] :] = r_chunks["signal"][
+                        rb_consumed:rb_en
+                    ]
+                    arrs[cb][1][b_poss[cb] :] = r_chunks["enc_kmers"][
+                        rb_consumed:rb_en
+                    ]
+                    arrs[cb][2][b_poss[cb] :] = r_chunks["read_focus_bases"][
+                        rb_consumed:rb_en
+                    ]
+                    b_st = b_poss[cb] if rb_consumed == 0 else None
+                    b_readss[cb].append([io_read, b_st, None, None])
+                    put_item((cb, *arrs[cb], b_readss[cb]), batches_q)
+                    rb_consumed += batch_size - b_poss[cb]
+                    arrs[cb] = new_arrays(cb)
+                    b_poss[cb] = 0
+                    b_readss[cb] = []
+                b_en = b_poss[cb] + num_chunks - rb_consumed
+                arrs[cb][0][b_poss[cb] : b_en] = r_chunks["signal"][rb_consumed:]
+                arrs[cb][1][b_poss[cb] : b_en] = r_chunks["enc_kmers"][
+                    rb_consumed:
+                ]
+                arrs[cb][2][b_poss[cb] : b_en] = r_chunks["read_focus_bases"][
+                    rb_consumed:
+                ]
+                b_st = b_poss[cb] if rb_consumed == 0 else None
+                b_readss[cb].append([io_read, b_st, b_en, None])
+                b_poss[cb] = b_en
+    for cb in can_bases:
+        if b_poss[cb] > 0:
+            b_sigs, b_enc_kmers, b_read_pos = arrs[cb]
+            put_item(
+                (
+                    cb,
+                    b_sigs[: b_poss[cb]],
+                    b_enc_kmers[: b_poss[cb]],
+                    b_read_pos[: b_poss[cb]],
+                    b_readss[cb],
+                ),
+                batches_q,
+            )
+    put_item(StopIteration, batches_q)
+
+
+def run_model_batched(batches_q, called_batches_q, eval_fns, batch_size):
+    """Device stage: jitted forward per canonical base, padded last batch."""
+    for cb, b_sigs, b_enc_kmers, b_read_pos, b_reads in queue_iter(batches_q):
+        n = b_read_pos.size
+        if n < batch_size:
+            # pad to the compiled shape; slice after
+            pad_sigs = np.zeros(
+                (batch_size,) + b_sigs.shape[1:], dtype=b_sigs.dtype
+            )
+            pad_kmers = np.zeros(
+                (batch_size,) + b_enc_kmers.shape[1:], dtype=b_enc_kmers.dtype
+            )
+            pad_sigs[:n] = b_sigs
+            pad_kmers[:n] = b_enc_kmers
+            nn_out = np.asarray(eval_fns[cb](pad_sigs, pad_kmers))[:n]
+        else:
+            nn_out = np.asarray(eval_fns[cb](b_sigs, b_enc_kmers))
+        put_item((cb, nn_out, b_read_pos, b_reads), called_batches_q)
+    put_item(StopIteration, called_batches_q)
+
+
+def unbatch_reads(curr_read, b_nn_out, b_read_pos, b_reads):
+    comp_reads = []
+    for io_read, b_st, b_en, err in b_reads:
+        if err is not None:
+            if curr_read is not None:
+                comp_reads.append(curr_read)
+            comp_reads.append((io_read, None, None, err))
+            curr_read = None
+        elif b_st is None:
+            if curr_read is None:
+                raise RemoraError("Unbatching encountered None read")
+            if curr_read[0].read_id != io_read.read_id:
+                raise RemoraError("Unbatching encountered mismatching reads")
+            io_read, r_nn_out, r_read_pos, _ = curr_read
+            curr_read = (
+                io_read,
+                np.concatenate([r_nn_out, b_nn_out[:b_en]], axis=0),
+                np.concatenate([r_read_pos, b_read_pos[:b_en]]),
+                None,
+            )
+        else:
+            if curr_read is not None:
+                comp_reads.append(curr_read)
+            curr_read = (
+                io_read,
+                b_nn_out[b_st:b_en],
+                b_read_pos[b_st:b_en],
+                None,
+            )
+    return comp_reads, curr_read
+
+
+def unbatch(called_batches_q, called_reads_q, models_metadata):
+    def get_return_read(reads):
+        mod_calls = []
+        r_errs = set()
+        for cb, (io_read, nn_out, r_pos, err) in reads:
+            r_errs.add(err)
+            if err is None:
+                mod_calls.append((cb, nn_out, r_pos))
+        r_err = None if any(e is None for e in r_errs) else ",".join(
+            sorted(r_errs)
+        )
+        return io_read, mod_calls, r_err
+
+    can_bases = [md["can_base"] for md in models_metadata]
+    num_can_bases = len(can_bases)
+    curr_reads = {cb: None for cb in can_bases}
+    comp_reads = defaultdict(list)
+    for cb, nn_out, b_read_pos, b_reads in queue_iter(called_batches_q):
+        cb_comp, cb_curr = unbatch_reads(
+            curr_reads[cb], nn_out, b_read_pos, b_reads
+        )
+        curr_reads[cb] = cb_curr
+        for comp_read in cb_comp:
+            comp_reads[comp_read[0].read_id].append((cb, comp_read))
+        full = [
+            rid
+            for rid, r in comp_reads.items()
+            if len(r) == num_can_bases
+        ]
+        for rid in full:
+            put_item(get_return_read(comp_reads[rid]), called_reads_q)
+            del comp_reads[rid]
+    if curr_reads[can_bases[0]] is not None:
+        put_item(
+            get_return_read([(cb, curr_reads[cb]) for cb in can_bases]),
+            called_reads_q,
+        )
+    put_item(StopIteration, called_reads_q)
+
+
+def post_process_reads(read_mapping, models_metadata, ref_anchored):
+    """Softmax -> MM/ML tags; optional reference-anchored record rewrite."""
+    io_read, mod_calls, err = read_mapping
+    if err is not None:
+        return io_read, err
+    md_dict = {md["can_base"]: md for md in models_metadata}
+    mm_tags = []
+    ml_arr = array.array("B")
+    for cb, nn_out, r_poss in mod_calls:
+        r_probs = softmax(nn_out)[:, 1:].astype(np.float64)
+        seq = io_read.ref_seq if ref_anchored else io_read.seq
+        cb_mm, cb_ml = format_mm_ml_tags(
+            seq=seq,
+            poss=r_poss,
+            probs=r_probs,
+            mod_bases=md_dict[cb]["mod_bases"],
+            can_base=cb,
+        )
+        mm_tags.append(cb_mm)
+        ml_arr.extend(cb_ml)
+
+    rec = io_read.full_align
+    rec.set_tag("MM", "Z", "".join(mm_tags))
+    rec.set_tag("ML", "BC", np.frombuffer(ml_arr.tobytes(), dtype=np.uint8))
+    if ref_anchored:
+        rec.cigartuples = [(0, len(io_read.ref_seq))]
+        rec.query_sequence = (
+            io_read.ref_seq
+            if io_read.ref_reg.strand == "+"
+            else revcomp(io_read.ref_seq)
+        )
+        rec.query_qualities = None
+    return io_read, None
+
+
+def infer_from_pod5_and_bam(
+    pod5_path,
+    in_bam_path,
+    models,
+    out_bam_path,
+    num_reads=None,
+    queue_max=1_000,
+    num_extract_alignment_workers=1,
+    num_prep_read_workers=1,
+    num_prep_nn_input_workers=1,
+    num_post_process_workers=1,
+    batch_size=constants.DEFAULT_BATCH_SIZE,
+    skip_non_primary=True,
+    ref_anchored=False,
+):
+    """Run the full streaming inference pipeline.
+
+    Args:
+        models: list of (eval_fn, model_metadata) pairs, one per canonical
+            base (eval_fn(sigs, enc_kmers) -> logits)
+    """
+    import sys
+
+    bam_idx = ReadIndexedBam(in_bam_path, skip_non_primary, req_tags={"mv"})
+    if bam_idx.num_records == 0:
+        LOGGER.info("No records found in BAM file.")
+        sys.exit()
+    with DatasetReader(pod5_path) as pod5_dr:
+        read_ids, num_reads = get_read_ids(bam_idx, pod5_dr, num_reads)
+    models_metadata = [md for _fn, md in models]
+    eval_fns = {md["can_base"]: fn for fn, md in models}
+    reverse_signal = models_metadata[0]["reverse_signal"]
+    pa_scaling = models_metadata[0]["pa_scaling"]
+
+    signals = source_stage(
+        iter_signal,
+        args=(pod5_path,),
+        kwargs={
+            "num_reads": num_reads,
+            "read_ids": read_ids,
+            "rev_sig": reverse_signal,
+            "pa_scaling": pa_scaling,
+        },
+        name="ExtractSignal",
+        use_process=True,
+        q_maxsize=queue_max,
+    )
+    reads = map_stage(
+        extract_alignments,
+        signals,
+        num_workers=num_extract_alignment_workers,
+        args=(bam_idx, reverse_signal),
+        name="AddAlignments",
+        use_process=True,
+        q_maxsize=queue_max,
+    )
+    prepped_reads = map_stage(
+        prepare_reads,
+        reads,
+        num_workers=num_prep_read_workers,
+        args=(models_metadata, ref_anchored),
+        name="PrepReadData",
+        use_process=True,
+        q_maxsize=100,
+    )
+    prepped_nn_input = map_stage(
+        prep_nn_input,
+        prepped_reads,
+        num_workers=num_prep_nn_input_workers,
+        name="PrepNNInput",
+        use_process=False,
+        use_mp_queue=False,
+        q_maxsize=10,
+    )
+    batches_q = NamedQueue(maxsize=4, name="Batches")
+    batch_reads_t = Thread(
+        target=batch_reads,
+        args=(
+            queue_iter(prepped_nn_input.out_q, num_prep_nn_input_workers),
+            batches_q,
+            batch_size,
+            models_metadata,
+        ),
+        name="batch_reads",
+        daemon=True,
+    )
+    batch_reads_t.start()
+    called_batches_q = NamedQueue(maxsize=4, name="CalledBatches")
+    call_batches_t = Thread(
+        target=run_model_batched,
+        args=(batches_q, called_batches_q, eval_fns, batch_size),
+        name="call_batches",
+        daemon=True,
+    )
+    call_batches_t.start()
+    called_reads_q = NamedQueue(maxsize=queue_max, name="Unbatch")
+    unbatch_t = Thread(
+        target=unbatch,
+        args=(called_batches_q, called_reads_q, models_metadata),
+        name="unbatch",
+        daemon=True,
+    )
+    unbatch_t.start()
+    final_reads = map_stage(
+        post_process_reads,
+        queue_iter(called_reads_q),
+        num_workers=num_post_process_workers,
+        args=(models_metadata, ref_anchored),
+        name="PostProcess",
+        use_process=False,
+        use_mp_queue=False,
+        q_maxsize=queue_max,
+    )
+
+    errs = defaultdict(int)
+    for err, cnt in bam_idx.skip_reasons.items():
+        errs[err] = cnt
+    in_bam = FastBamScanner(in_bam_path)
+    sig_called = 0
+    n_written = 0
+    import time
+
+    t0 = time.monotonic()
+    with BamWriter(out_bam_path, in_bam.header) as out_bam:
+        for io_read, err in final_reads:
+            if io_read is None:
+                errs[err] += 1
+                continue
+            sig_called += io_read.sig_len or 0
+            if err is not None:
+                errs[err] += 1
+            out_bam.write(io_read.full_align)
+            n_written += 1
+    dt = time.monotonic() - t0
+    sps, mag = human_format(sig_called / max(dt, 1e-9))
+    LOGGER.info(
+        f"Wrote {n_written} records ({sps:.1f} {mag}samples/s)"
+    )
+    if errs:
+        err_str = "\n".join(
+            f"{num:>7} : {err:<80}" for num, err in sorted(
+                ((n, e) for e, n in errs.items()), reverse=True
+            )
+        )
+        LOGGER.info(f"Unsuccessful read reasons:\n{err_str}")
+    batch_reads_t.join()
+    call_batches_t.join()
+    return n_written
+
+
+def make_model_eval_fn(model, params, bn_state):
+    """Jitted logits fn over fixed shapes for the device stage."""
+
+    @jax.jit
+    def _eval(sigs, enc_kmers):
+        logits, _ = model.forward(
+            params, bn_state, sigs, enc_kmers, train=False
+        )
+        return logits
+
+    return lambda sigs, enc_kmers: _eval(
+        jnp.asarray(sigs), jnp.asarray(enc_kmers)
+    )
