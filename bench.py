@@ -1,0 +1,105 @@
+"""Headline benchmark: model-forward inference throughput (chunks/s/chip).
+
+Measures the flagship ConvLSTM forward pass (the device stage of the
+streaming inference pipeline) at production shapes — batch 2048, chunk
+width 400, 9-mer context — on the default JAX device, and the same
+computation on host CPU for the vs-baseline ratio.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "chunks/s", "vs_baseline": N}
+where vs_baseline = device_throughput / (5 * cpu_throughput): >= 1.0
+means the BASELINE.md target (>=5x CPU per chip) is met.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _throughput(fwd, args, device, iters, warmup=1):
+    """Time `iters` chained forward passes inside ONE jitted fori_loop.
+
+    The loop carries a scalar data dependency between iterations, so the
+    device must execute them sequentially, and the single dispatch + single
+    block is immune to the remote-dispatch async-timing artifacts of
+    tunneled TPU backends.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params, bn_state, sigs, enc_kmers = jax.device_put(args, device)
+
+    def loop(params, bn_state, sigs, enc_kmers, seed, n):
+        def body(_i, carry):
+            acc, s = carry
+            out = fwd(params, bn_state, s + acc * 1e-20, enc_kmers)
+            return acc + jnp.mean(out), s
+
+        acc, _ = jax.lax.fori_loop(
+            0, n, body, (seed * 1e-20, sigs)
+        )
+        return acc
+
+    fn = jax.jit(loop, static_argnames="n")
+    # warmup with the SAME static n (compile cache) but a DIFFERENT seed
+    # input, so remote backends cannot alias the timed dispatch to the
+    # warmup result; fetching the scalar value is the completion fence
+    float(fn(params, bn_state, sigs, enc_kmers, jnp.float32(0), n=iters))
+    t0 = time.perf_counter()
+    float(fn(params, bn_state, sigs, enc_kmers, jnp.float32(1), n=iters))
+    dt = time.perf_counter() - t0
+    return iters * sigs.shape[0] / dt
+
+
+def main():
+    import jax
+
+    from remora_tpu.models import conv_lstm_model as M
+
+    batch, width, kmer_len = 2048, 400, 9
+    params, bn_state = M.init(
+        jax.random.PRNGKey(0), size=64, kmer_len=kmer_len, num_out=2
+    )
+
+    def fwd(params, bn_state, sigs, enc_kmers):
+        logits, _ = M.forward(params, bn_state, sigs, enc_kmers, train=False)
+        return logits
+
+    rng = np.random.default_rng(0)
+    sigs = rng.normal(size=(batch, 1, width)).astype(np.float32)
+    enc_kmers = (rng.random((batch, 4 * kmer_len, width)) < 0.25).astype(
+        np.float32
+    )
+    args = (params, bn_state, sigs, enc_kmers)
+
+    main_dev = jax.devices()[0]
+    on_accel = main_dev.platform != "cpu"
+    dev_tp = _throughput(fwd, args, main_dev, iters=20 if on_accel else 3)
+
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu_dev = None
+    if on_accel and cpu_dev is not None:
+        cpu_tp = _throughput(fwd, args, cpu_dev, iters=2, warmup=1)
+    else:
+        cpu_tp = dev_tp if not on_accel else None
+
+    vs_baseline = (
+        dev_tp / (5.0 * cpu_tp) if cpu_tp else float("nan")
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "infer_fwd_chunks_per_s_per_chip",
+                "value": round(dev_tp, 1),
+                "unit": "chunks/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
