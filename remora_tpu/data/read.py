@@ -369,3 +369,88 @@ class RemoraRead:
                 LOGGER.debug(f"FAILED_CHUNK_CHECK {e}")
             except Exception as e:
                 LOGGER.debug(f"FAILED_CHUNK_EXTRACT {e}")
+
+    def prepare_batches(self, model_metadata, batch_size):
+        """Prepare device-ready batches of this read's chunks.
+
+        Reference analog ``data_chunks.py:468–514`` — builds an in-memory
+        dataset so chunk tensor assembly is identical to training prep.
+        """
+        from remora_tpu.data.dataset import CoreDataset
+        from remora_tpu.data.metadata import DatasetMetadata
+
+        self.batches = []
+        self.refine_signal_mapping(model_metadata["sig_map_refiner"])
+        chunks = list(
+            self.iter_chunks(
+                model_metadata["chunk_context"],
+                model_metadata["kmer_context_bases"],
+                model_metadata["base_start_justify"],
+                model_metadata["offset"],
+            )
+        )
+        if len(chunks) == 0:
+            return
+        motif_seqs, motif_offsets = zip(*model_metadata["motifs"])
+        dataset = CoreDataset(
+            mode="w",
+            metadata=DatasetMetadata(
+                allocate_size=len(chunks),
+                max_seq_len=max(c.seq_len for c in chunks),
+                mod_bases=model_metadata["mod_bases"],
+                mod_long_names=model_metadata["mod_long_names"],
+                motif_sequences=list(motif_seqs),
+                motif_offsets=list(motif_offsets),
+                chunk_context=model_metadata["chunk_context"],
+                kmer_context_bases=model_metadata["kmer_context_bases"],
+                extra_arrays={"read_focus_bases": ("int64", "")},
+            ),
+            batch_size=batch_size,
+            super_batch_size=len(chunks),
+            infinite_iter=False,
+        )
+        for chunk in chunks:
+            dataset.write_chunk(chunk)
+        for batch in dataset:
+            self.batches.append(
+                (
+                    batch["signal"],
+                    batch["enc_kmers"],
+                    batch["labels"],
+                    batch["read_focus_bases"],
+                )
+            )
+
+    def run_model(self, eval_fn):
+        """Call modified bases over prepared batches.
+
+        Args:
+            eval_fn: callable (sigs, enc_kmers) -> logits. Ragged batches
+                are padded to power-of-two bucket shapes so a jitted
+                eval_fn compiles a bounded number of variants.
+
+        Returns:
+            (outputs (ncalls, nlab), labels, read positions)
+        """
+        read_outputs, read_poss, read_labels = [], [], []
+        for sigs, enc_kmers, labels, read_pos in self.batches:
+            n = sigs.shape[0]
+            bucket = 1 << max(0, (n - 1)).bit_length()
+            if bucket != n:
+                pad_s = np.zeros((bucket,) + sigs.shape[1:], sigs.dtype)
+                pad_k = np.zeros(
+                    (bucket,) + enc_kmers.shape[1:], enc_kmers.dtype
+                )
+                pad_s[:n] = sigs
+                pad_k[:n] = enc_kmers
+                out = np.asarray(eval_fn(pad_s, pad_k))[:n]
+            else:
+                out = np.asarray(eval_fn(sigs, enc_kmers))
+            read_outputs.append(out)
+            read_labels.append(labels)
+            read_poss.append(read_pos)
+        return (
+            np.concatenate(read_outputs, axis=0),
+            np.concatenate(read_labels),
+            np.concatenate(read_poss),
+        )
