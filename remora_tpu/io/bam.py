@@ -275,6 +275,154 @@ class BamRecord:
             raise ValueError("MD tag inconsistent with cigar")
         return "".join(ref)
 
+    def get_aligned_pairs(self, with_seq=False):
+        """(query_pos, ref_pos[, ref_base]) per alignment column (pysam
+        semantics; ref bases require the MD tag when with_seq)."""
+        ref_seq = self.get_reference_sequence() if with_seq else None
+        pairs = []
+        qpos = 0
+        rpos = self.reference_start
+        roff = 0
+        for op, ln in self.cigartuples or []:
+            if op in (0, 7, 8):  # M,=,X
+                for k in range(ln):
+                    if with_seq:
+                        pairs.append((qpos + k, rpos + k, ref_seq[roff + k]))
+                    else:
+                        pairs.append((qpos + k, rpos + k))
+                qpos += ln
+                rpos += ln
+                roff += ln
+            elif op in (1, 4):  # I,S consume query
+                for k in range(ln):
+                    pairs.append(
+                        (qpos + k, None, None) if with_seq else (qpos + k, None)
+                    )
+                qpos += ln
+            elif op in (2, 3):  # D,N consume ref
+                for k in range(ln):
+                    if with_seq:
+                        pairs.append((None, rpos + k, ref_seq[roff + k]))
+                    else:
+                        pairs.append((None, rpos + k))
+                rpos += ln
+                roff += ln
+            # H,P consume neither
+        return pairs
+
+    @property
+    def query_alignment_start(self):
+        qpos = 0
+        for op, ln in self.cigartuples or []:
+            if op in (4, 1):
+                qpos += ln
+            elif op == 5:
+                continue
+            else:
+                break
+        return qpos
+
+    @property
+    def query_alignment_end(self):
+        qpos = len(self.query_sequence or "")
+        for op, ln in reversed(self.cigartuples or []):
+            if op in (4, 1):
+                qpos -= ln
+            elif op == 5:
+                continue
+            else:
+                break
+        return qpos
+
+    @property
+    def modified_bases(self):
+        """Parse MM/ML tags (pysam-compatible).
+
+        Returns {(canonical_base, mod_strand, mod_name): [(qpos, qual)]}
+        with positions in query_sequence (stored SEQ) coordinates and
+        mod_strand 0 for '+', 1 for '-'. None when no MM tag present.
+        """
+        try:
+            mm = self.get_tag("MM")
+        except KeyError:
+            try:
+                mm = self.get_tag("Mm")
+            except KeyError:
+                return None
+        try:
+            ml = self.get_tag("ML")
+        except KeyError:
+            try:
+                ml = self.get_tag("Ml")
+            except KeyError:
+                ml = None
+        if self.query_sequence is None:
+            return None
+        seq = self.query_sequence
+        # original read orientation sequence
+        if self.is_reverse:
+            comp = str.maketrans("ACGTN", "TGCAN")
+            orig_seq = seq.translate(comp)[::-1]
+        else:
+            orig_seq = seq
+        out = {}
+        ml_idx = 0
+        for item in mm.rstrip(";").split(";"):
+            if not item:
+                continue
+            head, *deltas = item.split(",")
+            # head like C+m? or C+mh. or with ChEBI numbers C+76792?
+            can_base = head[0]
+            strand_ch = head[1]
+            body = head[2:]
+            if body and body[-1] in "?.":
+                body = body[:-1]
+            # mods may be multi-letter ChEBI codes (digits) or 1-letter runs
+            if body.isdigit():
+                mod_names = [body]
+            else:
+                mod_names = list(body)
+            deltas = [int(d) for d in deltas]
+            # positions of can_base in the original-orientation read
+            base_idx = [
+                i for i, b in enumerate(orig_seq) if b == can_base
+            ]
+            mod_poss = []
+            cum = -1
+            ok = True
+            for d in deltas:
+                cum += d + 1
+                if cum >= len(base_idx):
+                    ok = False
+                    break
+                mod_poss.append(base_idx[cum])
+            if not ok:
+                ml_idx += len(deltas) * len(mod_names)
+                continue
+            for pos_i, orig_pos in enumerate(mod_poss):
+                qpos = (
+                    orig_pos
+                    if not self.is_reverse
+                    else len(seq) - 1 - orig_pos
+                )
+                for mod_i, mod_name in enumerate(mod_names):
+                    qual = (
+                        int(ml[ml_idx + pos_i * len(mod_names) + mod_i])
+                        if ml is not None
+                        else -1
+                    )
+                    # strand reported relative to the aligned orientation
+                    # (tag strand XOR is_reverse), matching pysam/htslib
+                    tag_strand = 0 if strand_ch == "+" else 1
+                    key = (
+                        can_base,
+                        tag_strand ^ int(self.is_reverse),
+                        mod_name,
+                    )
+                    out.setdefault(key, []).append((qpos, qual))
+            ml_idx += len(mod_poss) * len(mod_names)
+        return out
+
     # --- encoding ---
     def encode(self, header=None):
         header = header or self.header
