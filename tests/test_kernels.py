@@ -1,0 +1,63 @@
+"""Device (XLA) kernel parity tests against the host implementations."""
+
+import numpy as np
+import pytest
+
+from remora_tpu.data.encoded_kmers import (
+    compute_encoded_kmer_batch as host_enc,
+)
+from remora_tpu.kernels.encoded_kmers import (
+    compute_encoded_kmer_batch as dev_enc,
+)
+from remora_tpu.kernels.refine_dp import refine_batch
+from remora_tpu.refine import dp as host_dp
+from remora_tpu.refine.band import (
+    adjust_seq_band,
+    compute_sig_band,
+    convert_to_seq_band,
+)
+from remora_tpu.refine.refiner import compute_dwell_pen_array
+
+
+@pytest.mark.parametrize("algo", ["Viterbi", "dwell_penalty"])
+def test_device_dp_matches_host(algo):
+    rng = np.random.default_rng(3)
+    sdp = compute_dwell_pen_array(4, 3, 0.5)
+    reads, host_paths = [], []
+    for _ in range(16):
+        seq_len = int(rng.integers(10, 100))
+        spb = rng.integers(1, 12, seq_len)
+        bps = np.concatenate([[0], np.cumsum(spb)]).astype(np.int64)
+        levels = rng.normal(size=seq_len).astype(np.float32)
+        signal = rng.normal(size=int(bps[-1])).astype(np.float32)
+        sig_band = compute_sig_band(bps, levels, bhw=5)
+        seq_band = convert_to_seq_band(sig_band)
+        adjust_seq_band(seq_band)
+        reads.append((signal, levels, seq_band))
+        _s, p, _t, _o = host_dp.seq_banded_dp(
+            signal, levels, seq_band, sdp, algo
+        )
+        host_paths.append(p)
+    dev_paths = refine_batch(reads, sdp, algo=algo)
+    for hp, dp_ in zip(host_paths, dev_paths):
+        assert np.array_equal(hp, dp_)
+
+
+def test_device_enc_kmers_matches_host():
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        B = int(rng.integers(1, 8))
+        S = int(rng.integers(4, 30))
+        bb, ab = int(rng.integers(0, 5)), int(rng.integers(0, 5))
+        W = int(rng.integers(10, 80))
+        seq_lens = rng.integers(2, S + 1, B).astype(np.int16)
+        seqs = rng.integers(-1, 4, (B, S + bb + ab)).astype(np.int8)
+        maps = np.zeros((B, S + 1), dtype=np.int16)
+        for b in range(B):
+            sl = seq_lens[b]
+            maps[b, 1:sl] = np.sort(rng.integers(0, W + 1, sl - 1))
+            maps[b, sl] = W
+            maps[b, sl + 1 :] = rng.integers(-50, 50, S - sl)
+        h = host_enc(bb, ab, seqs, maps, seq_lens)
+        d = np.asarray(dev_enc(bb, ab, seqs, maps, seq_lens, W))
+        assert np.array_equal(h, d)
