@@ -1,0 +1,279 @@
+"""End-to-end train -> checkpoint -> infer -> validate -> export tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+DATA = "/root/reference/tests/data"
+
+
+@pytest.fixture(scope="session")
+def trained_model(tmpdir_factory, chunks_config):
+    from remora_tpu.train.optim import TrainOpts
+    from remora_tpu.train.train import train_model
+
+    out = tmpdir_factory.mktemp("train_out")
+    train_model(
+        seed=42,
+        out_path=str(out),
+        remora_dataset_path=str(chunks_config),
+        chunk_context=(50, 50),
+        kmer_context_bases=(4, 4),
+        batch_size=32,
+        model_name="Conv_w_ref",
+        size=16,
+        train_opts=TrainOpts(epochs=3, early_stopping=0),
+        chunks_per_epoch=320,
+        num_test_chunks=40,
+    )
+    return os.path.join(str(out), "model_final.checkpoint")
+
+
+@pytest.fixture(scope="session")
+def trained_lstm_model(tmpdir_factory, chunks_config):
+    from remora_tpu.train.optim import TrainOpts
+    from remora_tpu.train.train import train_model
+
+    out = tmpdir_factory.mktemp("train_lstm_out")
+    train_model(
+        seed=42,
+        out_path=str(out),
+        remora_dataset_path=str(chunks_config),
+        chunk_context=(50, 50),
+        kmer_context_bases=(2, 2),
+        batch_size=32,
+        model_name="ConvLSTM_w_ref",
+        size=16,
+        train_opts=TrainOpts(epochs=2, early_stopping=0),
+        chunks_per_epoch=160,
+        num_test_chunks=40,
+    )
+    return os.path.join(str(out), "model_final.checkpoint")
+
+
+def test_training_artifacts(trained_model):
+    out_dir = os.path.dirname(trained_model)
+    assert os.path.exists(trained_model)
+    assert os.path.exists(os.path.join(out_dir, "validation.log"))
+    assert os.path.exists(os.path.join(out_dir, "batch.log"))
+    assert os.path.exists(os.path.join(out_dir, "dataset_config.jsn"))
+    with open(os.path.join(out_dir, "validation.log")) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0].startswith("Val_Type")
+    assert any(line.startswith("val\t") for line in lines[1:])
+
+
+def test_checkpoint_load(trained_model):
+    from remora_tpu.models import model_io
+
+    model, params, bn_state, meta = model_io.load_model(trained_model)
+    assert meta["chunk_context"] == (50, 50)
+    assert meta["motifs"] == [("CG", 0)]
+    assert meta["can_base"] == "C"
+    assert meta["mod_bases"] == ["m"]
+    logits, _ = model.forward(
+        params,
+        bn_state,
+        np.zeros((2, 1, 100), np.float32),
+        np.zeros((2, 36, 100), np.float32),
+        train=False,
+    )
+    assert logits.shape == (2, 2)
+
+
+def test_lstm_training(trained_lstm_model):
+    from remora_tpu.models import model_io
+
+    model, params, bn_state, meta = model_io.load_model(trained_lstm_model)
+    assert "lstm1" in params
+    logits, _ = model.forward(
+        params,
+        bn_state,
+        np.zeros((2, 1, 100), np.float32),
+        np.zeros((2, 20, 100), np.float32),
+        train=False,
+    )
+    assert logits.shape == (2, 2)
+
+
+@pytest.fixture(scope="session")
+def inferred_bam(tmpdir_factory, trained_model):
+    from remora_tpu.infer.infer import (
+        infer_from_pod5_and_bam,
+        make_model_eval_fn,
+    )
+    from remora_tpu.models import model_io
+
+    model, params, bn_state, meta = model_io.load_model(trained_model)
+    eval_fn = make_model_eval_fn(model, params, bn_state)
+    out = tmpdir_factory.mktemp("infer_out") / "can_infer.bam"
+    n = infer_from_pod5_and_bam(
+        pod5_path=f"{DATA}/can_reads.pod5",
+        in_bam_path=f"{DATA}/can_mappings.bam",
+        models=[(eval_fn, meta)],
+        out_bam_path=str(out),
+        batch_size=128,
+    )
+    assert n == 14
+    return str(out)
+
+
+def test_infer_output_tags(inferred_bam):
+    from remora_tpu.io.bam import FastBamScanner
+
+    recs = list(FastBamScanner(inferred_bam))
+    assert len(recs) == 14
+    for rec in recs:
+        assert rec.has_tag("MM")
+        assert rec.has_tag("ML")
+        mm = rec.get_tag("MM")
+        assert mm.startswith("C+m?")
+        # ML length equals number of MM deltas
+        n_deltas = len(mm.rstrip(";").split(",")) - 1
+        assert len(rec.get_tag("ML")) == n_deltas
+
+
+def test_mm_parse_roundtrip(inferred_bam):
+    from remora_tpu.io.bam import FastBamScanner
+
+    for rec in FastBamScanner(inferred_bam):
+        mb = rec.modified_bases
+        assert mb is not None
+        ((can_base, strand, mod), calls), *_ = list(mb.items())
+        assert mod == "m"
+        exp_base = "C" if not rec.is_reverse else "G"
+        for qpos, _qual in calls[:10]:
+            assert rec.query_sequence[qpos] == exp_base
+
+
+def test_validate_modbams(tmpdir_factory, inferred_bam):
+    from remora_tpu.validate_modbam import validate_modbams
+
+    ms = validate_modbams(
+        bams_and_beds=[[inferred_bam, f"{DATA}/can_gt.bed"]],
+        full_results_path=None,
+        name="test",
+        pct_filt=10.0,
+        allow_unbalanced=True,
+        seed=1,
+        extra_bases="m",
+    )
+    assert ms.num_calls > 100
+    assert 0 <= ms.acc <= 1
+
+
+def test_validate_from_dataset(trained_model, can_chunks):
+    import sys
+
+    from remora_tpu.data.dataset import ComposedDataset, CoreDataset
+    from remora_tpu.infer.infer import make_model_eval_fn
+    from remora_tpu.models import model_io
+    from remora_tpu.train.validate import ValidationLogger
+
+    model, params, bn_state, meta = model_io.load_model(trained_model)
+    ds = ComposedDataset(
+        [
+            CoreDataset(
+                str(can_chunks),
+                override_metadata={
+                    "extra_arrays": {},
+                    "chunk_context": list(meta["chunk_context"]),
+                    "kmer_context_bases": list(meta["kmer_context_bases"]),
+                },
+                infinite_iter=False,
+            )
+        ],
+        np.ones(1),
+        batch_size=64,
+    )
+    fwd = make_model_eval_fn(model, params, bn_state)
+
+    def eval_fn(sigs, enc_kmers):
+        n = sigs.shape[0]
+        pad_s = np.zeros((64,) + sigs.shape[1:], sigs.dtype)
+        pad_k = np.zeros((64,) + enc_kmers.shape[1:], enc_kmers.dtype)
+        pad_s[:n] = sigs
+        pad_k[:n] = enc_kmers
+        return np.asarray(fwd(pad_s, pad_k))[:n]
+
+    import io as io_mod
+
+    logger = ValidationLogger(io_mod.StringIO())
+    ms = logger.run_validation(eval_fn, meta["mod_bases"], ds, 0.1)
+    assert ms.num_calls == 205
+
+
+def test_duplex_infer(tmpdir_factory, trained_model):
+    from remora_tpu.infer.duplex_infer import infer_duplex
+    from remora_tpu.infer.infer import make_model_eval_fn
+    from remora_tpu.io.bam import FastBamScanner
+    from remora_tpu.models import model_io
+
+    model, params, bn_state, meta = model_io.load_model(trained_model)
+    eval_fn = make_model_eval_fn(model, params, bn_state)
+    out = tmpdir_factory.mktemp("duplex_out") / "duplex.bam"
+    n = infer_duplex(
+        simplex_pod5_path=f"{DATA}/duplex_reads.pod5",
+        simplex_bam_path=f"{DATA}/simplex_reads_mapped.bam",
+        duplex_bam_path=f"{DATA}/duplex_reads_mapped.bam",
+        pairs_path=f"{DATA}/duplex_pairs.txt",
+        models=[(eval_fn, meta)],
+        out_bam=str(out),
+    )
+    assert n == 2
+    for rec in FastBamScanner(str(out)):
+        mm = rec.get_tag("MM")
+        assert "C+m?" in mm and "G-m?" in mm
+
+
+def test_export_roundtrip(tmpdir_factory, trained_model):
+    import torch
+
+    from remora_tpu.models import export, model_io
+
+    out_dir = tmpdir_factory.mktemp("export_out")
+    ts_path = str(out_dir / "model.pt")
+    export.export_model_torchscript(trained_model, ts_path)
+    m1, p1, b1, meta1 = model_io.load_model(trained_model)
+    m2, p2, b2, meta2 = model_io.load_model(ts_path)
+    rng = np.random.default_rng(0)
+    sigs = rng.normal(size=(4, 1, 100)).astype(np.float32)
+    kmers = (rng.random((4, 36, 100)) < 0.25).astype(np.float32)
+    o1, _ = m1.forward(p1, b1, sigs, kmers, train=False)
+    o2, _ = m2.forward(p2, b2, sigs, kmers, train=False)
+    assert np.allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+    # torch executes the exported torchscript with matching output
+    ts = torch.jit.load(ts_path)
+    ts.eval()
+    with torch.no_grad():
+        ot = ts(torch.from_numpy(sigs), torch.from_numpy(kmers)).numpy()
+    assert np.allclose(ot, np.asarray(o1), atol=1e-5)
+    # dorado export produces tensors + config
+    dorado_dir = str(out_dir / "dorado")
+    export.export_model_dorado(trained_model, dorado_dir)
+    assert os.path.exists(os.path.join(dorado_dir, "config.toml"))
+    assert any(f.endswith(".tensor") for f in os.listdir(dorado_dir))
+
+
+def test_finetune(tmpdir_factory, chunks_config, trained_model):
+    from remora_tpu.train.optim import TrainOpts
+    from remora_tpu.train.train import train_model
+
+    out = tmpdir_factory.mktemp("finetune_out")
+    train_model(
+        seed=7,
+        out_path=str(out),
+        remora_dataset_path=str(chunks_config),
+        chunk_context=(50, 50),
+        kmer_context_bases=(4, 4),
+        batch_size=32,
+        model_name="Conv_w_ref",
+        size=16,
+        train_opts=TrainOpts(epochs=1, early_stopping=0),
+        chunks_per_epoch=64,
+        num_test_chunks=40,
+        finetune_path=trained_model,
+    )
+    assert os.path.exists(str(out / "model_final.checkpoint"))
