@@ -1060,13 +1060,26 @@ class ComposedDataset:
             if not raw
             else list(self.datasets[0].array_names)
         )
+
+        def concat(name, arrays):
+            if raw and arrays[0].ndim == 2:
+                # ragged widths can differ between sub-datasets (different
+                # stored max_seq_len); right-pad to the widest
+                width = max(a.shape[1] for a in arrays)
+                if any(a.shape[1] != width for a in arrays):
+                    arrays = [
+                        np.pad(a, ((0, 0), (0, width - a.shape[1])))
+                        for a in arrays
+                    ]
+            return np.concatenate(arrays)
+
         while True:
             try:
                 ds_arrays = [next(it) for it in self._ds_iters]
             except StopIteration:
                 break
             yield {
-                name: np.concatenate([arrs[name] for arrs in ds_arrays])
+                name: concat(name, [arrs[name] for arrs in ds_arrays])
                 for name in names
             }
 

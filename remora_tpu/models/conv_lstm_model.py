@@ -67,6 +67,9 @@ def forward(params, bn_state, sigs, seqs, train=False):
 
     z = jnp.transpose(z, (2, 0, 1))  # (T, B, C)
     z = L.swish(L.lstm(params["lstm1"], z))
-    z = L.swish(L.lstm(params["lstm2"], z, reverse=True))
-    z = z[-1]  # final timestep (B, C)
+    # The reference takes flip(swish(lstm2(flip(z))))[-1], i.e. only the
+    # FIRST step of the reverse LSTM on the final forward timestep ever
+    # reaches the head — so the whole reverse scan collapses to a single
+    # zero-state cell step (verified bit-identical to the full form).
+    z = L.swish(L.lstm_cell_step0(params["lstm2"], z[-1]))
     return L.linear(params["fc"], z), ns

@@ -103,6 +103,22 @@ def lstm_init(rng, input_size, hidden_size, dtype=jnp.float32):
     }
 
 
+def lstm_cell_step0(params, x):
+    """One LSTM cell step from the zero state: h1 for input x (B, C).
+
+    With h0 = c0 = 0 the recurrent and forget terms vanish:
+    c1 = sigmoid(i) * tanh(g); h1 = sigmoid(o) * tanh(c1).
+    """
+    gates = (
+        jnp.dot(x, params["w_ih"].T, preferred_element_type=jnp.float32)
+        + params["b_ih"]
+        + params["b_hh"]
+    )
+    i, _f, g, o = jnp.split(gates, 4, axis=-1)
+    c = jax.nn.sigmoid(i) * jnp.tanh(g)
+    return jax.nn.sigmoid(o) * jnp.tanh(c)
+
+
 def lstm(params, x, reverse=False):
     """Single-layer LSTM over (T, B, C) input; returns hidden states (T, B, H).
 

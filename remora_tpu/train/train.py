@@ -38,6 +38,38 @@ def cross_entropy_loss(logits, labels):
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
 
 
+def make_train_step_raw(model, tx, kmer_context_bases, chunk_width,
+                        high_conf_incorrect_thr_frac=None,
+                        use_grad_clip=False, donate=True):
+    """Jitted train step taking RAW ragged arrays; the encoded-kmer
+    featurization runs on device (remora_tpu.kernels.encoded_kmers), so
+    each step ships compact int8/int16 arrays instead of the ~50x larger
+    float features."""
+    from remora_tpu.kernels.encoded_kmers import (
+        compute_encoded_kmer_batch as dev_enc,
+    )
+
+    bb, ab = kmer_context_bases
+    inner = make_train_step(
+        model,
+        tx,
+        high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
+        use_grad_clip=use_grad_clip,
+        donate=False,
+    )
+
+    def step(params, bn_state, opt_state, signal, sequence, seq_maps,
+             seq_lens, labels, grad_threshs=None):
+        enc_kmers = dev_enc(bb, ab, sequence, seq_maps, seq_lens, chunk_width)
+        return inner(
+            params, bn_state, opt_state, signal, enc_kmers, labels,
+            *(() if grad_threshs is None else (grad_threshs,)),
+        )
+
+    donate_argnums = (0, 1, 2) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
 def make_train_step(model, tx, high_conf_incorrect_thr_frac=None,
                     use_grad_clip=False, donate=True):
     """Build the jitted training step for one model architecture."""
@@ -150,6 +182,7 @@ def train_model(
     super_batch_sample_frac=None,
     gradient_clip_num_mads=None,
     mesh=None,
+    featurize_on_device=True,
 ):
     out_path = str(out_path)
     os.makedirs(out_path, exist_ok=True)
@@ -291,12 +324,22 @@ def train_model(
             ext_datasets.append((e_name, e_ds))
 
     use_grad_clip = gradient_clip_num_mads is not None
-    train_step = make_train_step(
-        model,
-        tx,
-        high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
-        use_grad_clip=use_grad_clip,
-    )
+    if featurize_on_device:
+        train_step = make_train_step_raw(
+            model,
+            tx,
+            dataset.metadata.kmer_context_bases,
+            dataset.metadata.chunk_width,
+            high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
+            use_grad_clip=use_grad_clip,
+        )
+    else:
+        train_step = make_train_step(
+            model,
+            tx,
+            high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
+            use_grad_clip=use_grad_clip,
+        )
     eval_step = make_eval_step(model)
 
     def eval_fn(sigs, enc_kmers):
@@ -343,20 +386,32 @@ def train_model(
     early_stop_epochs = 0
     breached = False
     epoch = 0
-    trn_iter = iter(trn_ds)
+    trn_iter = trn_ds.iter_batches(raw=featurize_on_device)
     for epoch in range(train_opts.epochs):
         opt_state = set_learning_rate(opt_state, lr_schedule(epoch))
         t0 = time.monotonic()
         n_chunks = 0
         for epoch_i in range(batches_per_epoch):
             batch = next(trn_iter)
+            if featurize_on_device:
+                step_inputs = (
+                    jnp.asarray(batch["signal"]),
+                    jnp.asarray(batch["sequence"]),
+                    jnp.asarray(batch["sequence_to_signal_mapping"]),
+                    jnp.asarray(batch["sequence_lengths"]),
+                    jnp.asarray(batch["labels"]),
+                )
+            else:
+                step_inputs = (
+                    jnp.asarray(batch["signal"]),
+                    jnp.asarray(batch["enc_kmers"]),
+                    jnp.asarray(batch["labels"]),
+                )
             params, bn_state, opt_state, loss, n_filt, grad_maxs = train_step(
                 params,
                 bn_state,
                 opt_state,
-                jnp.asarray(batch["signal"]),
-                jnp.asarray(batch["enc_kmers"]),
-                jnp.asarray(batch["labels"]),
+                *step_inputs,
                 *((grad_threshs,) if use_grad_clip else ()),
             )
             n_chunks += batch["labels"].shape[0]
