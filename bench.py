@@ -54,6 +54,9 @@ def _throughput(fwd, args, device, iters, warmup=1):
 
 def main():
     import jax
+    from remora_tpu.jax_setup import ensure_compilation_cache
+
+    ensure_compilation_cache()
 
     from remora_tpu.models import conv_lstm_model as M
 

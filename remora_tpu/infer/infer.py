@@ -485,6 +485,9 @@ def infer_from_pod5_and_bam(
 
 def make_model_eval_fn(model, params, bn_state):
     """Jitted logits fn over fixed shapes for the device stage."""
+    from remora_tpu.jax_setup import ensure_compilation_cache
+
+    ensure_compilation_cache()
 
     @jax.jit
     def _eval(sigs, enc_kmers):

@@ -1,0 +1,47 @@
+"""JAX runtime configuration helpers.
+
+Centralizes persistent-compilation-cache setup (first XLA compiles on a
+tunneled TPU backend can take minutes; the on-disk cache makes every
+subsequent process start warm) and the CPU-platform override (the axon
+TPU plugin ignores the JAX_PLATFORMS environment variable).
+"""
+
+import os
+from pathlib import Path
+
+_CACHE_INITIALIZED = False
+
+
+def ensure_compilation_cache(cache_dir=None):
+    """Enable the persistent compilation cache (idempotent)."""
+    global _CACHE_INITIALIZED
+    if _CACHE_INITIALIZED:
+        return
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "REMORA_TPU_COMPILE_CACHE",
+            str(Path.home() / ".cache" / "remora_tpu_xla"),
+        )
+    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+    _CACHE_INITIALIZED = True
+
+
+def honor_platform_env():
+    """Apply JAX_PLATFORMS from the environment via jax.config (the axon
+    plugin does not honor the plain env var)."""
+    plat = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass

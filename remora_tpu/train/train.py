@@ -184,6 +184,9 @@ def train_model(
     mesh=None,
     featurize_on_device=True,
 ):
+    from remora_tpu.jax_setup import ensure_compilation_cache
+
+    ensure_compilation_cache()
     out_path = str(out_path)
     os.makedirs(out_path, exist_ok=True)
     seed = (
@@ -324,6 +327,20 @@ def train_model(
             ext_datasets.append((e_name, e_ds))
 
     use_grad_clip = gradient_clip_num_mads is not None
+    batch_sharding = None
+    if mesh is not None:
+        # data-parallel: replicate state over the mesh, shard batches on
+        # the leading axis; XLA inserts the gradient psum over ICI
+        from remora_tpu.parallel import mesh as mesh_mod
+
+        params = mesh_mod.replicate(mesh, params)
+        bn_state = mesh_mod.replicate(mesh, bn_state)
+        opt_state = mesh_mod.replicate(mesh, opt_state)
+        batch_sharding = mesh_mod.data_sharding(mesh)
+        LOGGER.info(
+            f"Data-parallel training over {np.prod(mesh.devices.shape)} "
+            "devices"
+        )
     if featurize_on_device:
         train_step = make_train_step_raw(
             model,
@@ -394,19 +411,21 @@ def train_model(
         for epoch_i in range(batches_per_epoch):
             batch = next(trn_iter)
             if featurize_on_device:
-                step_inputs = (
-                    jnp.asarray(batch["signal"]),
-                    jnp.asarray(batch["sequence"]),
-                    jnp.asarray(batch["sequence_to_signal_mapping"]),
-                    jnp.asarray(batch["sequence_lengths"]),
-                    jnp.asarray(batch["labels"]),
+                names = (
+                    "signal",
+                    "sequence",
+                    "sequence_to_signal_mapping",
+                    "sequence_lengths",
+                    "labels",
                 )
             else:
-                step_inputs = (
-                    jnp.asarray(batch["signal"]),
-                    jnp.asarray(batch["enc_kmers"]),
-                    jnp.asarray(batch["labels"]),
+                names = ("signal", "enc_kmers", "labels")
+            if batch_sharding is not None:
+                step_inputs = tuple(
+                    jax.device_put(batch[n], batch_sharding) for n in names
                 )
+            else:
+                step_inputs = tuple(jnp.asarray(batch[n]) for n in names)
             params, bn_state, opt_state, loss, n_filt, grad_maxs = train_step(
                 params,
                 bn_state,

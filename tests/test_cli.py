@@ -1,0 +1,82 @@
+"""CLI integration tests via subprocess (reference test_main.py analog)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+DATA = "/root/reference/tests/data"
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+)
+
+
+def run_cli(*args, timeout=420):
+    return subprocess.run(
+        [sys.executable, "-m", "remora_tpu", *map(str, args)],
+        check=True,
+        env=ENV,
+        timeout=timeout,
+        capture_output=True,
+        text=True,
+    )
+
+
+def test_help():
+    out = run_cli("--help")
+    assert "dataset" in out.stdout
+
+
+@pytest.fixture(scope="session")
+def cli_can_chunks(tmpdir_factory):
+    out = tmpdir_factory.mktemp("cli") / "can_chunks"
+    run_cli(
+        "dataset",
+        "prepare",
+        f"{DATA}/can_reads.pod5",
+        f"{DATA}/can_mappings.bam",
+        "--output-path",
+        out,
+        "--mod-base-control",
+        "--motif",
+        "CG",
+        "0",
+    )
+    return out
+
+
+def test_cli_prepare_golden_count(cli_can_chunks):
+    from remora_tpu.data.dataset import CoreDataset
+
+    ds = CoreDataset(str(cli_can_chunks))
+    assert ds.size == 205
+
+
+def test_cli_dataset_inspect(cli_can_chunks, tmp_path):
+    cfg = tmp_path / "ds.cfg"
+    out = run_cli(
+        "dataset", "inspect", cli_can_chunks, "--out-path", cfg
+    )
+    assert "size : 205" in out.stdout.replace(" :", " :").replace("  ", " ") \
+        or "205" in out.stdout
+    assert cfg.exists()
+    loaded = json.loads(cfg.read_text())
+    assert len(loaded) == 1
+
+
+def test_cli_dataset_head_copy(cli_can_chunks, tmp_path):
+    from remora_tpu.data.dataset import CoreDataset
+
+    run_cli("dataset", "head", 20, cli_can_chunks, tmp_path / "head_ds")
+    assert CoreDataset(str(tmp_path / "head_ds")).size == 20
+    run_cli("dataset", "copy", cli_can_chunks, tmp_path / "copy_ds")
+    assert CoreDataset(str(tmp_path / "copy_ds")).size == 205
+
+
+def test_cli_list_pretrained():
+    out = run_cli("model", "list_pretrained", "--pore", "dna_r9.4.1_e8")
+    assert "dna_r9.4.1_e8_sup_v3.5.1_5mc_CG_v0" in out.stdout
