@@ -1,0 +1,171 @@
+"""Refinement-enabled ETL: estimate a levels table from the test data,
+then prepare a dataset with rough rescale + DP refinement enabled."""
+
+import numpy as np
+import pytest
+
+DATA = "/root/reference/tests/data"
+
+
+@pytest.fixture(scope="session")
+def levels_table(tmpdir_factory):
+    from remora_tpu.analyze.kmer_levels import estimate_kmer_levels
+
+    out = tmpdir_factory.mktemp("levels") / "levels.txt"
+    estimate_kmer_levels(
+        pod5_and_bams=[(f"{DATA}/can_reads.pod5", f"{DATA}/can_mappings.bam")],
+        out_path=str(out),
+        kmer_context_bases=(1, 1),
+        min_coverage=3,
+        chunk_len=2000,
+        max_chunk_coverage=50,
+        num_workers=2,
+    )
+    return str(out)
+
+
+def test_levels_table_complete(levels_table):
+    lines = open(levels_table).read().splitlines()
+    assert len(lines) == 64
+    vals = [float(ln.split()[1]) for ln in lines]
+    assert np.isfinite(vals).all()
+
+
+@pytest.fixture(scope="session")
+def refined_chunks(tmpdir_factory, levels_table):
+    from remora_tpu.core.seq import Motif
+    from remora_tpu.prepare import extract_chunk_dataset
+    from remora_tpu.refine.refiner import SigMapRefiner
+
+    smr = SigMapRefiner(
+        kmer_model_filename=levels_table,
+        do_rough_rescale=True,
+        scale_iters=1,
+        do_fix_guage=True,
+    )
+    out = tmpdir_factory.mktemp("refined") / "refined_chunks"
+    extract_chunk_dataset(
+        bam_path=f"{DATA}/can_mappings.bam",
+        pod5_path=f"{DATA}/can_reads.pod5",
+        out_path=str(out),
+        mod_base=None,
+        mod_base_control=True,
+        motifs=[Motif("CG", 0)],
+        focus_ref_pos=None,
+        chunk_context=(200, 200),
+        min_samps_per_base=5,
+        max_chunks_per_read=15,
+        pa_scaling=None,
+        sig_map_refiner=smr,
+        kmer_context_bases=(4, 4),
+        base_start_justify=False,
+        offset=0,
+        num_reads=None,
+    )
+    return out
+
+
+def test_refined_prepare(refined_chunks):
+    from remora_tpu.data.dataset import CoreDataset
+
+    ds = CoreDataset(str(refined_chunks))
+    assert ds.size > 150
+    smr = ds.metadata.sig_map_refiner
+    assert smr.is_loaded
+    assert smr.do_rough_rescale
+    assert smr.scale_iters == 1
+    assert smr.kmer_len == 3
+    assert smr.levels_array.size == 64
+    # gauge-fixed levels ~N(0,1)-ish
+    assert abs(float(np.median(smr.levels_array))) < 0.2
+
+
+def test_refined_metadata_roundtrip(refined_chunks):
+    from remora_tpu.data.dataset import CoreDataset
+
+    ds1 = CoreDataset(str(refined_chunks))
+    ds2 = CoreDataset(str(refined_chunks))
+    assert ds1.metadata.sig_map_refiner == ds2.metadata.sig_map_refiner
+    # batches are well formed after refinement
+    ds1.batch_size = 16
+    batch = next(iter(ds1))
+    assert batch["signal"].shape == (16, 1, 400)
+    assert np.isfinite(batch["signal"]).all()
+
+
+def test_basecall_anchored_prepare(tmpdir_factory):
+    from remora_tpu.core.seq import Motif
+    from remora_tpu.data.dataset import CoreDataset
+    from remora_tpu.prepare import extract_chunk_dataset
+    from remora_tpu.refine.refiner import SigMapRefiner
+
+    out = tmpdir_factory.mktemp("bc_anchor") / "chunks"
+    extract_chunk_dataset(
+        bam_path=f"{DATA}/can_mappings.bam",
+        pod5_path=f"{DATA}/can_reads.pod5",
+        out_path=str(out),
+        mod_base=None,
+        mod_base_control=True,
+        motifs=[Motif("CG", 0)],
+        focus_ref_pos=None,
+        chunk_context=(200, 200),
+        min_samps_per_base=5,
+        max_chunks_per_read=10,
+        pa_scaling=None,
+        sig_map_refiner=SigMapRefiner(),
+        kmer_context_bases=(4, 4),
+        base_start_justify=False,
+        offset=0,
+        num_reads=None,
+        basecall_anchor=True,
+    )
+    ds = CoreDataset(str(out))
+    assert ds.size > 50
+
+
+def test_focus_bed_prepare(tmpdir_factory):
+    from remora_tpu.core.seq import Motif
+    from remora_tpu.data.dataset import CoreDataset
+    from remora_tpu.io.refregion import parse_bed
+    from remora_tpu.prepare import extract_chunk_dataset
+    from remora_tpu.refine.refiner import SigMapRefiner
+
+    focus = parse_bed(f"{DATA}/can_gt.bed")
+    out = tmpdir_factory.mktemp("bed_focus") / "chunks"
+    extract_chunk_dataset(
+        bam_path=f"{DATA}/can_mappings.bam",
+        pod5_path=f"{DATA}/can_reads.pod5",
+        out_path=str(out),
+        mod_base=None,
+        mod_base_control=True,
+        motifs=[Motif("CG", 0)],
+        focus_ref_pos=focus,
+        chunk_context=(200, 200),
+        min_samps_per_base=5,
+        max_chunks_per_read=50,
+        pa_scaling=None,
+        sig_map_refiner=SigMapRefiner(),
+        kmer_context_bases=(4, 4),
+        base_start_justify=False,
+        offset=0,
+        num_reads=None,
+    )
+    ds = CoreDataset(str(out))
+    assert ds.size > 0
+
+
+def test_pallas_lstm_interpret():
+    import jax
+    import jax.numpy as jnp
+
+    from remora_tpu.kernels.pallas_lstm import lstm_pallas
+    from remora_tpu.models import layers as L
+
+    T, B, H = 12, 8, 64
+    params = L.lstm_init(jax.random.PRNGKey(0), H, H)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(T, B, H)).astype(np.float32)
+    )
+    ref = np.asarray(L.lstm(params, x))
+    out = np.asarray(lstm_pallas(params, x, b_tile=8, interpret=True))
+    assert np.allclose(ref, out, atol=1e-5)
