@@ -23,6 +23,12 @@ from remora_tpu.io.pod5 import DatasetReader
 LOGGER = log.get_logger()
 
 
+def _prep_pod5_reader(pod5_path, *args, **kwargs):
+    """Open the POD5 reader inside each worker (must be module-level so
+    it pickles into spawned processes)."""
+    return (DatasetReader(pod5_path), *args), kwargs
+
+
 def get_region_kmers(
     reg_and_bam_reads,
     pod5_dr,
@@ -87,14 +93,10 @@ def get_site_kmer_levels(
     reverse_signal=False,
 ):
     """All per-site median levels keyed by k-mer across one sample."""
-
-    def prep(pod5_path, *args, **kwargs):
-        return (DatasetReader(pod5_path), *args), kwargs
-
     regs_kmer_levels = map_stage(
         get_region_kmers,
         iter_covered_regions(bam_path, chunk_len, max_chunk_cov),
-        prep_func=prep,
+        prep_func=_prep_pod5_reader,
         num_workers=num_workers,
         use_process=True,
         args=(pod5_path, sig_map_refiner, kmer_context_bases),

@@ -557,10 +557,8 @@ def register_infer_from_pod5_and_bam(ssub):
 
 
 def load_models_kw_args(args):
-    """Load one or more model checkpoints -> [(eval_fn, metadata)]."""
-    from remora_tpu import RemoraError, log
-    from remora_tpu.infer.infer import make_model_eval_fn
-    from remora_tpu.models import model_io
+    """Load one or more model checkpoints -> [ModelHandle]."""
+    from remora_tpu.infer.infer import ModelHandle
 
     model_paths = args.model
     if not model_paths:
@@ -574,10 +572,7 @@ def load_models_kw_args(args):
                 modified_bases=args.modified_bases,
             )
         ]
-    models = []
-    for path in model_paths:
-        model, params, bn_state, meta = model_io.load_model(path)
-        models.append((make_model_eval_fn(model, params, bn_state), meta))
+    models = [ModelHandle.load(path) for path in model_paths]
     check_models(models)
     return models
 
@@ -586,7 +581,9 @@ def check_models(models):
     """Multi-model compatibility: one per canonical base, same signal prep."""
     from remora_tpu import RemoraError
 
-    metas = [md for _fn, md in models]
+    metas = [
+        m.metadata if hasattr(m, "metadata") else m[1] for m in models
+    ]
     can_bases = [md["can_base"] for md in metas]
     if len(set(can_bases)) != len(can_bases):
         raise RemoraError(

@@ -24,6 +24,17 @@ LOGGER = log.get_logger()
 
 DEFAULT_QUEUE_SIZE = 10_000
 
+# Start-method tradeoff: spawn/forkserver re-import __main__, which
+# breaks any caller building pipelines at script top level (a pattern the
+# reference supports), so the default is fork. Forking a JAX-threaded
+# parent draws a CPython warning, but pipeline children never call into
+# JAX (pure NumPy/IO) and the worker functions tolerate it in practice —
+# set REMORA_TPU_MP_CONTEXT=spawn|forkserver to switch for guarded
+# programs (all stage functions/args in this package are picklable).
+import os as _os
+
+_MP = mp.get_context(_os.environ.get("REMORA_TPU_MP_CONTEXT", "fork"))
+
 _STOP = StopIteration
 
 
@@ -51,8 +62,8 @@ class NamedMPQueue:
     def __init__(self, maxsize=0, name="queue"):
         self.maxsize = maxsize
         self.name = name
-        self.queue = mp.Queue(maxsize=maxsize)
-        self._size = mp.Value("i", 0)
+        self.queue = _MP.Queue(maxsize=maxsize)
+        self._size = _MP.Value("i", 0)
 
     def put(self, *args, **kwargs):
         self.queue.put(*args, **kwargs)
@@ -161,7 +172,7 @@ class source_stage:
         self.name = name
         q_cls = NamedMPQueue if use_mp_queue else NamedQueue
         self.out_q = q_cls(maxsize=q_maxsize, name=f"{name}.out")
-        worker_cls = mp.Process if use_process else Thread
+        worker_cls = _MP.Process if use_process else Thread
         worker_cls(
             target=_producer_loop,
             args=(func, args, kwargs or {}, self.out_q, name),
@@ -191,8 +202,11 @@ class map_stage:
         q_cls = NamedMPQueue if use_mp_queue else NamedQueue
         self.out_q = q_cls(maxsize=q_maxsize, name=f"{name}.out")
         in_q = q_cls(maxsize=q_maxsize, name=f"{name}.in")
-        worker_cls = mp.Process if use_process else Thread
-        worker_cls(
+        worker_cls = _MP.Process if use_process else Thread
+        # the filler is always a thread: it drains an in-process iterator
+        # (often a generator or upstream stage) that cannot be pickled
+        # into a spawned process
+        Thread(
             target=_fill_queue,
             args=(iterator, in_q, num_workers),
             name=f"{name}_filler",

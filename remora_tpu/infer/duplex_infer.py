@@ -136,6 +136,16 @@ class DuplexReadModCaller:
         return template_mm + complement_mm, template_ml + complement_ml
 
 
+class DelimIdConverter:
+    """Picklable read-id converter (duplex ids are 'tid;cid')."""
+
+    def __init__(self, delim):
+        self.delim = delim
+
+    def __call__(self, read_id):
+        return read_id.split(self.delim)[0]
+
+
 def check_simplex_alignments(*, simplex_index, duplex_index, pairs):
     if len(pairs) == 0:
         raise ValueError("no pairs found in file")
@@ -215,13 +225,17 @@ def infer_duplex(
     Args:
         models: list of (eval_fn, metadata); duplex supports one model.
     """
-    eval_fn, model_metadata = models[0]
+    first = models[0]
+    if hasattr(first, "metadata"):
+        eval_fn, model_metadata = first.eval_fn, first.metadata
+    else:
+        eval_fn, model_metadata = first
     LOGGER.info("Indexing Duplex BAM")
     duplex_bam_index = ReadIndexedBam(
         duplex_bam_path,
         skip_non_primary=skip_non_primary,
         req_tags=set(),
-        read_id_converter=lambda k: k.split(duplex_deliminator)[0],
+        read_id_converter=DelimIdConverter(duplex_deliminator),
     )
     if duplex_bam_index.num_records == 0:
         LOGGER.info("No records found in duplex BAM file.")

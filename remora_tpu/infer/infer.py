@@ -8,6 +8,7 @@ compiled batch size so XLA never recompiles mid-stream.
 """
 
 import array
+import os
 from collections import defaultdict
 from threading import Thread
 
@@ -34,6 +35,34 @@ from remora_tpu.io.read import extract_alignments, iter_signal
 from remora_tpu.io.read_index import ReadIndexedBam, get_read_ids
 
 LOGGER = log.get_logger()
+
+# per-stage cProfile hooks (reference analog inference.py:42–46)
+_PROF_PREP_FN = os.getenv("REMORA_TPU_INFER_PREP_DATA_PROFILE_FILE")
+_PROF_BATCH_FN = os.getenv("REMORA_TPU_INFER_BATCH_PROFILE_FILE")
+_PROF_MODEL_FN = os.getenv("REMORA_TPU_INFER_RUN_MODEL_PROFILE_FILE")
+_PROF_UNBATCH_FN = os.getenv("REMORA_TPU_INFER_UNBATCH_PROFILE_FILE")
+
+
+def _maybe_profile(prof_path):
+    """Decorator: dump cProfile stats for a pipeline stage when the env
+    var for it is set."""
+
+    def outer(func):
+        if not prof_path:
+            return func
+
+        def wrapper(*args, **kwargs):
+            import cProfile
+
+            prof = cProfile.Profile()
+            try:
+                return prof.runcall(func, *args, **kwargs)
+            finally:
+                prof.dump_stats(prof_path)
+
+        return wrapper
+
+    return outer
 
 
 def prepare_reads(read_errs, models_metadata, ref_anchored):
@@ -112,8 +141,12 @@ def prepare_reads(read_errs, models_metadata, ref_anchored):
     return out_read_errs
 
 
-def prep_nn_input(read_errs):
-    """Materialize nn inputs (enc kmers + signal) per read."""
+def prep_nn_input(read_errs, raw=False):
+    """Materialize nn inputs per read.
+
+    raw=False: host-featurized (signal + enc_kmers). raw=True: compact
+    ragged arrays for on-device featurization.
+    """
     if len(read_errs) == 0:
         return [(None, None, "No valid mappings")]
     read_nn_inputs = []
@@ -123,30 +156,68 @@ def prep_nn_input(read_errs):
             continue
         bases_chunks = {}
         for can_base, ds in read_datasets.items():
-            base_chunks = next(iter(ds))
-            del base_chunks["labels"]
+            if raw:
+                base_chunks = next(ds.iter_batches(raw=True))
+            else:
+                base_chunks = next(iter(ds))
+            base_chunks.pop("labels", None)
             bases_chunks[can_base] = base_chunks
         read_nn_inputs.append((io_read, bases_chunks, None))
     return read_nn_inputs
 
 
-def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata):
-    """Assemble fixed-size batches spanning read boundaries per can_base."""
+def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata,
+                raw=False):
+    """Assemble fixed-size batches spanning read boundaries per can_base.
+
+    Emits (can_base, input_arrays_tuple, read_pos, b_reads); with
+    ``raw=True`` the input tuple is (signal, sequence i8, mapping i16,
+    seq_lens i32) padded to model-wide widths for on-device
+    featurization, else (signal, enc_kmers).
+    """
     md_dict = {md["can_base"]: md for md in models_metadata}
     can_bases = list(md_dict)
 
+    def widths(cb):
+        md = md_dict[cb]
+        # a chunk_len-wide window covers at most chunk_len + 2 bases
+        sw = md["chunk_len"] + 2 + sum(md["kmer_context_bases"])
+        mw = md["chunk_len"] + 3
+        return sw, mw
+
     def new_arrays(cb):
+        md = md_dict[cb]
+        if raw:
+            sw, mw = widths(cb)
+            return (
+                np.zeros((batch_size, 1, md["chunk_len"]), dtype=np.float32),
+                np.full((batch_size, sw), -1, dtype=np.int8),
+                np.zeros((batch_size, mw), dtype=np.int16),
+                np.zeros(batch_size, dtype=np.int32),
+                np.empty(batch_size, dtype=int),
+            )
         return (
+            np.empty((batch_size, 1, md["chunk_len"]), dtype=np.float32),
             np.empty(
-                (batch_size, 1, md_dict[cb]["chunk_len"]), dtype=np.float32
-            ),
-            np.empty(
-                (batch_size, md_dict[cb]["kmer_len"] * 4,
-                 md_dict[cb]["chunk_len"]),
+                (batch_size, md["kmer_len"] * 4, md["chunk_len"]),
                 dtype=np.float32,
             ),
             np.empty(batch_size, dtype=int),
         )
+
+    def copy_rows(cb, dst, src, d_st, d_en, s_st, s_en):
+        if raw:
+            dst[0][d_st:d_en] = src["signal"][s_st:s_en]
+            seqs = src["sequence"][s_st:s_en]
+            maps = src["sequence_to_signal_mapping"][s_st:s_en]
+            dst[1][d_st:d_en, : seqs.shape[1]] = seqs
+            dst[2][d_st:d_en, : maps.shape[1]] = maps
+            dst[3][d_st:d_en] = src["sequence_lengths"][s_st:s_en]
+            dst[-1][d_st:d_en] = src["read_focus_bases"][s_st:s_en]
+        else:
+            dst[0][d_st:d_en] = src["signal"][s_st:s_en]
+            dst[1][d_st:d_en] = src["enc_kmers"][s_st:s_en]
+            dst[-1][d_st:d_en] = src["read_focus_bases"][s_st:s_en]
 
     arrs = {cb: new_arrays(cb) for cb in can_bases}
     b_poss = {cb: 0 for cb in can_bases}
@@ -162,42 +233,36 @@ def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata):
                 rb_consumed = 0
                 while b_poss[cb] + num_chunks - rb_consumed >= batch_size:
                     rb_en = rb_consumed + batch_size - b_poss[cb]
-                    arrs[cb][0][b_poss[cb] :] = r_chunks["signal"][
-                        rb_consumed:rb_en
-                    ]
-                    arrs[cb][1][b_poss[cb] :] = r_chunks["enc_kmers"][
-                        rb_consumed:rb_en
-                    ]
-                    arrs[cb][2][b_poss[cb] :] = r_chunks["read_focus_bases"][
-                        rb_consumed:rb_en
-                    ]
+                    copy_rows(
+                        cb, arrs[cb], r_chunks, b_poss[cb], batch_size,
+                        rb_consumed, rb_en,
+                    )
                     b_st = b_poss[cb] if rb_consumed == 0 else None
                     b_readss[cb].append([io_read, b_st, None, None])
-                    put_item((cb, *arrs[cb], b_readss[cb]), batches_q)
+                    put_item(
+                        (cb, arrs[cb][:-1], arrs[cb][-1], b_readss[cb]),
+                        batches_q,
+                    )
                     rb_consumed += batch_size - b_poss[cb]
                     arrs[cb] = new_arrays(cb)
                     b_poss[cb] = 0
                     b_readss[cb] = []
                 b_en = b_poss[cb] + num_chunks - rb_consumed
-                arrs[cb][0][b_poss[cb] : b_en] = r_chunks["signal"][rb_consumed:]
-                arrs[cb][1][b_poss[cb] : b_en] = r_chunks["enc_kmers"][
-                    rb_consumed:
-                ]
-                arrs[cb][2][b_poss[cb] : b_en] = r_chunks["read_focus_bases"][
-                    rb_consumed:
-                ]
+                copy_rows(
+                    cb, arrs[cb], r_chunks, b_poss[cb], b_en, rb_consumed,
+                    num_chunks,
+                )
                 b_st = b_poss[cb] if rb_consumed == 0 else None
                 b_readss[cb].append([io_read, b_st, b_en, None])
                 b_poss[cb] = b_en
     for cb in can_bases:
         if b_poss[cb] > 0:
-            b_sigs, b_enc_kmers, b_read_pos = arrs[cb]
+            n = b_poss[cb]
             put_item(
                 (
                     cb,
-                    b_sigs[: b_poss[cb]],
-                    b_enc_kmers[: b_poss[cb]],
-                    b_read_pos[: b_poss[cb]],
+                    tuple(a[:n] for a in arrs[cb][:-1]),
+                    arrs[cb][-1][:n],
                     b_readss[cb],
                 ),
                 batches_q,
@@ -207,21 +272,18 @@ def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata):
 
 def run_model_batched(batches_q, called_batches_q, eval_fns, batch_size):
     """Device stage: jitted forward per canonical base, padded last batch."""
-    for cb, b_sigs, b_enc_kmers, b_read_pos, b_reads in queue_iter(batches_q):
+    for cb, b_inputs, b_read_pos, b_reads in queue_iter(batches_q):
         n = b_read_pos.size
         if n < batch_size:
             # pad to the compiled shape; slice after
-            pad_sigs = np.zeros(
-                (batch_size,) + b_sigs.shape[1:], dtype=b_sigs.dtype
-            )
-            pad_kmers = np.zeros(
-                (batch_size,) + b_enc_kmers.shape[1:], dtype=b_enc_kmers.dtype
-            )
-            pad_sigs[:n] = b_sigs
-            pad_kmers[:n] = b_enc_kmers
-            nn_out = np.asarray(eval_fns[cb](pad_sigs, pad_kmers))[:n]
+            padded = []
+            for arr in b_inputs:
+                pad = np.zeros((batch_size,) + arr.shape[1:], dtype=arr.dtype)
+                pad[:n] = arr
+                padded.append(pad)
+            nn_out = np.asarray(eval_fns[cb](*padded))[:n]
         else:
-            nn_out = np.asarray(eval_fns[cb](b_sigs, b_enc_kmers))
+            nn_out = np.asarray(eval_fns[cb](*b_inputs))
         put_item((cb, nn_out, b_read_pos, b_reads), called_batches_q)
     put_item(StopIteration, called_batches_q)
 
@@ -351,8 +413,9 @@ def infer_from_pod5_and_bam(
     """Run the full streaming inference pipeline.
 
     Args:
-        models: list of (eval_fn, model_metadata) pairs, one per canonical
-            base (eval_fn(sigs, enc_kmers) -> logits)
+        models: list of ModelHandle (preferred; enables on-device
+            featurization from compact raw arrays) or legacy
+            (eval_fn(sigs, enc_kmers) -> logits, model_metadata) pairs.
     """
     import sys
 
@@ -362,8 +425,17 @@ def infer_from_pod5_and_bam(
         sys.exit()
     with DatasetReader(pod5_path) as pod5_dr:
         read_ids, num_reads = get_read_ids(bam_idx, pod5_dr, num_reads)
-    models_metadata = [md for _fn, md in models]
-    eval_fns = {md["can_base"]: fn for fn, md in models}
+    raw = all(isinstance(m, ModelHandle) for m in models)
+    if raw:
+        models_metadata = [m.metadata for m in models]
+        eval_fns = {m.metadata["can_base"]: m.eval_raw for m in models}
+    else:
+        models = [
+            m if not isinstance(m, ModelHandle) else (m.eval_fn, m.metadata)
+            for m in models
+        ]
+        models_metadata = [md for _fn, md in models]
+        eval_fns = {md["can_base"]: fn for fn, md in models}
     reverse_signal = models_metadata[0]["reverse_signal"]
     pa_scaling = models_metadata[0]["pa_scaling"]
 
@@ -402,6 +474,7 @@ def infer_from_pod5_and_bam(
         prep_nn_input,
         prepped_reads,
         num_workers=num_prep_nn_input_workers,
+        kwargs={"raw": raw},
         name="PrepNNInput",
         use_process=False,
         use_mp_queue=False,
@@ -409,12 +482,13 @@ def infer_from_pod5_and_bam(
     )
     batches_q = NamedQueue(maxsize=4, name="Batches")
     batch_reads_t = Thread(
-        target=batch_reads,
+        target=_maybe_profile(_PROF_BATCH_FN)(batch_reads),
         args=(
             queue_iter(prepped_nn_input.out_q, num_prep_nn_input_workers),
             batches_q,
             batch_size,
             models_metadata,
+            raw,
         ),
         name="batch_reads",
         daemon=True,
@@ -422,7 +496,7 @@ def infer_from_pod5_and_bam(
     batch_reads_t.start()
     called_batches_q = NamedQueue(maxsize=4, name="CalledBatches")
     call_batches_t = Thread(
-        target=run_model_batched,
+        target=_maybe_profile(_PROF_MODEL_FN)(run_model_batched),
         args=(batches_q, called_batches_q, eval_fns, batch_size),
         name="call_batches",
         daemon=True,
@@ -430,7 +504,7 @@ def infer_from_pod5_and_bam(
     call_batches_t.start()
     called_reads_q = NamedQueue(maxsize=queue_max, name="Unbatch")
     unbatch_t = Thread(
-        target=unbatch,
+        target=_maybe_profile(_PROF_UNBATCH_FN)(unbatch),
         args=(called_batches_q, called_reads_q, models_metadata),
         name="unbatch",
         daemon=True,
@@ -447,6 +521,16 @@ def infer_from_pod5_and_bam(
         q_maxsize=queue_max,
     )
 
+    all_qs = [
+        signals.out_q,
+        reads.out_q,
+        prepped_reads.out_q,
+        prepped_nn_input.out_q,
+        batches_q,
+        called_batches_q,
+        called_reads_q,
+        final_reads.out_q,
+    ]
     errs = defaultdict(int)
     for err, cnt in bam_idx.skip_reasons.items():
         errs[err] = cnt
@@ -458,6 +542,12 @@ def infer_from_pod5_and_bam(
     t0 = time.monotonic()
     with BamWriter(out_bam_path, in_bam.header) as out_bam:
         for io_read, err in final_reads:
+            LOGGER.debug(
+                "QueuesStatus: "
+                + "\t".join(
+                    f"{q.name}: {q.qsize()}/{q.maxsize}" for q in all_qs
+                )
+            )
             if io_read is None:
                 errs[err] += 1
                 continue
@@ -499,3 +589,54 @@ def make_model_eval_fn(model, params, bn_state):
     return lambda sigs, enc_kmers: _eval(
         jnp.asarray(sigs), jnp.asarray(enc_kmers)
     )
+
+
+class ModelHandle:
+    """Loaded model + jitted eval paths for the inference device stage.
+
+    ``eval_fn(sigs, enc_kmers)`` consumes host-featurized batches;
+    ``eval_raw(sigs, seqs, maps, lens)`` featurizes on device — each
+    batch then ships ~50x less data over PCIe/the TPU tunnel, which is
+    the dominant cost of the device stage at production batch sizes.
+    """
+
+    def __init__(self, model, params, bn_state, metadata):
+        self.model = model
+        self.params = params
+        self.bn_state = bn_state
+        self.metadata = metadata
+        self.eval_fn = make_model_eval_fn(model, params, bn_state)
+        self._raw = None
+
+    def eval_raw(self, sigs, seqs, maps, lens):
+        if self._raw is None:
+            from remora_tpu.kernels.encoded_kmers import (
+                compute_encoded_kmer_batch as dev_enc,
+            )
+
+            bb, ab = self.metadata["kmer_context_bases"]
+            chunk_len = self.metadata["chunk_len"]
+            model, params, bn_state = self.model, self.params, self.bn_state
+
+            @jax.jit
+            def _eval(sigs, seqs, maps, lens):
+                enc = dev_enc(bb, ab, seqs, maps, lens, chunk_len)
+                logits, _ = model.forward(
+                    params, bn_state, sigs, enc, train=False
+                )
+                return logits
+
+            self._raw = _eval
+        return self._raw(
+            jnp.asarray(sigs),
+            jnp.asarray(seqs),
+            jnp.asarray(maps),
+            jnp.asarray(lens),
+        )
+
+    @classmethod
+    def load(cls, path):
+        from remora_tpu.models import model_io
+
+        model, params, bn_state, meta = model_io.load_model(path)
+        return cls(model, params, bn_state, meta)

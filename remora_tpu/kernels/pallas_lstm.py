@@ -109,7 +109,14 @@ def lstm_pallas_xproj(x_proj, w_hh_t, b_tile=DEFAULT_B_TILE,
     T, B, H4 = x_proj.shape
     H = H4 // 4
     HP = max(H, 128)  # lane-aligned staging width for DMA'd slices
-    b_tile = min(b_tile, B)
+    # grid programs execute sequentially on a TPU core, so batch tiling
+    # would serialize the batch; run the whole batch per step as long as
+    # the double buffers fit VMEM (~16MB)
+    step_bytes = 4 * (2 * B * H4 + 2 * B * HP + 2 * B * H) + 4 * H * H4
+    if step_bytes <= 12 * 1024 * 1024:
+        b_tile = B
+    else:
+        b_tile = min(b_tile, B)
     assert B % b_tile == 0, f"batch {B} not divisible by tile {b_tile}"
     grid = (B // b_tile,)
     kernel = functools.partial(

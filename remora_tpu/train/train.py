@@ -404,7 +404,12 @@ def train_model(
     breached = False
     epoch = 0
     trn_iter = trn_ds.iter_batches(raw=featurize_on_device)
+    # optional device trace of the first epoch (view with tensorboard or
+    # xprof); reference analog: torch profiler via REMORA_TRAIN_PROFILE_FILE
+    jax_trace_dir = os.environ.get("REMORA_TPU_JAX_TRACE_DIR")
     for epoch in range(train_opts.epochs):
+        if jax_trace_dir is not None and epoch == 0:
+            jax.profiler.start_trace(jax_trace_dir)
         opt_state = set_learning_rate(opt_state, lr_schedule(epoch))
         t0 = time.monotonic()
         n_chunks = 0
@@ -449,6 +454,10 @@ def train_model(
                 batch_fp.write(f"\t{int(n_filt)}")
             batch_fp.write("\n")
         dt = time.monotonic() - t0
+        if jax_trace_dir is not None and epoch == 0:
+            jax.block_until_ready(loss)
+            jax.profiler.stop_trace()
+            LOGGER.info(f"JAX trace written to {jax_trace_dir}")
         LOGGER.info(
             f"Epoch {epoch + 1}: {n_chunks / dt:,.0f} chunks/s "
             f"({batches_per_epoch} batches in {dt:.1f}s)"
