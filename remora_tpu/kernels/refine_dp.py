@@ -39,6 +39,14 @@ def _take_band(arr, starts, width):
     return jnp.take_along_axis(arr, idx, axis=1)
 
 
+def _shift_right(x, k, fill):
+    """Static shift along the last axis (x[..., p] -> x[..., p-k])."""
+    if k == 0:
+        return x
+    pad = jnp.full(x.shape[:-1] + (k,), fill, x.dtype)
+    return jnp.concatenate([pad, x[..., :-k]], axis=-1)
+
+
 def _argcummin(m):
     """Running (first-occurrence) argmin along the last axis."""
     axis = m.ndim - 1
@@ -116,6 +124,12 @@ def _dwell_step(prev, prev_valid, base, B0, bsd, w, sdp):
     main = p < p0[:, None]
     entry_blocked = (p == 0) & (bsd[:, None] == 0)
 
+    # ONE dynamic gather: prev aligned as prev_m1[p] = prev[p - 1 + bsd];
+    # every dwell candidate is then a cheap static lane shift of it
+    src_m1 = p - 1 + bsd[:, None]
+    prev_m1 = jnp.take_along_axis(prev, jnp.clip(src_m1, 0, W - 1), axis=1)
+    # inclusive band cumsum: Binc[p] = B0[p+1]
+    Binc = B0[:, 1:]
     for d in range(L):
         prev_idx = p - d - 1 + bsd[:, None]
         valid = (
@@ -127,25 +141,18 @@ def _dwell_step(prev, prev_valid, base, B0, bsd, w, sdp):
             & (prev_idx >= 0)
             & (prev_idx < prev_valid[:, None])
         )
-        prev_g = jnp.take_along_axis(
-            prev, jnp.clip(prev_idx, 0, W - 1), axis=1
-        )
-        run = jnp.take_along_axis(
-            B0, jnp.clip(p + 1, 0, W), axis=1
-        ) - jnp.take_along_axis(B0, jnp.clip(p - d, 0, W), axis=1)
+        prev_g = _shift_right(prev_m1, d, BIG)
+        # run over base costs [p-d .. p] = Binc[p] - Binc[p-d-1]
+        run = Binc - _shift_right(Binc, d + 1, jnp.float32(0))
         cand = prev_g + run + sdp[d]
         upd = valid & (cand < curr)
         curr = jnp.where(upd, cand, curr)
         tb = jnp.where(upd, d, tb)
-    # unpenalized fallback for dwells > L
+    # unpenalized fallback for dwells > L (static shifts of the vit pass)
     long_ok = main & in_band & (p >= L)
-    unpen_g = jnp.take_along_axis(unpen, jnp.clip(p - L, 0, W - 1), axis=1)
-    unpen_tb_g = jnp.take_along_axis(
-        unpen_tb, jnp.clip(p - L, 0, W - 1), axis=1
-    )
-    run_L = jnp.take_along_axis(
-        B0, jnp.clip(p + 1, 0, W), axis=1
-    ) - jnp.take_along_axis(B0, jnp.clip(p - L + 1, 0, W), axis=1)
+    unpen_g = _shift_right(unpen, L, BIG)
+    unpen_tb_g = _shift_right(unpen_tb, L, jnp.int32(0))
+    run_L = Binc - _shift_right(Binc, L, jnp.float32(0))
     cand = unpen_g + run_L
     upd = long_ok & (cand < curr)
     curr = jnp.where(upd, cand, curr)
@@ -186,15 +193,20 @@ def banded_dp_batch(signal, levels, band_starts, band_widths, seq_lens,
     W = w_max
     dwell = algo == "dwell_penalty"
 
+    # pre-gather all band signal windows + costs in ONE batched gather +
+    # vectorized elementwise/cumsum (the scan then only slices its xs)
+    all_bands = jax.vmap(lambda st: _take_band(signal, st, W))(
+        band_starts.T
+    )  # (N, R, W)
+    diffs = all_bands - levels.T[:, :, None]
+    lane = jnp.arange(W)[None, None, :]
+    in_band_all = lane < band_widths.T[:, :, None]
+    all_base = jnp.where(in_band_all, diffs * diffs, 0.0)
+    all_B = jnp.cumsum(all_base, axis=2)
+
     def scan_body(carry, inputs):
         prev, prev_valid, prev_start = carry
-        lvl, st, wdt = inputs
-        sig_band = _take_band(signal, st, W)
-        d = sig_band - lvl[:, None]
-        base = d * d
-        in_band = jnp.arange(W)[None, :] < wdt[:, None]
-        base = jnp.where(in_band, base, 0.0)
-        B = jnp.cumsum(base, axis=1)
+        base, B, st, wdt = inputs
         bsd = st - prev_start
         if dwell:
             B0 = jnp.concatenate(
@@ -215,7 +227,7 @@ def banded_dp_batch(signal, levels, band_starts, band_widths, seq_lens,
     (final_scores, _, _), (all_scores, all_tb) = jax.lax.scan(
         scan_body,
         init,
-        (levels.T, band_starts.T, band_widths.T),
+        (all_base, all_B, band_starts.T, band_widths.T),
     )
 
     # traceback: path[i] = lookup - tb[i, r, lookup-1-start_i]
