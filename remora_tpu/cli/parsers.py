@@ -369,6 +369,7 @@ def register_model_train(ssub):
         metavar=("THRESHOLD", "MAX_FRAC"),
     )
     trn.add_argument("--gradient-clip-num-mads", type=float)
+    trn.add_argument("--resume-from-checkpoint")
     p.set_defaults(func=run_model_train)
 
 
@@ -419,6 +420,7 @@ def run_model_train(args):
         super_batch_size=args.super_batch_size,
         super_batch_sample_frac=args.super_batch_sample_frac,
         gradient_clip_num_mads=args.gradient_clip_num_mads,
+        resume_from_checkpoint=args.resume_from_checkpoint,
     )
 
 

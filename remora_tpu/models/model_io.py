@@ -142,7 +142,12 @@ def add_derived_metadata(meta):
 
 
 def save_model(path, params, bn_state, meta, meta_arrays=None, opt_state=None):
-    """Write a single-file .npz model artifact."""
+    """Write a single-file .npz model artifact.
+
+    ``opt_state`` may be any optax state pytree; its leaves are stored in
+    flattened order and restored into a freshly initialized state of the
+    same optimizer (see ``load_opt_state``).
+    """
     payload = {"__meta__": np.frombuffer(
         json.dumps(meta, default=_json_default).encode(), dtype=np.uint8
     )}
@@ -155,9 +160,11 @@ def save_model(path, params, bn_state, meta, meta_arrays=None, opt_state=None):
     if meta_arrays:
         payload.update({f"meta_arr/{k}": v for k, v in meta_arrays.items()})
     if opt_state is not None:
-        payload.update(
-            {f"opt/{k}": v for k, v in flatten_tree(opt_state).items()}
-        )
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        for i, leaf in enumerate(leaves):
+            payload[f"opt_leaf/{i:05d}"] = np.asarray(leaf)
     with open(path, "wb") as fh:
         np.savez(fh, **payload)
 
@@ -203,10 +210,30 @@ def load_model(path, quiet=True):
     return model, params, bn_state, meta
 
 
-def load_opt_state(path):
+def load_opt_state(path, template_state):
+    """Restore optimizer state saved by ``save_model`` into the structure
+    of ``template_state`` (a freshly initialized state of the SAME
+    optimizer over the same params)."""
+    import jax
+
     data = np.load(path, allow_pickle=False)
-    flat = {k[len("opt/") :]: data[k] for k in data.files if k.startswith("opt/")}
-    return unflatten_tree(flat) if flat else None
+    keys = sorted(k for k in data.files if k.startswith("opt_leaf/"))
+    if not keys:
+        return None
+    leaves = [data[k] for k in keys]
+    treedef = jax.tree_util.tree_structure(template_state)
+    if treedef.num_leaves != len(leaves):
+        raise RemoraError(
+            "Optimizer state in checkpoint does not match the configured "
+            f"optimizer ({treedef.num_leaves} leaves expected, "
+            f"{len(leaves)} stored)"
+        )
+    template_leaves = jax.tree_util.tree_leaves(template_state)
+    cast = [
+        np.asarray(leaf, dtype=np.asarray(tmpl).dtype)
+        for leaf, tmpl in zip(leaves, template_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, cast)
 
 
 def repr_model_metadata(metadata):

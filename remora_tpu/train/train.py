@@ -183,6 +183,7 @@ def train_model(
     gradient_clip_num_mads=None,
     mesh=None,
     featurize_on_device=True,
+    resume_from_checkpoint=None,
 ):
     from remora_tpu.jax_setup import ensure_compilation_cache
 
@@ -291,7 +292,25 @@ def train_model(
             {"train": tx, "frozen": optax.set_to_zero()}, labels
         )
     lr_schedule = train_opts.load_scheduler()
-    opt_state = tx.init(params)
+    start_epoch = 0
+    if resume_from_checkpoint is not None:
+        r_model, r_params, r_bn, r_meta = model_io.load_model(
+            resume_from_checkpoint
+        )
+        model = r_model
+        params = jax.tree.map(jnp.asarray, r_params)
+        bn_state = jax.tree.map(jnp.asarray, r_bn)
+        model_params = r_meta["model_params"]
+        opt_state = tx.init(params)
+        restored = model_io.load_opt_state(resume_from_checkpoint, opt_state)
+        if restored is not None:
+            opt_state = jax.tree.map(jnp.asarray, restored)
+        start_epoch = int(r_meta.get("epoch", 0))
+        LOGGER.info(
+            f"Resuming from {resume_from_checkpoint} at epoch {start_epoch}"
+        )
+    else:
+        opt_state = tx.init(params)
 
     LOGGER.debug("Splitting dataset")
     trn_ds, val_ds = dataset.train_test_split(
@@ -396,18 +415,19 @@ def train_model(
             jax.device_get(bn_state),
             {**ckpt_meta, "epoch": epoch + 1},
             ckpt_meta_arrays,
+            opt_state=jax.device_get(opt_state),
         )
 
     LOGGER.info("Start training")
     best_val_acc = 0
     early_stop_epochs = 0
     breached = False
-    epoch = 0
+    epoch = start_epoch
     trn_iter = trn_ds.iter_batches(raw=featurize_on_device)
     # optional device trace of the first epoch (view with tensorboard or
     # xprof); reference analog: torch profiler via REMORA_TRAIN_PROFILE_FILE
     jax_trace_dir = os.environ.get("REMORA_TPU_JAX_TRACE_DIR")
-    for epoch in range(train_opts.epochs):
+    for epoch in range(start_epoch, train_opts.epochs):
         if jax_trace_dir is not None and epoch == 0:
             jax.profiler.start_trace(jax_trace_dir)
         opt_state = set_learning_rate(opt_state, lr_schedule(epoch))
