@@ -231,17 +231,84 @@ def run_dataset_make_config(args):
 
 
 def register_dataset_merge(ssub):
-    p = ssub.add_parser("merge", help="merge dataset configs")
-    p.add_argument("--input-dataset", nargs=2, action="append", required=True,
-                   metavar=("PATH", "WEIGHT"))
-    p.add_argument("--output-dataset", required=True)
+    p = ssub.add_parser(
+        "merge",
+        help="physically merge core datasets into one new core dataset",
+    )
+    p.add_argument("out_path", help="path for the merged dataset")
+    p.add_argument(
+        "dataset_paths", nargs="+",
+        help="core datasets or configs to merge",
+    )
+    p.add_argument("--max-size", type=int)
+    p.add_argument("--overwrite", action="store_true")
     p.set_defaults(func=run_dataset_merge)
 
 
 def run_dataset_merge(args):
-    cfg = [[path, float(weight)] for path, weight in args.input_dataset]
-    with open(args.output_dataset, "w") as fh:
-        json.dump(cfg, fh)
+    import numpy as np
+
+    from remora_tpu import log
+    from remora_tpu.core.util import prepare_out_dir
+    from remora_tpu.data.dataset import (
+        ComposedDataset,
+        CoreDataset,
+        compute_best_split,
+        load_dataset,
+    )
+
+    logger = log.get_logger()
+    prepare_out_dir(args.out_path, args.overwrite)
+    all_paths = [
+        sub
+        for ds_path in args.dataset_paths
+        for sub in load_dataset(ds_path)[0]
+    ]
+    dataset = ComposedDataset(
+        [
+            CoreDataset(p, infinite_iter=False, do_check_super_batches=True)
+            for p in all_paths
+        ],
+        np.ones(len(all_paths)) / len(all_paths),
+    )
+    merged_metadata = dataset.metadata.copy()
+    ds_out_sizes = np.array([ds.size for ds in dataset.datasets])
+    if args.max_size is not None and ds_out_sizes.sum() > args.max_size:
+        ds_out_sizes = compute_best_split(
+            args.max_size, ds_out_sizes / ds_out_sizes.sum()
+        )
+    merged_metadata.allocate_size = int(ds_out_sizes.sum())
+    merged_metadata.max_seq_len = max(
+        ds.metadata.max_seq_len for ds in dataset.datasets
+    )
+    merged_metadata.dataset_start = 0
+    merged_metadata.dataset_end = 0
+    merged = CoreDataset(
+        data_path=args.out_path, mode="w", metadata=merged_metadata
+    )
+    seq_w = merged_metadata.sequence_width
+    map_w = merged_metadata.sequence_to_signal_mapping_width
+    for ds, out_size in zip(dataset.datasets, ds_out_sizes):
+        if ds.metadata.dataset_end != out_size:
+            ds.metadata.dataset_end = int(out_size)
+        ds.adjust_batch_params()
+        for sb in ds.iter_super_batches():
+            # widen ragged arrays to the merged max_seq_len
+            seq = sb["sequence"]
+            if seq.shape[1] < seq_w:
+                seq = np.pad(seq, ((0, 0), (0, seq_w - seq.shape[1])))
+            maps = sb["sequence_to_signal_mapping"]
+            if maps.shape[1] < map_w:
+                maps = np.pad(maps, ((0, 0), (0, map_w - maps.shape[1])))
+            sb = dict(sb, sequence=seq, sequence_to_signal_mapping=maps)
+            merged.write_batch(sb)
+            merged.flush()
+            merged.write_metadata()
+    logger.info("Shuffling merged dataset")
+    merged.shuffle()
+    merged.flush()
+    merged.write_metadata()
+    logger.info(f"Saved merged dataset with {merged.size:,} chunks")
 
 
 def register_dataset_head(ssub):
