@@ -1125,16 +1125,49 @@ class ComposedDataset:
         ]
 
     def epoch_summary(self, batches_per_epoch):
+        """Per-dataset draw rates and per-label batch/total counts
+        (reference ``RemoraDataset.epoch_summary`` format)."""
         epoch_totals = [batches_per_epoch * bs for bs in self.batch_sizes]
-        lines = [
-            "percent_of_dataset_per_epoch\tdataset_chunks_per_epoch\t"
-            "dataset_size\tpath"
+        dss_lab_counts = [
+            dict(zip(ds.metadata.labels, ds.get_label_counts()))
+            for ds in self.datasets
         ]
-        for tot, ds in zip(epoch_totals, self.datasets):
-            lines.append(
-                f"{tot / ds.size:10.4%}\t{tot:,}\t{ds.size:,}\t{ds.data_path}"
+        dss_lab_props = []
+        for ds_lab_counts in dss_lab_counts:
+            ds_tot = sum(ds_lab_counts.values())
+            dss_lab_props.append(
+                {lab: cnt / ds_tot for lab, cnt in ds_lab_counts.items()}
             )
-        return "\n".join(lines)
+        batch_lab_cols = [
+            "\t".join(
+                f"{int(np.ceil(ds_lp.get(lab, 0) * ds_bs)):,}"
+                for lab in self.metadata.labels
+            )
+            for ds_lp, ds_bs in zip(dss_lab_props, self.batch_sizes)
+        ]
+        dss_lab_cols = [
+            "\t".join(
+                f"{ds_lc.get(lab, 0):,}" for lab in self.metadata.labels
+            )
+            for ds_lc in dss_lab_counts
+        ]
+        summ_strs = [
+            f"{tot / ds.size:10.4%}\t{b_cols}\t{tot:,}\t{ds.size:,}\t"
+            f"{ds_cols}\t{ds.data_path}"
+            for tot, b_cols, ds, ds_cols in zip(
+                epoch_totals, batch_lab_cols, self.datasets, dss_lab_cols
+            )
+        ]
+        b_header = "\t".join(
+            f"batch_{lab}" for lab in self.metadata.labels
+        )
+        ds_header = "\t".join(
+            f"dataset_{lab}" for lab in self.metadata.labels
+        )
+        return (
+            f"percent_of_dataset_per_epoch\t{b_header}\t"
+            f"dataset_chunks_per_epoch\tdataset_size\t{ds_header}\tpath\n"
+        ) + "\n".join(summ_strs)
 
 
 def worker_init(dataset, seed=None, worker_id=0):
