@@ -24,7 +24,7 @@ _BUILD_FAILED = False
 
 def _build_library():
     _LIB_PATH.parent.mkdir(parents=True, exist_ok=True)
-    srcs = [str(_CSRC / "align.cpp")]
+    srcs = [str(p) for p in sorted(_CSRC.glob("*.cpp"))]
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
         *srcs, "-o", str(_LIB_PATH),
@@ -56,6 +56,17 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
+        ]
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.banded_dp.restype = ctypes.c_int
+        lib.banded_dp.argtypes = [
+            f32p, ctypes.c_int32,  # signal
+            f32p, ctypes.c_int32,  # levels
+            i32p, i32p,            # band starts/ends
+            f32p, ctypes.c_int32,  # sdp
+            ctypes.c_int32,        # use_dwell
+            i32p,                  # path out
         ]
         _LIB = lib
         return _LIB
@@ -204,3 +215,28 @@ def sg_align_numpy(query, ref, gap_open=10, gap_extend=2):
         (rops[k], rlens[k]) for k in range(hi - 1, lo - 1, -1)
     ]
     return cigar, ref_start, ref_end, query_start, query_end
+
+
+def banded_dp_path(signal, levels, seq_band, sdp, algo):
+    """Native banded DP returning the refined path, or None when the
+    native library is unavailable (caller falls back to NumPy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    signal = np.ascontiguousarray(signal, np.float32)
+    levels = np.ascontiguousarray(levels, np.float32)
+    starts = np.ascontiguousarray(seq_band[0], np.int32)
+    ends = np.ascontiguousarray(seq_band[1], np.int32)
+    sdp = np.ascontiguousarray(sdp, np.float32)
+    path = np.empty(levels.size + 1, np.int32)
+    rc = lib.banded_dp(
+        signal, np.int32(signal.size),
+        levels, np.int32(levels.size),
+        starts, ends,
+        sdp, np.int32(sdp.size),
+        np.int32(1 if algo == "dwell_penalty" else 0),
+        path,
+    )
+    if rc != 0:
+        return None
+    return path

