@@ -277,3 +277,28 @@ def test_finetune(tmpdir_factory, chunks_config, trained_model):
         finetune_path=trained_model,
     )
     assert os.path.exists(str(out / "model_final.checkpoint"))
+
+
+def test_ref_anchored_infer(tmpdir_factory, trained_model):
+    from remora_tpu.infer.infer import ModelHandle, infer_from_pod5_and_bam
+    from remora_tpu.io.bam import FastBamScanner
+
+    handle = ModelHandle.load(trained_model)
+    out = tmpdir_factory.mktemp("refanch") / "ra.bam"
+    n = infer_from_pod5_and_bam(
+        pod5_path=f"{DATA}/can_reads.pod5",
+        in_bam_path=f"{DATA}/can_mappings.bam",
+        models=[handle],
+        out_bam_path=str(out),
+        batch_size=128,
+        ref_anchored=True,
+    )
+    assert n == 14
+    for rec in FastBamScanner(str(out)):
+        # reference-anchored records carry a pure-match cigar over the
+        # reference sequence and no quality string
+        assert rec.cigartuples is not None and len(rec.cigartuples) == 1
+        assert rec.cigartuples[0][0] == 0
+        assert len(rec.query_sequence) == rec.cigartuples[0][1]
+        assert rec.query_qualities is None
+        assert rec.has_tag("MM")
