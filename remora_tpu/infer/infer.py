@@ -540,6 +540,17 @@ def infer_from_pod5_and_bam(
     import time
 
     t0 = time.monotonic()
+    from tqdm import tqdm
+
+    pbar = tqdm(
+        smoothing=0,
+        total=num_reads,
+        dynamic_ncols=True,
+        unit=" Reads",
+        desc="Inferring mods",
+        disable=bool(os.environ.get("LOG_SAFE", False)),
+    )
+    prev_rid = None
     with BamWriter(out_bam_path, in_bam.header) as out_bam:
         for io_read, err in final_reads:
             LOGGER.debug(
@@ -550,12 +561,21 @@ def infer_from_pod5_and_bam(
             )
             if io_read is None:
                 errs[err] += 1
+                pbar.update()
                 continue
+            if prev_rid != io_read.read_id:
+                pbar.update()
             sig_called += io_read.sig_len or 0
+            sps, mag = human_format(
+                sig_called / max(time.monotonic() - t0, 1e-9)
+            )
+            pbar.set_postfix_str(f"{sps:>5.1f} {mag}samps/s", refresh=False)
             if err is not None:
                 errs[err] += 1
             out_bam.write(io_read.full_align)
             n_written += 1
+            prev_rid = io_read.read_id
+    pbar.close()
     dt = time.monotonic() - t0
     sps, mag = human_format(sig_called / max(dt, 1e-9))
     LOGGER.info(

@@ -215,8 +215,18 @@ def extract_chunk_dataset(
         q_maxsize=1000,
     )
 
+    from tqdm import tqdm
+
     errs = defaultdict(int)
+    pbar = tqdm(
+        total=len(read_ids),
+        smoothing=0,
+        unit=" Reads",
+        desc="Extracting chunks",
+        disable=bool(os.environ.get("LOG_SAFE", False)),
+    )
     for read_chunks in chunks:
+        pbar.update()
         if len(read_chunks) == 0:
             errs["No chunks extracted"] += 1
             continue
@@ -236,6 +246,7 @@ def extract_chunk_dataset(
                 except RemoraError as e:
                     errs[str(e)] += 1
 
+    pbar.close()
     if errs:
         err_str = "\n".join(
             f"{num:>7,} : {err:<80}"
