@@ -125,6 +125,24 @@ class ReadIndexedBam:
             f"from {self.bam_path}"
         )
 
+    def fetch(self, ctg, start, end, strand=None):
+        """Region query (reference ``ReadIndexedBam.fetch`` analog)."""
+        self.open()
+        if not hasattr(self, "_region_index") or self._region_index is None:
+            by_ref = {}
+            for rec in self._scanner:
+                if rec.is_unmapped:
+                    continue
+                by_ref.setdefault(rec.reference_name, []).append(rec)
+            for recs in by_ref.values():
+                recs.sort(key=lambda r: r.reference_start)
+            self._region_index = by_ref
+        for rec in self._region_index.get(ctg, []):
+            if rec.reference_start >= end:
+                break
+            if rec.reference_end > start and strands_match(strand, rec):
+                yield rec
+
     def get_alignments(self, read_id):
         if self._bam_idx is None:
             raise RemoraError("Bam index not yet computed")

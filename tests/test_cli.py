@@ -80,3 +80,41 @@ def test_cli_dataset_head_copy(cli_can_chunks, tmp_path):
 def test_cli_list_pretrained():
     out = run_cli("model", "list_pretrained", "--pore", "dna_r9.4.1_e8")
     assert "dna_r9.4.1_e8_sup_v3.5.1_5mc_CG_v0" in out.stdout
+
+
+def test_cli_plot_ref_region(tmp_path):
+    out = tmp_path / "reg.svg"
+    run_cli(
+        "analyze",
+        "plot_ref_region",
+        "--pod5-and-bam",
+        f"{DATA}/can_reads.pod5",
+        f"{DATA}/can_mappings.bam",
+        "--ref-reg",
+        "chr13:52310001-52310100:+",
+        "--out-path",
+        out,
+    )
+    assert out.exists() and out.stat().st_size > 10_000
+
+
+def test_cli_estimate_kmer_levels(tmp_path):
+    out = tmp_path / "levels.txt"
+    run_cli(
+        "analyze",
+        "estimate_kmer_levels",
+        "--pod5-and-bam",
+        f"{DATA}/can_reads.pod5",
+        f"{DATA}/can_mappings.bam",
+        "--out-path",
+        out,
+        "--kmer-context-bases",
+        "1",
+        "1",
+        "--min-coverage",
+        "3",
+        "--chunk-len",
+        "2000",
+    )
+    lines = out.read_text().splitlines()
+    assert len(lines) == 64
