@@ -59,7 +59,10 @@ def main():
                 skip_shuffle=True,
             )
             total_chunks += ds.size
-            total_reads += 14
+            rids = ds.read_ids[
+                ds.metadata.dataset_start : ds.metadata.dataset_end
+            ]
+            total_reads += len(set(rids.tolist()))
     dt = time.time() - t0
     refined = "refined" if args.levels else "unrefined"
     print(
