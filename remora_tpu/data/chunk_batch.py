@@ -1,0 +1,159 @@
+"""Vectorized whole-read chunk extraction.
+
+Produces dataset-format arrays for ALL focus bases of a read in a few
+NumPy ops — behaviorally identical to looping ``RemoraRead.iter_chunks``
+-> ``extract_chunk`` -> ``CoreDataset.write_chunk`` (parity-tested on
+the reference test reads), but without per-chunk Python overhead. Used
+by the streaming inference prepare stage where per-read chunk counts
+reach hundreds.
+"""
+
+import numpy as np
+
+from remora_tpu import log
+
+LOGGER = log.get_logger()
+
+
+def _motif_hit_mask(int_seq, focus_bases, motifs):
+    """Which focus bases match any motif (same clipped-edge semantics as
+    ``Motif.match``)."""
+    if motifs is None:
+        return np.ones(focus_bases.size, dtype=bool)
+    mask = np.zeros(focus_bases.size, dtype=bool)
+    n = int_seq.size
+    for motif in motifs:
+        mlen = len(motif.raw_motif)
+        interior_hits = motif.findall(int_seq) + motif.focus_pos
+        interior = (
+            (focus_bases - motif.focus_pos >= 0)
+            & (focus_bases + motif.num_bases_after_focus < n)
+        )
+        mask |= interior & np.isin(focus_bases, interior_hits)
+        # edge-clipped positions fall back to the permissive per-site test
+        edge_idx = np.where(~interior & ~mask)[0]
+        for i in edge_idx:
+            if motif.match(int_seq, int(focus_bases[i])):
+                mask[i] = True
+    return mask
+
+
+def extract_chunks_batch(
+    read,
+    chunk_context,
+    kmer_context_bases,
+    max_seq_len,
+    base_start_justify=False,
+    offset=0,
+    motifs=None,
+):
+    """Extract all chunks of ``read`` as padded dataset-format arrays.
+
+    Returns dict with keys signal (n,1,W) f32, sequence (n, max_seq_len +
+    sum(kcb)) i8, sequence_to_signal_mapping (n, max_seq_len+1) i16,
+    sequence_lengths (n,) i16, labels (n,) i64, read_focus_bases (n,)
+    i64 — or None when no chunks survive. Chunks whose sequence exceeds
+    ``max_seq_len`` are dropped (the caller's "Sequence too long" path).
+    """
+    focus_bases = read.focus_bases
+    if focus_bases is None or focus_bases.size == 0:
+        return None
+    focus_bases = np.asarray(focus_bases, dtype=np.int64)
+    keep = _motif_hit_mask(read.int_seq, focus_bases, motifs)
+    focus_bases = focus_bases[keep]
+    if focus_bases.size == 0:
+        return None
+
+    s2s = read.seq_to_sig_map
+    sig = read.sig
+    sig_len = sig.size
+    before, after = chunk_context
+    W = before + after
+    kb, ka = kmer_context_bases
+    kcb = kb + ka
+
+    labels = (
+        np.full(focus_bases.size, -1, dtype=np.int64)
+        if read.labels is None
+        else np.asarray(read.labels)[focus_bases].astype(np.int64)
+    )
+    fb = np.clip(focus_bases + offset, 0, s2s.size - 2)
+    if base_start_justify:
+        centers = s2s[fb]
+    else:
+        centers = (s2s[fb] + s2s[fb + 1]) // 2
+    sig_start = centers - before
+    sig_end = centers + after
+
+    # signal windows, zero-padded at read edges
+    col = np.arange(W)[None, :]
+    idx = sig_start[:, None] + col
+    valid = (idx >= 0) & (idx < sig_len)
+    signal = np.where(valid, sig[np.clip(idx, 0, sig_len - 1)], 0.0).astype(
+        np.float32
+    )
+
+    # reference parity: edge chunks clamp the window bounds BEFORE the
+    # sequence-range searchsorted (extract_chunk's padding branch)
+    seq_start = (
+        np.searchsorted(s2s, np.maximum(sig_start, 0), side="right") - 1
+    )
+    seq_end = np.searchsorted(
+        s2s, np.minimum(sig_end, sig_len), side="left"
+    )
+    seq_lens = (seq_end - seq_start).astype(np.int64)
+
+    # drop over-long chunks (caller parity: "Sequence too long")
+    ok = seq_lens <= max_seq_len
+    n_long = int((~ok).sum())
+    if not ok.all():
+        (signal, sig_start, seq_start, seq_end, seq_lens, labels, fb,
+         focus_bases) = (
+            signal[ok], sig_start[ok], seq_start[ok], seq_end[ok],
+            seq_lens[ok], labels[ok], fb[ok], focus_bases[ok],
+        )
+    if seq_lens.size == 0:
+        return None
+    n = seq_lens.size
+
+    # seq_to_sig mapping rows: s2s[seq_start + j] - sig_start, clipped and
+    # pinned at 0 / W at the row ends
+    map_w = max_seq_len + 1
+    jcol = np.arange(map_w)[None, :]
+    map_idx = seq_start[:, None] + jcol
+    in_row = jcol <= seq_lens[:, None]
+    gathered = s2s[np.clip(map_idx, 0, s2s.size - 1)]
+    # chunk-relative, incl. the zero-pad offset at the left read edge
+    rel = gathered - sig_start[:, None]
+    rel[:, 0] = 0
+    rows = np.arange(n)
+    rel[rows, seq_lens] = W
+    mapping = np.where(in_row, rel, 0).astype(np.int16)
+
+    # sequence rows with kmer context, -1 where outside the read
+    seq_w = max_seq_len + kcb
+    scol = np.arange(seq_w)[None, :]
+    seq_idx = (seq_start - kb)[:, None] + scol
+    in_seq = (
+        (seq_idx >= 0)
+        & (seq_idx < read.int_seq.size)
+        & (scol < (seq_lens + kcb)[:, None])
+    )
+    sequence = np.where(
+        in_seq, read.int_seq[np.clip(seq_idx, 0, read.int_seq.size - 1)], -1
+    ).astype(np.int8)
+    # parity detail: positions past this chunk's (seq_len + kcb) are
+    # uninitialized in the reference write path; zero-fill beyond is fine
+    # for every consumer (they mask by seq_len), and -1 inside the row
+    # matches the reference edge padding
+
+    if n_long:
+        LOGGER.debug(f"dropped {n_long} over-long chunks")
+    return {
+        "signal": signal[:, None, :],
+        "sequence": sequence,
+        "sequence_to_signal_mapping": mapping,
+        "sequence_lengths": seq_lens.astype(np.int16),
+        "labels": labels,
+        "read_focus_bases": fb.astype(np.int64),
+    }, n_long

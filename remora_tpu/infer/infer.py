@@ -66,24 +66,18 @@ def _maybe_profile(prof_path):
 
 
 def prepare_reads(read_errs, models_metadata, ref_anchored):
-    """Chunk extraction + per-canonical-base in-memory dataset per read."""
+    """Vectorized chunk extraction per read per canonical-base model.
+
+    Produces padded dataset-format arrays directly (data.chunk_batch), no
+    per-chunk Python loop — the reference's hottest inference host stage
+    (``inference.py:62–137``).
+    """
+    from remora_tpu.data.chunk_batch import extract_chunks_batch
+
     out_read_errs = []
-    models_kwargs = []
     motifs = {}
     for md in models_metadata:
-        motif_seqs, motif_offsets = zip(*md["motifs"])
         motifs[md["can_base"]] = [Motif(*mot) for mot in md["motifs"]]
-        models_kwargs.append(
-            {
-                "mod_bases": md["mod_bases"],
-                "mod_long_names": md["mod_long_names"],
-                "motif_sequences": list(motif_seqs),
-                "motif_offsets": list(motif_offsets),
-                "chunk_context": md["chunk_context"],
-                "kmer_context_bases": md["kmer_context_bases"],
-                "extra_arrays": {"read_focus_bases": ("int64", "")},
-            }
-        )
     for io_read, err in read_errs:
         if err is not None:
             io_read.prune(drop_move_tag=False)
@@ -103,19 +97,22 @@ def prepare_reads(read_errs, models_metadata, ref_anchored):
             continue
         io_read.prune(drop_move_tag=False)
         datasets = {}
-        for md, md_kwargs in zip(models_metadata, models_kwargs):
+        for md in models_metadata:
             mdl_read = remora_read.copy()
             mdl_read.set_motif_focus_bases(motifs[md["can_base"]])
             mdl_read.refine_signal_mapping(md["sig_map_refiner"])
-            chunks = list(
-                mdl_read.iter_chunks(
-                    md["chunk_context"],
-                    md["kmer_context_bases"],
-                    md["base_start_justify"],
-                    md["offset"],
-                )
+            # per-read padded widths bounded by the chunk width
+            max_seq_len = md["chunk_len"] + 2
+            result = extract_chunks_batch(
+                mdl_read,
+                md["chunk_context"],
+                md["kmer_context_bases"],
+                max_seq_len,
+                base_start_justify=md["base_start_justify"],
+                offset=md["offset"],
+                motifs=motifs[md["can_base"]],
             )
-            if len(chunks) == 0:
+            if result is None:
                 LOGGER.debug(
                     f"{io_read.child_read_id} No {md['can_base']} mod calls"
                 )
@@ -123,20 +120,8 @@ def prepare_reads(read_errs, models_metadata, ref_anchored):
                     (io_read, None, f"No {md['can_base']} mod calls")
                 )
                 continue
-            num_chunks = len(chunks)
-            kwargs = dict(md_kwargs)
-            kwargs["allocate_size"] = num_chunks
-            kwargs["max_seq_len"] = max(c.seq_len for c in chunks)
-            dataset = CoreDataset(
-                mode="w",
-                metadata=DatasetMetadata(**kwargs),
-                batch_size=num_chunks,
-                super_batch_size=num_chunks,
-                infinite_iter=False,
-            )
-            for chunk in chunks:
-                dataset.write_chunk(chunk)
-            datasets[md["can_base"]] = dataset
+            arrays, _n_long = result
+            datasets[md["can_base"]] = arrays
         out_read_errs.append((io_read, datasets, None))
     return out_read_errs
 
@@ -144,26 +129,49 @@ def prepare_reads(read_errs, models_metadata, ref_anchored):
 def prep_nn_input(read_errs, raw=False):
     """Materialize nn inputs per read.
 
-    raw=False: host-featurized (signal + enc_kmers). raw=True: compact
-    ragged arrays for on-device featurization.
+    raw=True passes the compact arrays straight through for on-device
+    featurization; raw=False runs the host featurizer (legacy eval fns).
     """
+    from remora_tpu.data.encoded_kmers import (
+        compute_encoded_kmer_batch as host_enc,
+    )
+
     if len(read_errs) == 0:
         return [(None, None, "No valid mappings")]
     read_nn_inputs = []
-    for io_read, read_datasets, err in read_errs:
+    for io_read, read_arrays, err in read_errs:
         if err is not None:
             read_nn_inputs.append((io_read, None, err))
             continue
         bases_chunks = {}
-        for can_base, ds in read_datasets.items():
+        for can_base, arrays in read_arrays.items():
             if raw:
-                base_chunks = next(ds.iter_batches(raw=True))
+                base_chunks = dict(arrays)
+                base_chunks.pop("labels", None)
             else:
-                base_chunks = next(iter(ds))
-            base_chunks.pop("labels", None)
+                # trim the mapping rows so the featurizer sees the true
+                # chunk width from row 0 regardless of padding width
+                base_chunks = {
+                    "signal": arrays["signal"],
+                    "enc_kmers": host_enc(
+                        *_kcb_from_width(arrays),
+                        arrays["sequence"],
+                        arrays["sequence_to_signal_mapping"],
+                        arrays["sequence_lengths"],
+                    ),
+                    "read_focus_bases": arrays["read_focus_bases"],
+                }
             bases_chunks[can_base] = base_chunks
         read_nn_inputs.append((io_read, bases_chunks, None))
     return read_nn_inputs
+
+
+def _kcb_from_width(arrays):
+    kcb = (
+        arrays["sequence"].shape[1]
+        - (arrays["sequence_to_signal_mapping"].shape[1] - 1)
+    )
+    return kcb // 2, kcb - kcb // 2
 
 
 def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata,

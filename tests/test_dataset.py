@@ -110,3 +110,45 @@ def test_write_chunk_overflow(tmp_path):
 
     with pytest.raises(RemoraError):
         ds.write_chunk(chunks[2])
+
+
+def test_batch_chunk_extraction_parity(can_pod5, can_mappings):
+    """Vectorized whole-read extraction is bit-identical to the per-chunk
+    path on real reads (the inference prep hot stage)."""
+    from remora_tpu.core.seq import Motif
+    from remora_tpu.data.chunk_batch import extract_chunks_batch
+    from remora_tpu.io.read import extract_alignments, iter_signal
+    from remora_tpu.io.read_index import ReadIndexedBam
+
+    bam_idx = ReadIndexedBam(str(can_mappings))
+    motifs = [Motif("CG", 0)]
+    n_checked = 0
+    for read_err in iter_signal(str(can_pod5), num_reads=4):
+        for io_read, err in extract_alignments(read_err, bam_idx):
+            rr = io_read.into_remora_read(False)
+            rr.set_motif_focus_bases(motifs)
+            chunks = [
+                c
+                for c in rr.iter_chunks((200, 200), (4, 4), False, 0)
+                if c.seq_len <= 402
+            ]
+            arrays, _n_long = extract_chunks_batch(
+                rr, (200, 200), (4, 4), 402, motifs=motifs
+            )
+            assert arrays["signal"].shape[0] == len(chunks)
+            for i, c in enumerate(chunks):
+                sl = c.seq_len
+                assert arrays["sequence_lengths"][i] == sl
+                assert np.array_equal(arrays["signal"][i, 0], c.signal)
+                assert np.array_equal(
+                    arrays["sequence_to_signal_mapping"][i, : sl + 1].astype(
+                        np.int32
+                    ),
+                    c.seq_to_sig_map,
+                )
+                assert np.array_equal(
+                    arrays["sequence"][i, : c.seq_w_context.size],
+                    c.seq_w_context,
+                )
+            n_checked += len(chunks)
+    assert n_checked > 100
