@@ -16,6 +16,20 @@ from remora_tpu import RemoraError, log
 
 LOGGER = log.get_logger()
 
+
+class ScanResult(ctypes.Structure):
+    _fields_ = [
+        ("n_records", ctypes.c_int64),
+        ("offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("flags", ctypes.POINTER(ctypes.c_uint16)),
+        ("name_offs", ctypes.POINTER(ctypes.c_uint32)),
+        ("pi_offs", ctypes.POINTER(ctypes.c_uint32)),
+        ("has_req", ctypes.POINTER(ctypes.c_uint8)),
+        ("name_blob", ctypes.POINTER(ctypes.c_char)),
+        ("blob_size", ctypes.c_int64),
+        ("body_start", ctypes.c_int64),
+    ]
+
 _CSRC = Path(__file__).resolve().parent.parent.parent / "csrc"
 _LIB_PATH = _CSRC / "build" / "libremora_native.so"
 _LIB = None
@@ -27,7 +41,7 @@ def _build_library():
     srcs = [str(p) for p in sorted(_CSRC.glob("*.cpp"))]
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        *srcs, "-o", str(_LIB_PATH),
+        *srcs, "-o", str(_LIB_PATH), "-lz",
     ]
     LOGGER.debug(f"Building native library: {' '.join(cmd)}")
     subprocess.run(cmd, check=True, capture_output=True)
@@ -68,6 +82,13 @@ def get_lib():
             ctypes.c_int32,        # use_dwell
             i32p,                  # path out
         ]
+        lib.bam_scan_index.restype = ctypes.c_int
+        lib.bam_scan_index.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int32, ctypes.POINTER(ScanResult),
+        ]
+        lib.bam_scan_free.restype = None
+        lib.bam_scan_free.argtypes = [ctypes.POINTER(ScanResult)]
         _LIB = lib
         return _LIB
     except Exception as e:
@@ -240,3 +261,46 @@ def banded_dp_path(signal, levels, seq_band, sdp, algo):
     if rc != 0:
         return None
     return path
+
+
+def bam_scan_index(path, req_tags=()):
+    """Native whole-file BAM index scan.
+
+    Returns (offsets i64, flags u16, names list[str], pi list[str|None],
+    has_req bool array) or None when the native library is unavailable.
+    Offsets index into the decompressed stream (FastBamScanner space).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bam_scan_index"):
+        return None
+    with open(path, "rb") as fh:
+        data = fh.read()
+    req = "".join(req_tags)
+    assert all(len(t) == 2 for t in req_tags)
+    res = ScanResult()
+    rc = lib.bam_scan_index(
+        data, len(data), req.encode("ascii"), len(req_tags),
+        ctypes.byref(res),
+    )
+    if rc != 0:
+        LOGGER.debug(f"native bam scan failed rc={rc}")
+        return None
+    try:
+        n = res.n_records
+        offsets = np.ctypeslib.as_array(res.offsets, (n,)).copy()
+        flags = np.ctypeslib.as_array(res.flags, (n,)).copy()
+        name_offs = np.ctypeslib.as_array(res.name_offs, (n,)).copy()
+        pi_offs = np.ctypeslib.as_array(res.pi_offs, (n,)).copy()
+        has_req = np.ctypeslib.as_array(res.has_req, (n,)).copy().astype(bool)
+        blob = ctypes.string_at(res.name_blob, res.blob_size)
+    finally:
+        lib.bam_scan_free(ctypes.byref(res))
+
+    def at(off):
+        end = blob.index(b"\x00", off)
+        return blob[off:end].decode("ascii")
+
+    names = [at(o) for o in name_offs]
+    NO_PI = np.uint32(0xFFFFFFFF)
+    pis = [None if o == NO_PI else at(o) for o in pi_offs]
+    return offsets, flags, names, pis, has_req

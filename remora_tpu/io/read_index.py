@@ -80,6 +80,8 @@ class ReadIndexedBam:
         self._scanner = None
 
     def compute_read_index(self):
+        if self._compute_read_index_native():
+            return
         self.open()
         bam_idx = {}
         skip_reasons = {}
@@ -142,6 +144,64 @@ class ReadIndexedBam:
                 break
             if rec.reference_end > start and strands_match(strand, rec):
                 yield rec
+
+    def _compute_read_index_native(self):
+        """Index via the C++ whole-file scan (io.native.bam_scan_index);
+        returns False to fall back to the Python record decode."""
+        from remora_tpu.io.native import bam_scan_index
+
+        try:
+            res = bam_scan_index(
+                self.bam_path, tuple(sorted(self.req_tags or ()))
+            )
+        except Exception as e:
+            LOGGER.debug(f"native index scan failed: {e}")
+            return False
+        if res is None:
+            return False
+        offsets, flags, names, pis, has_req = res
+        bam_idx = {}
+        skip_reasons = {}
+
+        def skip(reason):
+            skip_reasons[reason] = skip_reasons.get(reason, 0) + 1
+
+        num_records = 0
+        for off, flag, name, pi, hr in zip(
+            offsets, flags, names, pis, has_req
+        ):
+            if (
+                self.child_read_id_subset is not None
+                and name not in self.child_read_id_subset
+            ):
+                skip("Child read ID filtered")
+                continue
+            index_read_id = pi if pi is not None else name
+            if (
+                self.parent_read_id_subset is not None
+                and index_read_id not in self.parent_read_id_subset
+            ):
+                skip("Parent read ID filtered")
+                continue
+            if self.read_id_converter is not None:
+                index_read_id = self.read_id_converter(index_read_id)
+            if self.req_tags and not hr:
+                skip("Missing BAM tags")
+                continue
+            if self.skip_non_primary and (flag & 0x900):
+                skip("Non-primary alignment")
+                continue
+            num_records += 1
+            bam_idx.setdefault(index_read_id, []).append(int(off))
+        self._bam_idx = bam_idx
+        self.num_records = num_records
+        self.skip_reasons = skip_reasons
+        self.num_reads = len(bam_idx)
+        LOGGER.debug(
+            f"Indexed {num_records} records / {self.num_reads} reads "
+            f"from {self.bam_path} (native scan)"
+        )
+        return True
 
     def get_alignments(self, read_id):
         if self._bam_idx is None:
