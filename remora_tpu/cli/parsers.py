@@ -437,6 +437,15 @@ def register_model_train(ssub):
     )
     trn.add_argument("--gradient-clip-num-mads", type=float)
     trn.add_argument("--resume-from-checkpoint")
+    dist = p.add_argument_group("Distributed Arguments")
+    dist.add_argument(
+        "--data-parallel", action="store_true",
+        help="shard batches over all local (or pod) devices",
+    )
+    dist.add_argument("--coordinator-address",
+                      help="host:port for jax.distributed (multi-host)")
+    dist.add_argument("--num-processes", type=int)
+    dist.add_argument("--process-id", type=int)
     p.set_defaults(func=run_model_train)
 
 
@@ -446,6 +455,16 @@ def run_model_train(args):
     from remora_tpu.train.train import train_model
 
     prepare_out_dir(args.output_path, args.overwrite)
+    mesh = None
+    if args.data_parallel or args.num_processes:
+        from remora_tpu.parallel.mesh import init_multihost, make_mesh
+
+        init_multihost(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        mesh = make_mesh()
     train_opts = TrainOpts(
         epochs=args.epochs,
         early_stopping=args.early_stopping,
@@ -488,6 +507,7 @@ def run_model_train(args):
         super_batch_sample_frac=args.super_batch_sample_frac,
         gradient_clip_num_mads=args.gradient_clip_num_mads,
         resume_from_checkpoint=args.resume_from_checkpoint,
+        mesh=mesh,
     )
 
 
