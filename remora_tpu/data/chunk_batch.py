@@ -46,6 +46,7 @@ def extract_chunks_batch(
     base_start_justify=False,
     offset=0,
     motifs=None,
+    check_chunks=False,
 ):
     """Extract all chunks of ``read`` as padded dataset-format arrays.
 
@@ -106,6 +107,12 @@ def extract_chunks_batch(
     # drop over-long chunks (caller parity: "Sequence too long")
     ok = seq_lens <= max_seq_len
     n_long = int((~ok).sum())
+    if check_chunks:
+        # Chunk.check parity: NaN signal rows are skipped (not an error)
+        nan_rows = np.isnan(signal).any(axis=1)
+        if nan_rows.any():
+            LOGGER.debug(f"FAILED_CHUNK_CHECK {int(nan_rows.sum())} NaN rows")
+            ok &= ~nan_rows
     if not ok.all():
         (signal, sig_start, seq_start, seq_end, seq_lens, labels, fb,
          focus_bases) = (

@@ -15,6 +15,7 @@ import numpy as np
 from remora_tpu import RemoraError, log
 from remora_tpu.core import coords
 from remora_tpu.core.pipeline import map_stage, source_stage
+from remora_tpu.data.chunk_batch import extract_chunks_batch
 from remora_tpu.data.dataset import CoreDataset
 from remora_tpu.data.metadata import DatasetMetadata
 from remora_tpu.data.read import RemoraRead
@@ -37,8 +38,17 @@ def extract_chunks(
     base_start_justify,
     offset,
     basecall_anchor,
+    max_seq_len,
 ):
-    """Chunks for every alignment of one read (list of (chunks, err))."""
+    """Dataset-format chunk arrays for every alignment of one read.
+
+    Returns a list of ``((arrays, n_long), err)`` per alignment, where
+    ``arrays`` is the vectorized whole-read extraction
+    (`data.chunk_batch.extract_chunks_batch`) and ``n_long`` counts
+    chunks dropped for exceeding ``max_seq_len`` (the driver's
+    "Sequence too long" tally). Behaviorally identical to the per-chunk
+    ``iter_chunks`` loop (parity-tested) without per-chunk Python.
+    """
     read_chunks = []
     for read_idx, (io_read, err) in enumerate(read_errs):
         if err is not None:
@@ -85,21 +95,27 @@ def extract_chunks(
         except RemoraError as e:
             LOGGER.debug(f"Read prep failed: {e}")
             continue
-        read_align_chunks = list(
-            remora_read.iter_chunks(
-                chunk_context,
-                kmer_context_bases,
-                base_start_justify,
-                offset,
-                check_chunks=True,
-                motifs=motifs,
-            )
+        res = extract_chunks_batch(
+            remora_read,
+            chunk_context,
+            kmer_context_bases,
+            max_seq_len,
+            base_start_justify=base_start_justify,
+            offset=offset,
+            motifs=motifs,
+            check_chunks=True,
         )
+        if res is None:
+            read_chunks.append(((None, 0), None))
+            continue
+        arrays, n_long = res
+        n = arrays["sequence_lengths"].size
+        arrays["read_ids"] = np.full(n, io_read.read_id, dtype="<U36")
         LOGGER.debug(
-            f"extracted {len(read_align_chunks)} chunks from "
+            f"extracted {n} chunks from "
             f"{io_read.read_id} alignment {read_idx}"
         )
-        read_chunks.append((read_align_chunks, None))
+        read_chunks.append(((arrays, n_long), None))
     return read_chunks
 
 
@@ -209,6 +225,7 @@ def extract_chunk_dataset(
             base_start_justify,
             offset,
             basecall_anchor,
+            max_seq_len,
         ],
         name="ExtractChunks",
         use_process=True,
@@ -225,26 +242,29 @@ def extract_chunk_dataset(
         desc="Extracting chunks",
         disable=bool(os.environ.get("LOG_SAFE", False)),
     )
+    last_save = 0
     for read_chunks in chunks:
         pbar.update()
         if len(read_chunks) == 0:
             errs["No chunks extracted"] += 1
             continue
-        for read_align_chunks, err in read_chunks:
-            if read_align_chunks is None:
+        for align_res, err in read_chunks:
+            if align_res is None:
                 errs[err] += 1
                 continue
-            for chunk in read_align_chunks:
-                if chunk.seq_len > max_seq_len:
-                    errs["Sequence too long"] += 1
-                    continue
-                try:
-                    dataset.write_chunk(chunk)
-                    if dataset.size % save_every == 0:
-                        dataset.flush()
-                        dataset.write_metadata()
-                except RemoraError as e:
-                    errs[str(e)] += 1
+            arrays, n_long = align_res
+            if n_long:
+                errs["Sequence too long"] += n_long
+            if arrays is None:
+                continue
+            try:
+                dataset.write_batch(arrays)
+                if dataset.size - last_save >= save_every:
+                    dataset.flush()
+                    dataset.write_metadata()
+                    last_save = dataset.size
+            except RemoraError as e:
+                errs[str(e)] += 1
 
     pbar.close()
     if errs:
