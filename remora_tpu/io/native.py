@@ -89,6 +89,9 @@ def get_lib():
         ]
         lib.bam_scan_free.restype = None
         lib.bam_scan_free.argtypes = [ctypes.POINTER(ScanResult)]
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.theil_sen_median_slope.restype = ctypes.c_double
+        lib.theil_sen_median_slope.argtypes = [f64p, f64p, ctypes.c_int64]
         _LIB = lib
         return _LIB
     except Exception as e:
@@ -261,6 +264,17 @@ def banded_dp_path(signal, levels, seq_band, sdp, algo):
     if rc != 0:
         return None
     return path
+
+
+def theil_sen_slope(event_means, model_means):
+    """Native median pairwise slope, or None when the library is
+    unavailable (caller falls back to the NumPy matrix path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    e = np.ascontiguousarray(event_means, np.float64)
+    m = np.ascontiguousarray(model_means, np.float64)
+    return float(lib.theil_sen_median_slope(e, m, np.int64(e.size)))
 
 
 def bam_scan_index(path, req_tags=()):

@@ -44,7 +44,11 @@ def compute_slopes(r_event_means, r_model_means):
 
 
 def theil_sen(dacs, lvls, shift, scale):
-    slope = np.median(compute_slopes(dacs, lvls))
+    from remora_tpu.io.native import theil_sen_slope
+
+    slope = theil_sen_slope(dacs, lvls)
+    if slope is None:
+        slope = np.median(compute_slopes(dacs, lvls))
     inter = np.median(lvls - (slope * dacs))
     if slope == 0:
         raise RemoraError(
