@@ -39,12 +39,21 @@ _BUILD_FAILED = False
 def _build_library():
     _LIB_PATH.parent.mkdir(parents=True, exist_ok=True)
     srcs = [str(p) for p in sorted(_CSRC.glob("*.cpp"))]
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        *srcs, "-o", str(_LIB_PATH), "-lz",
-    ]
-    LOGGER.debug(f"Building native library: {' '.join(cmd)}")
-    subprocess.run(cmd, check=True, capture_output=True)
+    # -ffp-contract=off keeps float rounding identical to the NumPy
+    # reference paths (no FMA contraction) while -march=native still
+    # vectorizes the DP/align inner loops
+    for arch_flags in (["-march=native", "-ffp-contract=off"], []):
+        cmd = [
+            "g++", "-O3", *arch_flags, "-std=c++17", "-shared", "-fPIC",
+            *srcs, "-o", str(_LIB_PATH), "-lz",
+        ]
+        LOGGER.debug(f"Building native library: {' '.join(cmd)}")
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            return
+        except subprocess.CalledProcessError:
+            if not arch_flags:
+                raise
 
 
 def get_lib():
