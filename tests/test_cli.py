@@ -118,3 +118,29 @@ def test_cli_estimate_kmer_levels(tmp_path):
     )
     lines = out.read_text().splitlines()
     assert len(lines) == 64
+
+
+def test_cli_train_data_parallel(cli_can_chunks, tmp_path):
+    """End-to-end `model train --data-parallel` over the 8-device
+    virtual mesh (reference CLI analog: parsers.py train runner; the
+    mesh path replaces the reference's single-device torch training)."""
+    from remora_tpu.data.dataset import CoreDataset
+
+    cfg = tmp_path / "ds.cfg"
+    cfg.write_text(json.dumps([[str(cli_can_chunks), 1.0]]))
+    out = tmp_path / "dp_train"
+    env = dict(ENV, XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "remora_tpu", "model", "train",
+            str(cfg), "--output-path", str(out), "--model", "Conv_w_ref",
+            "--size", "8", "--batch-size", "16", "--epochs", "1",
+            "--chunks-per-epoch", "32", "--num-test-chunks", "16",
+            "--early-stopping", "0", "--chunk-context", "50", "50",
+            "--data-parallel",
+        ],
+        check=True, env=env, timeout=420, capture_output=True, text=True,
+    )
+    assert (out / "model_final.checkpoint").exists()
+    log_text = (out / "log.txt").read_text()
+    assert "Data-parallel training over 8 devices" in log_text
