@@ -30,23 +30,32 @@ class PairwiseAlignment:
 
 
 def pairwise_align(*, query, ref, gap_open=10, gap_extend=2):
-    """Semi-global alignment with free reference overhangs.
+    """Semi-global alignment with free QUERY end gaps (parasail sg_qx
+    semantics, reference ``duplex_utils.py:62–86``): the reference
+    sequence is consumed globally while unaligned query prefix/suffix
+    bases cost nothing.
+
+    The native kernel implements the mirror problem (free REF
+    overhangs, query consumed globally); by score symmetry running it
+    with the operands swapped and exchanging I<->D ops and
+    query<->ref coordinates yields exactly the sg_qx alignment.
 
     Returns a PairwiseAlignment whose cigar starts/ends with match ops
     (leading/trailing indels already trimmed into the coordinates).
     """
-    cigar, ref_start, ref_end, query_start, query_end = sg_align_native(
-        query, ref, gap_open, gap_extend
+    cigar, q_start, q_end, r_start, r_end = sg_align_native(
+        ref, query, gap_open, gap_extend
     )
+    cigar = [(op if op == 0 else 3 - op, ln) for op, ln in cigar]
     if not cigar or cigar[0][0] not in (0, 7, 8):
         raise RuntimeError(
             "failed to find match operations in pairwise alignment"
         )
     return PairwiseAlignment(
-        ref_start=ref_start,
-        ref_end=ref_end,
-        query_start=query_start,
-        query_end=query_end,
+        ref_start=r_start,
+        ref_end=r_end,
+        query_start=q_start,
+        query_end=q_end,
         cigar=cigar,
     )
 
