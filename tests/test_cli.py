@@ -144,3 +144,42 @@ def test_cli_train_data_parallel(cli_can_chunks, tmp_path):
     assert (out / "model_final.checkpoint").exists()
     log_text = (out / "log.txt").read_text()
     assert "Data-parallel training over 8 devices" in log_text
+
+
+def test_cli_chebi_end_to_end(cli_can_chunks, tmp_path):
+    """ChEBI-coded mod base through prepare -> train -> infer; MM tags
+    carry the numeric code (reference analog: test_main.py chebi flow)."""
+    from remora_tpu.io.bam import FastBamScanner
+
+    chebi = tmp_path / "chebi_chunks"
+    run_cli(
+        "dataset", "prepare",
+        f"{DATA}/mod_reads.pod5", f"{DATA}/mod_mappings.bam",
+        "--output-path", chebi, "--mod-base", "27551", "5mC_chebi",
+        "--motif", "CG", "0",
+    )
+    cfg = tmp_path / "chebi.cfg"
+    cfg.write_text(
+        json.dumps([[str(cli_can_chunks), 1.0], [str(chebi), 1.0]])
+    )
+    model_dir = tmp_path / "chebi_model"
+    run_cli(
+        "model", "train", cfg, "--output-path", model_dir,
+        "--model", "Conv_w_ref", "--size", "8", "--batch-size", "16",
+        "--epochs", "1", "--chunks-per-epoch", "32",
+        "--num-test-chunks", "16", "--early-stopping", "0",
+        "--chunk-context", "50", "50",
+    )
+    out_bam = tmp_path / "chebi_calls.bam"
+    run_cli(
+        "infer", "from_pod5_and_bam",
+        f"{DATA}/mod_reads.pod5", f"{DATA}/mod_mappings.bam",
+        "--model", model_dir / "model_final.checkpoint",
+        "--out-bam", out_bam,
+    )
+    n = 0
+    for rec in FastBamScanner(str(out_bam)):
+        mm = rec.get_tag("MM")
+        assert mm.startswith("C+27551?"), mm
+        n += 1
+    assert n == 14
