@@ -183,3 +183,33 @@ def test_cli_chebi_end_to_end(cli_can_chunks, tmp_path):
         assert mm.startswith("C+27551?"), mm
         n += 1
     assert n == 14
+
+
+def test_cli_make_config_and_merge(cli_can_chunks, tmp_path):
+    """dataset make_config (hash-verified) + physical merge (reference
+    analog: parsers.py dataset merge / make_config runners)."""
+    from remora_tpu.data.dataset import ComposedDataset, CoreDataset
+
+    cfg = tmp_path / "weighted.cfg"
+    run_cli(
+        "dataset", "make_config", cfg,
+        "--dataset", cli_can_chunks, "1",
+        "--dataset", cli_can_chunks, "2",
+    )
+    loaded = json.loads(cfg.read_text())
+    assert len(loaded) == 2 and len(loaded[0]) == 3  # path, weight, hash
+    ds = ComposedDataset.from_config(str(cfg), batch_size=10)
+    assert ds.size == 410
+
+    merged_out = tmp_path / "merged"
+    run_cli("dataset", "merge", merged_out, cli_can_chunks, cli_can_chunks)
+    merged = CoreDataset(str(merged_out))
+    assert merged.size == 410
+    assert merged.metadata.allocate_size == 410
+
+    capped = tmp_path / "merged_cap"
+    run_cli(
+        "dataset", "merge", capped, cli_can_chunks, cli_can_chunks,
+        "--max-size", "100",
+    )
+    assert CoreDataset(str(capped)).size == 100
