@@ -302,3 +302,54 @@ def test_ref_anchored_infer(tmpdir_factory, trained_model):
         assert len(rec.query_sequence) == rec.cigartuples[0][1]
         assert rec.query_qualities is None
         assert rec.has_tag("MM")
+
+
+def test_resume_from_checkpoint(tmpdir_factory, chunks_config):
+    """Training resumes weights + optimizer state + epoch counter from a
+    checkpoint (reference analog: model_util.py continue_from_checkpoint)."""
+    import numpy as np
+
+    from remora_tpu.models import model_io
+    from remora_tpu.train.optim import TrainOpts
+    from remora_tpu.train.train import train_model
+
+    out1 = tmpdir_factory.mktemp("resume") / "round1"
+    common = dict(
+        seed=7,
+        remora_dataset_path=str(chunks_config),
+        chunk_context=(50, 50),
+        kmer_context_bases=(2, 2),
+        batch_size=16,
+        model_name="Conv_w_ref",
+        size=8,
+        train_opts=TrainOpts(epochs=1, early_stopping=0),
+        chunks_per_epoch=64,
+        num_test_chunks=32,
+    )
+    train_model(out_path=str(out1), **common)
+    ckpt1 = str(out1 / "model_final.checkpoint")
+    _m, params1, _bn, meta1 = model_io.load_model(ckpt1)
+    assert meta1["epoch"] == 1
+
+    out2 = tmpdir_factory.mktemp("resume") / "round2"
+    common["train_opts"] = TrainOpts(epochs=2, early_stopping=0)
+    train_model(
+        out_path=str(out2), resume_from_checkpoint=ckpt1, **common
+    )
+    ckpt2 = str(out2 / "model_final.checkpoint")
+    _m, params2, _bn, meta2 = model_io.load_model(ckpt2)
+    assert meta2["epoch"] == 2
+    # parameters actually advanced from the restored point
+    diffs = [
+        np.abs(np.asarray(a) - np.asarray(b)).max()
+        for a, b in zip(
+            jax_leaves(params1), jax_leaves(params2)
+        )
+    ]
+    assert max(diffs) > 0
+
+
+def jax_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
