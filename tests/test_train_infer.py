@@ -353,3 +353,33 @@ def jax_leaves(tree):
     import jax
 
     return jax.tree_util.tree_leaves(tree)
+
+
+def test_train_filtering_and_grad_clip(tmpdir_factory, chunks_config):
+    """High-confidence-incorrect batch filtering + rolling-MAD adaptive
+    gradient clipping both execute through the jitted train step
+    (reference analogs: train_model.py:477-497 and RollingMAD clipping)."""
+    from remora_tpu.models import model_io
+    from remora_tpu.train.optim import TrainOpts
+    from remora_tpu.train.train import train_model
+
+    out = tmpdir_factory.mktemp("filt_clip") / "model"
+    train_model(
+        seed=11,
+        out_path=str(out),
+        remora_dataset_path=str(chunks_config),
+        chunk_context=(50, 50),
+        kmer_context_bases=(2, 2),
+        batch_size=16,
+        model_name="Conv_w_ref",
+        size=8,
+        train_opts=TrainOpts(epochs=1, early_stopping=0),
+        chunks_per_epoch=64,
+        num_test_chunks=32,
+        high_conf_incorrect_thr_frac=(0.9, 0.2),
+        gradient_clip_num_mads=4,
+    )
+    _m, _p, _bn, meta = model_io.load_model(
+        str(out / "model_final.checkpoint")
+    )
+    assert meta["epoch"] == 1
