@@ -153,13 +153,20 @@ def get_ref_seq_and_levels_from_reads(ref_reg, bam_reads, sig_map_refiner,
     return seq, levels
 
 
+def get_pod5_reads(pod5_dr, read_ids):
+    """Read records by id (reference analog ``io.get_pod5_reads``
+    io.py:768–772)."""
+    return {
+        str(pod5_read.read_id): pod5_read
+        for pod5_read in pod5_dr.reads(selection=list(read_ids))
+    }
+
+
 def get_io_reads(bam_reads, pod5_dr, reverse_signal=False, missing_ok=False,
                  pa_scaling=None):
-    pod5_reads = {}
-    for pod5_read in pod5_dr.reads(
-        selection=list(set(get_parent_id(r) for r in bam_reads))
-    ):
-        pod5_reads[str(pod5_read.read_id)] = pod5_read
+    pod5_reads = get_pod5_reads(
+        pod5_dr, set(get_parent_id(r) for r in bam_reads)
+    )
     io_reads = []
     for rec in bam_reads:
         try:

@@ -695,3 +695,12 @@ class BamWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def get_bam_filename(bam_fh):
+    """Filename behind an open BAM handle/scanner (reference analog
+    ``io.get_bam_filename`` io.py:167–171)."""
+    for attr in ("reference_filename", "filename", "path"):
+        val = getattr(bam_fh, attr, None)
+        if val is not None:
+            return val.decode() if isinstance(val, bytes) else str(val)

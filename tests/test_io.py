@@ -98,3 +98,36 @@ def test_signal_alignment_join(can_pod5, can_mappings):
             assert 0.5 < float(np.std(ns)) < 2.0
             n_joined += 1
     assert n_joined == 3
+
+
+def test_plot_align_and_metric_region(tmp_path, can_pod5, can_mappings):
+    """plot_align + plot_metric_at_ref_region produce non-trivial figures
+    (reference analogs io.py:1294/1692)."""
+    from remora_tpu.analyze.plot import (
+        plot_align,
+        plot_metric_at_ref_region,
+    )
+    from remora_tpu.analyze.regions import RegionIndexedBam
+    from remora_tpu.core import coords
+    from remora_tpu.io.pod5 import DatasetReader
+    from remora_tpu.io.read import extract_alignments, iter_signal
+    from remora_tpu.io.read_index import ReadIndexedBam
+    from remora_tpu.io.refregion import RefRegion
+
+    bam_idx = ReadIndexedBam(str(can_mappings))
+    read_err = next(iter_signal(str(can_pod5), num_reads=1))
+    io_read, err = next(iter(extract_alignments(read_err, bam_idx)))
+    assert err is None
+    io_read.ref_to_signal = coords.compute_ref_to_signal(
+        io_read.query_to_signal, io_read.cigar
+    )
+    p = plot_align(io_read, 1000, 2000, out_path=tmp_path / "align.svg")
+    assert p.stat().st_size > 10_000
+
+    reg = RefRegion(ctg="chr13", strand="+", start=52310080, end=52310100)
+    p2 = plot_metric_at_ref_region(
+        reg,
+        [(DatasetReader(str(can_pod5)), RegionIndexedBam(str(can_mappings)))],
+        out_path=tmp_path / "metric.svg",
+    )
+    assert p2.stat().st_size > 10_000
