@@ -131,3 +131,38 @@ def test_plot_align_and_metric_region(tmp_path, can_pod5, can_mappings):
         out_path=tmp_path / "metric.svg",
     )
     assert p2.stat().st_size > 10_000
+
+
+def test_pod5_writer_roundtrip(tmp_path):
+    """Pod5Writer output reads back bit-identically through Pod5Reader
+    (signal DACs, calibration, read ids)."""
+    import uuid
+
+    import numpy as np
+
+    from remora_tpu.io.pod5 import DatasetReader
+    from remora_tpu.io.pod5_write import Pod5Writer
+
+    rng = np.random.default_rng(3)
+    path = tmp_path / "rt.pod5"
+    w = Pod5Writer(str(path), sample_rate=5000)
+    reads = []
+    for _ in range(5):
+        rid = str(uuid.uuid4())
+        sig = rng.integers(-2000, 2000, rng.integers(50, 5000)).astype(
+            np.int16
+        )
+        reads.append((rid, sig))
+        w.add_read(rid, sig, calibration_offset=-12.5, calibration_scale=1 / 0.18)
+    w.close()
+
+    with DatasetReader(str(path)) as dr:
+        got = {str(r.read_id): r for r in dr.reads()}
+    assert set(got) == {rid for rid, _sig in reads}
+    for rid, sig in reads:
+        r = got[rid]
+        assert np.array_equal(np.asarray(r.signal, np.int16), sig)
+        cal = r.calibration
+        assert abs(cal.offset - (-12.5)) < 1e-6
+        assert abs(cal.scale - 1 / 0.18) < 1e-6
+        assert r.sample_rate == 5000
