@@ -2,10 +2,15 @@
 
 TPU-native formulation of the reference Cython DP
 (``refine_signal_map_core.pyx``): the recurrence over bases becomes a
-``lax.scan``; within each base every (read, band-position) pair is a
-vector lane, with the in-band stay recurrence solved as a min-plus
+``lax.scan``; within each base every (band-position, read) pair is a
+vector element, with the in-band stay recurrence solved as a min-plus
 prefix scan (one ``cummin`` per base — see remora_tpu.refine.dp for the
 derivation and the NumPy ground truth this kernel is tested against).
+
+Internal layout puts READS in the minor (128-lane) axis and the band
+position in sublanes — band widths are ~16 while batches are hundreds,
+so ``(W, R)`` tiles keep the VPU lanes full where the earlier ``(R, W)``
+layout used only W of 128 lanes.
 
 Shapes (static; pad reads to fit):
   signal      (R, S_max)    f32, normalized
@@ -16,7 +21,7 @@ Shapes (static; pad reads to fit):
 
 Outputs:
   path        (R, N_max+1)  i32, signal start per base (valid to seq_len)
-  traceback   (N_max, R, W_max) i32 (also returned for parity checks)
+  traceback   (N_max, W_max, R) i32 (also returned for parity checks)
 
 The forward pass and traceback both run on device; one fetch returns
 the paths for a whole batch of reads.
@@ -32,71 +37,59 @@ LARGE_SCORE = jnp.float32(100.0)
 BIG = jnp.float32(3.0e38)
 
 
-def _take_band(arr, starts, width):
-    """arr (R, S) gathered at starts[r] + [0..width) -> (R, width)."""
-    idx = starts[:, None] + jnp.arange(width)[None, :]
-    idx = jnp.clip(idx, 0, arr.shape[1] - 1)
-    return jnp.take_along_axis(arr, idx, axis=1)
-
-
-def _shift_right(x, k, fill):
-    """Static shift along the last axis (x[..., p] -> x[..., p-k])."""
+def _shift_down(x, k, fill):
+    """Static shift along the first axis (x[p, :] -> x[p-k, :])."""
     if k == 0:
         return x
-    pad = jnp.full(x.shape[:-1] + (k,), fill, x.dtype)
-    return jnp.concatenate([pad, x[..., :-k]], axis=-1)
+    pad = jnp.full((k,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[:-k]], axis=0)
 
 
 def _argcummin(m):
-    """Running (first-occurrence) argmin along the last axis."""
-    axis = m.ndim - 1
-    cm = jax.lax.cummin(m, axis=axis)
+    """Running (first-occurrence) argmin along the first axis."""
+    cm = jax.lax.cummin(m, axis=0)
     first = jnp.concatenate(
-        [
-            jnp.ones(m.shape[:-1] + (1,), bool),
-            cm[..., 1:] < cm[..., :-1],
-        ],
-        axis=axis,
+        [jnp.ones((1,) + m.shape[1:], bool), cm[1:] < cm[:-1]], axis=0
     )
-    pos = jnp.arange(m.shape[-1])
+    pos = jnp.arange(m.shape[0])[:, None]
     idx = jnp.where(first, pos, 0)
-    return jax.lax.cummax(idx, axis=axis), cm
+    return jax.lax.cummax(idx, axis=0), cm
 
 
 def _vit_step(prev, prev_valid, base, B, bsd, w):
-    """Vectorized Viterbi base-step over (R, W) lanes.
+    """Vectorized Viterbi base-step over (W, R) elements.
 
     prev: previous-base scores aligned to its band start; bsd (R,) band
     start diff; w (R,) current band width. Returns (scores, tb).
     """
-    R, W = prev.shape
-    p = jnp.arange(W)[None, :]
+    W, R = prev.shape
+    p = jnp.arange(W)[:, None]
     # entry (move) scores: prev[p - 1 + bsd] + base[p]
-    src = p - 1 + bsd[:, None]
-    src_ok = (src >= 0) & (src < prev_valid[:, None])
-    prev_g = jnp.take_along_axis(prev, jnp.clip(src, 0, W - 1), axis=1)
+    src = p - 1 + bsd[None, :]
+    src_ok = (src >= 0) & (src < prev_valid[None, :])
+    prev_g = jnp.take_along_axis(prev, jnp.clip(src, 0, W - 1), axis=0)
     entry = jnp.where(src_ok, prev_g + base, BIG)
     # p == 0 with bsd == 0: invalid-entry sentinel LARGE + prev[last]
     prev_last = jnp.take_along_axis(
-        prev, (prev_valid - 1)[:, None], axis=1
-    )[:, 0]
+        prev, (prev_valid - 1)[None, :], axis=0
+    )[0]
     sentinel = LARGE_SCORE + prev_last
     entry = jnp.where(
-        (p == 0) & (bsd[:, None] == 0), sentinel[:, None], entry
+        (p == 0) & (bsd[None, :] == 0), sentinel[None, :], entry
     )
     # restrict moves to p <= prev_valid - bsd (and p < w)
     move_limit = jnp.minimum(prev_valid - bsd, w - 1)
-    movable = (p <= move_limit[:, None]) | (p == 0)
+    movable = (p <= move_limit[None, :]) | (p == 0)
     entry = jnp.where(movable, entry, BIG)
-    in_band = p < w[:, None]
+    in_band = p < w[None, :]
     entry = jnp.where(in_band, entry, BIG)
 
     m = entry - B
     qstar, cm = _argcummin(m)
     scores = B + cm
-    tb = (jnp.arange(W)[None, :] - qstar).astype(jnp.int32)
+    tb = (jnp.arange(W)[:, None] - qstar).astype(jnp.int32)
     # invalid entry at q*=0 under bsd==0 counts one extra stay back
-    tb = tb - ((qstar == 0) & (bsd[:, None] == 0)).astype(jnp.int32)
+    tb = tb - ((qstar == 0) & (bsd[None, :] == 0)).astype(jnp.int32)
     scores = jnp.where(in_band, scores, BIG)
     return scores, tb
 
@@ -104,55 +97,53 @@ def _vit_step(prev, prev_valid, base, B, bsd, w):
 def _dwell_step(prev, prev_valid, base, B0, bsd, w, sdp):
     """Vectorized dwell-penalty base-step (reference semantics incl. the
     unpenalized long-dwell fallback and the past-prev-band stay suffix)."""
-    R, W = prev.shape
+    W, R = prev.shape
     L = sdp.shape[0]
-    p = jnp.arange(W)[None, :]
-    in_band = p < w[:, None]
+    p = jnp.arange(W)[:, None]
+    in_band = p < w[None, :]
 
-    unpen, unpen_tb = _vit_step(
-        prev, prev_valid, base, B0[:, 1:] , bsd, w
-    )
+    unpen, unpen_tb = _vit_step(prev, prev_valid, base, B0[1:], bsd, w)
 
     prev_last = jnp.take_along_axis(
-        prev, (prev_valid - 1)[:, None], axis=1
-    )[:, 0]
-    invalid = (LARGE_SCORE + prev_last)[:, None]
-    curr = jnp.broadcast_to(invalid, (R, W))
-    tb = jnp.full((R, W), -1, jnp.int32)
+        prev, (prev_valid - 1)[None, :], axis=0
+    )[0]
+    invalid = (LARGE_SCORE + prev_last)[None, :]
+    curr = jnp.broadcast_to(invalid, (W, R))
+    tb = jnp.full((W, R), -1, jnp.int32)
 
     p0 = prev_valid - bsd + L  # stay-only suffix start
-    main = p < p0[:, None]
-    entry_blocked = (p == 0) & (bsd[:, None] == 0)
+    main = p < p0[None, :]
+    entry_blocked = (p == 0) & (bsd[None, :] == 0)
 
     # ONE dynamic gather: prev aligned as prev_m1[p] = prev[p - 1 + bsd];
-    # every dwell candidate is then a cheap static lane shift of it
-    src_m1 = p - 1 + bsd[:, None]
-    prev_m1 = jnp.take_along_axis(prev, jnp.clip(src_m1, 0, W - 1), axis=1)
+    # every dwell candidate is then a cheap static sublane shift of it
+    src_m1 = p - 1 + bsd[None, :]
+    prev_m1 = jnp.take_along_axis(prev, jnp.clip(src_m1, 0, W - 1), axis=0)
     # inclusive band cumsum: Binc[p] = B0[p+1]
-    Binc = B0[:, 1:]
+    Binc = B0[1:]
     for d in range(L):
-        prev_idx = p - d - 1 + bsd[:, None]
+        prev_idx = p - d - 1 + bsd[None, :]
         valid = (
             main
             & in_band
             & (d <= p)
-            & ~((bsd[:, None] == 0) & (p == d))
+            & ~((bsd[None, :] == 0) & (p == d))
             & ~entry_blocked
             & (prev_idx >= 0)
-            & (prev_idx < prev_valid[:, None])
+            & (prev_idx < prev_valid[None, :])
         )
-        prev_g = _shift_right(prev_m1, d, BIG)
+        prev_g = _shift_down(prev_m1, d, BIG)
         # run over base costs [p-d .. p] = Binc[p] - Binc[p-d-1]
-        run = Binc - _shift_right(Binc, d + 1, jnp.float32(0))
+        run = Binc - _shift_down(Binc, d + 1, jnp.float32(0))
         cand = prev_g + run + sdp[d]
         upd = valid & (cand < curr)
         curr = jnp.where(upd, cand, curr)
         tb = jnp.where(upd, d, tb)
     # unpenalized fallback for dwells > L (static shifts of the vit pass)
     long_ok = main & in_band & (p >= L)
-    unpen_g = _shift_right(unpen, L, BIG)
-    unpen_tb_g = _shift_right(unpen_tb, L, jnp.int32(0))
-    run_L = Binc - _shift_right(Binc, L, jnp.float32(0))
+    unpen_g = _shift_down(unpen, L, BIG)
+    unpen_tb_g = _shift_down(unpen_tb, L, jnp.int32(0))
+    run_L = Binc - _shift_down(Binc, L, jnp.float32(0))
     cand = unpen_g + run_L
     upd = long_ok & (cand < curr)
     curr = jnp.where(upd, cand, curr)
@@ -160,19 +151,19 @@ def _dwell_step(prev, prev_valid, base, B0, bsd, w, sdp):
 
     # stay-only suffix: curr[p] = curr[p0c-1] + B0[p+1] - B0[p0c]
     p0c = jnp.maximum(p0, 1)
-    anchor = jnp.take_along_axis(curr, jnp.clip(p0c - 1, 0, W - 1)[:, None],
-                                 axis=1)[:, 0]
-    anchor_tb = jnp.take_along_axis(tb, jnp.clip(p0c - 1, 0, W - 1)[:, None],
-                                    axis=1)[:, 0]
-    anchor_B = jnp.take_along_axis(B0, jnp.clip(p0c, 0, W)[:, None],
-                                   axis=1)[:, 0]
-    sfx = in_band & (p >= p0c[:, None])
-    sfx_scores = (
-        anchor[:, None]
-        + jnp.take_along_axis(B0, jnp.clip(p + 1, 0, W), axis=1)
-        - anchor_B[:, None]
-    )
-    sfx_tb = anchor_tb[:, None] + (p - p0c[:, None] + 1)
+    anchor = jnp.take_along_axis(
+        curr, jnp.clip(p0c - 1, 0, W - 1)[None, :], axis=0
+    )[0]
+    anchor_tb = jnp.take_along_axis(
+        tb, jnp.clip(p0c - 1, 0, W - 1)[None, :], axis=0
+    )[0]
+    anchor_B = jnp.take_along_axis(
+        B0, jnp.clip(p0c, 0, W)[None, :], axis=0
+    )[0]
+    sfx = in_band & (p >= p0c[None, :])
+    # B0[p+1] over p = arange(W) is the static slice Binc
+    sfx_scores = anchor[None, :] + Binc - anchor_B[None, :]
+    sfx_tb = anchor_tb[None, :] + (p - p0c[None, :] + 1)
     curr = jnp.where(sfx, sfx_scores, curr)
     tb = jnp.where(sfx, sfx_tb, tb)
     curr = jnp.where(in_band, curr, BIG)
@@ -187,22 +178,27 @@ def banded_dp_batch(signal, levels, band_starts, band_widths, seq_lens,
                     sdp, algo="dwell_penalty", w_max=16):
     """Forward pass + traceback for a batch of reads.
 
-    Returns (path (R, N+1), traceback (N, R, W), scores_final (R, W)).
+    Returns (path (R, N+1), traceback (N, W, R), scores_final (W, R)).
     """
     R, N = levels.shape
     W = w_max
     dwell = algo == "dwell_penalty"
 
     # pre-gather all band signal windows + costs in ONE batched gather +
-    # vectorized elementwise/cumsum (the scan then only slices its xs)
-    all_bands = jax.vmap(lambda st: _take_band(signal, st, W))(
-        band_starts.T
-    )  # (N, R, W)
-    diffs = all_bands - levels.T[:, :, None]
-    lane = jnp.arange(W)[None, None, :]
-    in_band_all = lane < band_widths.T[:, :, None]
+    # vectorized elementwise/cumsum (the scan then only slices its xs).
+    # layout: (N, W, R) — reads in the minor/lane axis
+    signal_T = signal.T  # (S, R)
+    wvec = jnp.arange(W)[:, None]
+
+    def gather_band(st):
+        idx = jnp.clip(st[None, :] + wvec, 0, signal_T.shape[0] - 1)
+        return jnp.take_along_axis(signal_T, idx, axis=0)
+
+    all_bands = jax.vmap(gather_band)(band_starts.T)  # (N, W, R)
+    diffs = all_bands - levels.T[:, None, :]
+    in_band_all = wvec[None] < band_widths.T[:, None, :]
     all_base = jnp.where(in_band_all, diffs * diffs, 0.0)
-    all_B = jnp.cumsum(all_base, axis=2)
+    all_B = jnp.cumsum(all_base, axis=1)
 
     def scan_body(carry, inputs):
         prev, prev_valid, prev_start = carry
@@ -210,27 +206,27 @@ def banded_dp_batch(signal, levels, band_starts, band_widths, seq_lens,
         bsd = st - prev_start
         if dwell:
             B0 = jnp.concatenate(
-                [jnp.zeros((R, 1), jnp.float32), B], axis=1
+                [jnp.zeros((1, R), jnp.float32), B], axis=0
             )
             scores, tb = _dwell_step(prev, prev_valid, base, B0, bsd, wdt, sdp)
         else:
             scores, tb = _vit_step(prev, prev_valid, base, B, bsd, wdt)
-        return (scores, wdt, st), (scores, tb)
+        return (scores, wdt, st), tb
 
     # first base: spoofed stay-through prev (prev[0]=0, rest huge), bsd=1
-    prev0 = jnp.full((R, W), BIG, jnp.float32).at[:, 0].set(0.0)
+    prev0 = jnp.full((W, R), BIG, jnp.float32).at[0].set(0.0)
     init = (
         prev0,
         band_widths[:, 0],
         band_starts[:, 0] - 1,  # so bsd = 1 for the first base
     )
-    (final_scores, _, _), (all_scores, all_tb) = jax.lax.scan(
+    (final_scores, _, _), all_tb = jax.lax.scan(
         scan_body,
         init,
         (all_base, all_B, band_starts.T, band_widths.T),
     )
 
-    # traceback: path[i] = lookup - tb[i, r, lookup-1-start_i]
+    # traceback: path[i] = lookup - tb[i, lookup-1-start_i, r]
     sig_ends = jnp.take_along_axis(
         band_starts, (seq_lens - 1)[:, None], axis=1
     )[:, 0] + jnp.take_along_axis(
@@ -242,7 +238,7 @@ def banded_dp_batch(signal, levels, band_starts, band_widths, seq_lens,
         tb_i, st_i, idx = inputs
         lookup = nxt - 1
         off = jnp.clip(lookup - st_i, 0, W - 1)
-        step_back = jnp.take_along_axis(tb_i, off[:, None], axis=1)[:, 0]
+        step_back = jnp.take_along_axis(tb_i, off[None, :], axis=0)[0]
         cur = lookup - step_back
         # bases at i >= seq_len (padding) keep propagating the end value;
         # base index 0 always maps to 0 (handled by caller)
