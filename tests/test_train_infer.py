@@ -383,3 +383,29 @@ def test_train_filtering_and_grad_clip(tmpdir_factory, chunks_config):
         str(out / "model_final.checkpoint")
     )
     assert meta["epoch"] == 1
+
+
+def test_cli_validate_from_dataset(trained_model, chunks_config, tmp_path):
+    """`validate from_remora_dataset` CLI end-to-end (reference analog:
+    test_main.py validate-from-dataset flow)."""
+    import subprocess
+    import sys
+
+    out_file = tmp_path / "val.tsv"
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "remora_tpu", "validate",
+            "from_remora_dataset", str(chunks_config),
+            "--model", trained_model,
+            "--out-file", str(out_file),
+            "--batch-size", "64",
+        ],
+        env=dict(os.environ, JAX_PLATFORMS="cpu",
+                 PYTHONPATH=os.path.dirname(os.path.dirname(
+                     os.path.abspath(__file__)))),
+        timeout=300, capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    body = out_file.read_text().splitlines()
+    assert len(body) >= 2  # header + summary row
+    assert "acc" in body[0].lower() or "accuracy" in body[0].lower()
