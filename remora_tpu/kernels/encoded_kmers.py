@@ -50,21 +50,45 @@ def compute_encoded_kmer_batch(before_bases, after_bases, seqs, seq_mappings,
     """
     kmer_len = before_bases + after_bases + 1
     B = seqs.shape[0]
-    pos = seq_pos_of_sig(
-        seq_mappings.astype(jnp.int32), seq_lens.astype(jnp.int32), sig_len
+    S = seq_mappings.shape[1] - 1
+
+    # TPU formulation: the featurization is a batched 0/1 matmul
+    #   out[b, 4k+c, t] = sum_s slot_oh[b, 4k+c, s] * A[b, s, t]
+    # where slot_oh comes from STATIC shifts of the one-hot sequence
+    # (no per-element gather — TPU gathers serialize) and A assigns each
+    # signal position to its covering base via two compares. Each
+    # (slot, t) hits at most one s, so outputs are exactly 0.0/1.0 —
+    # bit-identical to the gather/one-hot construction — and the
+    # contraction runs on the MXU instead of the gather slow path.
+    seq_oh = jax.nn.one_hot(seqs, 4, dtype=jnp.float32, axis=1)  # (B,4,S+ctx)
+    pad = max(0, S + kmer_len - 1 - seqs.shape[1])
+    if pad > 0:
+        seq_oh = jnp.pad(seq_oh, ((0, 0), (0, 0), (0, pad)))
+    slot_oh = jnp.concatenate(
+        [seq_oh[:, :, k : k + S] for k in range(kmer_len)], axis=1
+    )  # (B, 4K, S)
+
+    m = seq_mappings.astype(jnp.int32)
+    s_row = jnp.arange(S + 1)[None, :]
+    # rows past the true sequence cover nothing: pin their bounds at W.
+    # base 0's coverage starts at 0 (the cumsum formulation ignores
+    # map[0]); maps are monotonic by chunk invariant
+    m = jnp.where(s_row < seq_lens[:, None], jnp.clip(m, 0, sig_len), sig_len)
+    m = m.at[:, 0].set(0)
+    t_row = jnp.arange(sig_len)[None, None, :]
+    # bf16 operands are exact for 0/1 values and halve MXU input traffic;
+    # CPU backends emulate bf16 matmuls slowly, so keep f32 there
+    mm_dtype = (
+        jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     )
-    # gather bases for all kmer slots: (B, K, W)
-    slot_idx = pos[:, None, :] + jnp.arange(kmer_len)[None, :, None]
-    slot_idx = jnp.clip(slot_idx, 0, seqs.shape[1] - 1)
-    bases = jnp.take_along_axis(
-        seqs.astype(jnp.int32)[:, None, :].repeat(kmer_len, axis=1),
-        slot_idx,
-        axis=2,
+    assign = (
+        (m[:, :-1, None] <= t_row) & (t_row < m[:, 1:, None])
+    ).astype(mm_dtype)  # (B, S, W) exact 0/1
+
+    out = jnp.einsum(
+        "bks,bst->bkt",
+        slot_oh.astype(mm_dtype),
+        assign,
+        preferred_element_type=jnp.float32,
     )
-    # one-hot over 4 channels; -1 bases produce all-zero rows
-    onehot = jax.nn.one_hot(bases, 4, dtype=jnp.float32, axis=-1)
-    # (B, K, W, 4) -> (B, K, 4, W) -> (B, 4K, W)
-    out = jnp.transpose(onehot, (0, 1, 3, 2)).reshape(
-        B, 4 * kmer_len, sig_len
-    )
-    return out
+    return out.reshape(B, 4 * kmer_len, sig_len)
