@@ -53,18 +53,31 @@ def main():
     labels = jnp.asarray(rng.integers(0, 2, B).astype(np.int64))
 
     bb = K // 2
-    step = make_train_step_raw(M, tx, (bb, K - 1 - bb), W)
-    p, bnn, o = params, bn, opt
-    t0 = time.time()
-    p, bnn, o, loss, _nf, _gm = step(
-        p, bnn, o, signal, seqs, maps, seq_lens, labels
+    step = make_train_step_raw(
+        M, tx, (bb, K - 1 - bb), W,
     )
+
+    # chain the steps inside one jitted fori_loop: a single dispatch +
+    # scalar fetch measures pure device time, immune to the per-dispatch
+    # round-trip latency of tunneled TPU backends (which otherwise
+    # dominates and under-reports throughput ~8x)
+    @jax.jit
+    def run_k(p, bnn, o, k):
+        def body(i, carry):
+            p, bnn, o, _l = carry
+            p, bnn, o, loss, _nf, _gm = step(
+                p, bnn, o, signal + i * jnp.float32(1e-12), seqs, maps,
+                seq_lens, labels,
+            )
+            return (p, bnn, o, loss)
+
+        return jax.lax.fori_loop(0, k, body, (p, bnn, o, jnp.float32(0)))
+
+    t0 = time.time()
+    p, bnn, o, loss = run_k(params, bn, opt, 2)
     print(f"compile: {time.time() - t0:.1f}s loss={float(loss):.4f}")
     t0 = time.time()
-    for _ in range(args.iters):
-        p, bnn, o, loss, _nf, _gm = step(
-            p, bnn, o, signal, seqs, maps, seq_lens, labels
-        )
+    p, bnn, o, loss = run_k(p, bnn, o, args.iters)
     _ = float(loss)
     dt = time.time() - t0
     print(
