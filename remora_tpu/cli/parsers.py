@@ -437,6 +437,10 @@ def register_model_train(ssub):
     )
     trn.add_argument("--gradient-clip-num-mads", type=float)
     trn.add_argument("--resume-from-checkpoint")
+    trn.add_argument(
+        "--bf16", action="store_true",
+        help="run forward/backward in bfloat16 against f32 master weights",
+    )
     dist = p.add_argument_group("Distributed Arguments")
     dist.add_argument(
         "--data-parallel", action="store_true",
@@ -507,6 +511,7 @@ def run_model_train(args):
         super_batch_sample_frac=args.super_batch_sample_frac,
         gradient_clip_num_mads=args.gradient_clip_num_mads,
         resume_from_checkpoint=args.resume_from_checkpoint,
+        bf16_compute=args.bf16,
         mesh=mesh,
     )
 

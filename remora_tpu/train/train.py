@@ -40,7 +40,8 @@ def cross_entropy_loss(logits, labels):
 
 def make_train_step_raw(model, tx, kmer_context_bases, chunk_width,
                         high_conf_incorrect_thr_frac=None,
-                        use_grad_clip=False, donate=True):
+                        use_grad_clip=False, donate=True,
+                        compute_dtype=None):
     """Jitted train step taking RAW ragged arrays; the encoded-kmer
     featurization runs on device (remora_tpu.kernels.encoded_kmers), so
     each step ships compact int8/int16 arrays instead of the ~50x larger
@@ -56,6 +57,7 @@ def make_train_step_raw(model, tx, kmer_context_bases, chunk_width,
         high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
         use_grad_clip=use_grad_clip,
         donate=False,
+        compute_dtype=compute_dtype,
     )
 
     def step(params, bn_state, opt_state, signal, sequence, seq_maps,
@@ -71,15 +73,40 @@ def make_train_step_raw(model, tx, kmer_context_bases, chunk_width,
 
 
 def make_train_step(model, tx, high_conf_incorrect_thr_frac=None,
-                    use_grad_clip=False, donate=True):
-    """Build the jitted training step for one model architecture."""
+                    use_grad_clip=False, donate=True, compute_dtype=None):
+    """Build the jitted training step for one model architecture.
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) runs the forward/backward in
+    reduced precision against full-precision master weights: parameters
+    and activations are cast on entry, gradients flow back as f32 into
+    the f32 AdamW state (standard mixed-precision recipe; ~MXU-rate
+    matmuls on TPU)."""
 
     def step(params, bn_state, opt_state, sigs, enc_kmers, labels,
              grad_threshs=None):
         def loss_fn(p):
-            logits, new_bn = model.forward(
-                p, bn_state, sigs, enc_kmers, train=True
-            )
+            if compute_dtype is not None:
+                cast = lambda t: jax.tree.map(  # noqa: E731
+                    lambda x: x.astype(compute_dtype)
+                    if x.dtype == jnp.float32
+                    else x,
+                    t,
+                )
+                logits, new_bn = model.forward(
+                    cast(p),
+                    cast(bn_state),
+                    sigs.astype(compute_dtype),
+                    enc_kmers.astype(compute_dtype),
+                    train=True,
+                )
+                logits = logits.astype(jnp.float32)
+                new_bn = jax.tree.map(
+                    lambda x: x.astype(jnp.float32), new_bn
+                )
+            else:
+                logits, new_bn = model.forward(
+                    p, bn_state, sigs, enc_kmers, train=True
+                )
             logp = jax.nn.log_softmax(logits)
             per_ex = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
             if high_conf_incorrect_thr_frac is None:
@@ -184,6 +211,7 @@ def train_model(
     mesh=None,
     featurize_on_device=True,
     resume_from_checkpoint=None,
+    bf16_compute=False,
 ):
     from remora_tpu.jax_setup import ensure_compilation_cache
 
@@ -360,6 +388,9 @@ def train_model(
             f"Data-parallel training over {np.prod(mesh.devices.shape)} "
             "devices"
         )
+    compute_dtype = jnp.bfloat16 if bf16_compute else None
+    if bf16_compute:
+        LOGGER.info("Training compute in bfloat16 (f32 master weights)")
     if featurize_on_device:
         train_step = make_train_step_raw(
             model,
@@ -368,6 +399,7 @@ def train_model(
             dataset.metadata.chunk_width,
             high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
             use_grad_clip=use_grad_clip,
+            compute_dtype=compute_dtype,
         )
     else:
         train_step = make_train_step(
@@ -375,6 +407,7 @@ def train_model(
             tx,
             high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
             use_grad_clip=use_grad_clip,
+            compute_dtype=compute_dtype,
         )
     eval_step = make_eval_step(model)
 

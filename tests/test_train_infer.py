@@ -409,3 +409,35 @@ def test_cli_validate_from_dataset(trained_model, chunks_config, tmp_path):
     body = out_file.read_text().splitlines()
     assert len(body) >= 2  # header + summary row
     assert "acc" in body[0].lower() or "accuracy" in body[0].lower()
+
+
+def test_train_bf16_compute(tmpdir_factory, chunks_config):
+    """Mixed-precision training (bf16 compute, f32 master weights)
+    trains to a usable checkpoint."""
+    from remora_tpu.models import model_io
+    from remora_tpu.train.optim import TrainOpts
+    from remora_tpu.train.train import train_model
+
+    out = tmpdir_factory.mktemp("bf16") / "model"
+    train_model(
+        seed=3,
+        out_path=str(out),
+        remora_dataset_path=str(chunks_config),
+        chunk_context=(50, 50),
+        kmer_context_bases=(2, 2),
+        batch_size=16,
+        model_name="Conv_w_ref",
+        size=8,
+        train_opts=TrainOpts(epochs=1, early_stopping=0),
+        chunks_per_epoch=64,
+        num_test_chunks=32,
+        bf16_compute=True,
+    )
+    import numpy as np
+
+    _m, p, _bn, meta = model_io.load_model(str(out / "model_final.checkpoint"))
+    assert meta["epoch"] == 1
+    # master weights stayed f32 and finite
+    leaves = jax_leaves(p)
+    assert all(np.asarray(x).dtype == np.float32 for x in leaves)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
