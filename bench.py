@@ -1,9 +1,10 @@
-"""Headline benchmark: model-forward inference throughput (chunks/s/chip).
+"""Headline benchmark: inference device-stage throughput (chunks/s/chip).
 
-Measures the flagship ConvLSTM forward pass (the device stage of the
-streaming inference pipeline) at production shapes — batch 2048, chunk
-width 400, 9-mer context — on the default JAX device, and the same
-computation on host CPU for the vs-baseline ratio.
+Measures the full device stage of the streaming inference pipeline —
+on-device encoded-kmer featurization (0/1 MXU matmul) + the flagship
+ConvLSTM forward — at production shapes (batch 2048, chunk width 400,
+9-mer context) on the default JAX device, and the same computation on
+host CPU for the vs-baseline ratio.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "chunks/s", "vs_baseline": N}
@@ -28,12 +29,15 @@ def _throughput(fwd, args, device, iters, warmup=1):
     import jax
     import jax.numpy as jnp
 
-    params, bn_state, sigs, enc_kmers = jax.device_put(args, device)
+    params, bn_state, sigs, seqs, maps, seq_lens = jax.device_put(
+        args, device
+    )
 
-    def loop(params, bn_state, sigs, enc_kmers, seed, n):
+    def loop(params, bn_state, sigs, seqs, maps, seq_lens, seed, n):
         def body(_i, carry):
             acc, s = carry
-            out = fwd(params, bn_state, s + acc * 1e-20, enc_kmers)
+            out = fwd(params, bn_state, s + acc * 1e-20, seqs, maps,
+                      seq_lens)
             return acc + jnp.mean(out), s
 
         acc, _ = jax.lax.fori_loop(
@@ -45,9 +49,11 @@ def _throughput(fwd, args, device, iters, warmup=1):
     # warmup with the SAME static n (compile cache) but a DIFFERENT seed
     # input, so remote backends cannot alias the timed dispatch to the
     # warmup result; fetching the scalar value is the completion fence
-    float(fn(params, bn_state, sigs, enc_kmers, jnp.float32(0), n=iters))
+    float(fn(params, bn_state, sigs, seqs, maps, seq_lens,
+             jnp.float32(0), n=iters))
     t0 = time.perf_counter()
-    float(fn(params, bn_state, sigs, enc_kmers, jnp.float32(1), n=iters))
+    float(fn(params, bn_state, sigs, seqs, maps, seq_lens,
+             jnp.float32(1), n=iters))
     dt = time.perf_counter() - t0
     return iters * sigs.shape[0] / dt
 
@@ -58,23 +64,32 @@ def main():
 
     ensure_compilation_cache()
 
+    from remora_tpu.kernels.encoded_kmers import (
+        compute_encoded_kmer_batch as enc,
+    )
     from remora_tpu.models import conv_lstm_model as M
 
     batch, width, kmer_len = 2048, 400, 9
+    max_seq = width // 5
     params, bn_state = M.init(
         jax.random.PRNGKey(0), size=64, kmer_len=kmer_len, num_out=2
     )
 
-    def fwd(params, bn_state, sigs, enc_kmers):
+    def fwd(params, bn_state, sigs, seqs, maps, seq_lens):
+        enc_kmers = enc(4, 4, seqs, maps, seq_lens, width)
         logits, _ = M.forward(params, bn_state, sigs, enc_kmers, train=False)
         return logits
 
     rng = np.random.default_rng(0)
     sigs = rng.normal(size=(batch, 1, width)).astype(np.float32)
-    enc_kmers = (rng.random((batch, 4 * kmer_len, width)) < 0.25).astype(
-        np.float32
-    )
-    args = (params, bn_state, sigs, enc_kmers)
+    seq_lens = rng.integers(max_seq // 2, max_seq + 1, batch).astype(np.int16)
+    seqs = rng.integers(0, 4, (batch, max_seq + kmer_len - 1)).astype(np.int8)
+    maps = np.zeros((batch, max_seq + 1), np.int16)
+    for b in range(batch):
+        sl = seq_lens[b]
+        maps[b, 1:sl] = np.sort(rng.integers(0, width + 1, sl - 1))
+        maps[b, sl] = width
+    args = (params, bn_state, sigs, seqs, maps, seq_lens)
 
     main_dev = jax.devices()[0]
     on_accel = main_dev.platform != "cpu"
