@@ -213,3 +213,27 @@ def test_cli_make_config_and_merge(cli_can_chunks, tmp_path):
         "--max-size", "100",
     )
     assert CoreDataset(str(capped)).size == 100
+
+
+def test_cli_train_dynamic_contexts(cli_can_chunks, tmp_path):
+    """Training at shrunken chunk AND kmer contexts relative to the
+    stored dataset (reference analog: test_main.py dynamic-context
+    trains); the checkpoint must carry the shrunken geometry."""
+    from remora_tpu.models import model_io
+
+    cfg = tmp_path / "ds.cfg"
+    cfg.write_text(json.dumps([[str(cli_can_chunks), 1.0]]))
+    out = tmp_path / "dyn_train"
+    run_cli(
+        "model", "train", cfg, "--output-path", out,
+        "--model", "Conv_w_ref", "--size", "8", "--batch-size", "16",
+        "--epochs", "1", "--chunks-per-epoch", "32",
+        "--num-test-chunks", "16", "--early-stopping", "0",
+        "--chunk-context", "50", "50", "--kmer-context-bases", "2", "2",
+    )
+    _m, _p, _bn, meta = model_io.load_model(
+        str(out / "model_final.checkpoint")
+    )
+    assert tuple(meta["chunk_context"]) == (50, 50)
+    assert tuple(meta["kmer_context_bases"]) == (2, 2)
+    assert meta["model_params"]["kmer_len"] == 5
