@@ -237,3 +237,23 @@ def test_cli_train_dynamic_contexts(cli_can_chunks, tmp_path):
     assert tuple(meta["chunk_context"]) == (50, 50)
     assert tuple(meta["kmer_context_bases"]) == (2, 2)
     assert meta["model_params"]["kmer_len"] == 5
+
+
+def test_cli_merge_mixed_labels(cli_can_chunks, tmp_path):
+    """Physically merging control + modified datasets unions the label
+    space and preserves per-label counts."""
+    from remora_tpu.data.dataset import CoreDataset
+
+    mod = tmp_path / "mod_chunks"
+    run_cli(
+        "dataset", "prepare",
+        f"{DATA}/mod_reads.pod5", f"{DATA}/mod_mappings.bam",
+        "--output-path", mod, "--mod-base", "m", "5mC",
+        "--motif", "CG", "0",
+    )
+    merged = tmp_path / "merged_mixed"
+    run_cli("dataset", "merge", merged, cli_can_chunks, mod)
+    ds = CoreDataset(str(merged))
+    counts = ds.get_label_counts()
+    assert ds.metadata.mod_bases == ["m"]
+    assert counts[0] == 205 and counts[1] == 210
