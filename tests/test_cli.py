@@ -257,3 +257,61 @@ def test_cli_merge_mixed_labels(cli_can_chunks, tmp_path):
     counts = ds.get_label_counts()
     assert ds.metadata.mod_bases == ["m"]
     assert counts[0] == 205 and counts[1] == 210
+
+
+@pytest.fixture(scope="session")
+def cli_model(cli_can_chunks, tmpdir_factory):
+    """Tiny ConvLSTM (can + 5mC) trained via the CLI, shared by the
+    export/duplex tests."""
+    base = tmpdir_factory.mktemp("cli_model")
+    mod = base / "mod_chunks"
+    run_cli(
+        "dataset", "prepare",
+        f"{DATA}/mod_reads.pod5", f"{DATA}/mod_mappings.bam",
+        "--output-path", mod, "--mod-base", "m", "5mC",
+        "--motif", "CG", "0",
+    )
+    cfg = base / "ds.cfg"
+    cfg.write_text(
+        json.dumps([[str(cli_can_chunks), 1.0], [str(mod), 1.0]]), "utf-8"
+    )
+    out = base / "model"
+    run_cli(
+        "model", "train", cfg, "--output-path", out,
+        "--model", "ConvLSTM_w_ref", "--size", "16", "--batch-size", "16",
+        "--epochs", "1", "--chunks-per-epoch", "32",
+        "--num-test-chunks", "16", "--early-stopping", "0",
+        "--chunk-context", "50", "50", "--kmer-context-bases", "2", "2",
+    )
+    return str(out / "model_final.checkpoint")
+
+
+def test_cli_model_export_dorado(cli_model, tmp_path):
+    out = tmp_path / "dorado_model"
+    run_cli("model", "export", cli_model, out)
+    files = set(os.listdir(out))
+    assert "config.toml" in files
+    assert any(f.endswith(".tensor") or f.endswith(".pt") for f in files), files
+
+
+def test_cli_infer_duplex(cli_model, tmp_path):
+    out_bam = tmp_path / "duplex_calls.bam"
+    run_cli(
+        "infer", "duplex_from_pod5_and_bam",
+        f"{DATA}/duplex_reads.pod5",
+        f"{DATA}/simplex_reads_mapped.bam",
+        f"{DATA}/duplex_reads_mapped.bam",
+        f"{DATA}/duplex_pairs.txt",
+        "--model", cli_model,
+        "--out-bam", out_bam,
+    )
+    from remora_tpu.io.bam import FastBamScanner
+
+    n_tagged = 0
+    for rec in FastBamScanner(str(out_bam)):
+        try:
+            if rec.get_tag("MM"):
+                n_tagged += 1
+        except KeyError:
+            pass
+    assert n_tagged >= 1
