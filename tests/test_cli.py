@@ -293,6 +293,15 @@ def test_cli_model_export_dorado(cli_model, tmp_path):
     assert "config.toml" in files
     assert any(f.endswith(".tensor") or f.endswith(".pt") for f in files), files
 
+    ts_out = out.parent / "model_ts.pt"
+    run_cli("model", "export", cli_model, ts_out, "--format", "torchscript")
+    import torch
+
+    m = torch.jit.load(str(ts_out))
+    sig = torch.zeros((4, 1, 100))
+    km = torch.zeros((4, 20, 100))
+    assert tuple(m(sig, km).shape) == (4, 2)
+
 
 def test_cli_infer_duplex(cli_model, tmp_path):
     out_bam = tmp_path / "duplex_calls.bam"
