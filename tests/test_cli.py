@@ -324,3 +324,29 @@ def test_cli_infer_duplex(cli_model, tmp_path):
         except KeyError:
             pass
     assert n_tagged >= 1
+
+
+def test_cli_validate_from_modbams(cli_model, tmp_path):
+    """infer -> validate from_modbams with BED ground truth, end-to-end
+    through the CLI (reference analog: test_main.py modbam validation)."""
+    can_bam = tmp_path / "can_calls.bam"
+    mod_bam = tmp_path / "mod_calls.bam"
+    run_cli(
+        "infer", "from_pod5_and_bam",
+        f"{DATA}/can_reads.pod5", f"{DATA}/can_mappings.bam",
+        "--model", cli_model, "--out-bam", can_bam,
+    )
+    run_cli(
+        "infer", "from_pod5_and_bam",
+        f"{DATA}/mod_reads.pod5", f"{DATA}/mod_mappings.bam",
+        "--model", cli_model, "--out-bam", mod_bam,
+    )
+    out_file = tmp_path / "modbam_val.txt"
+    res = run_cli(
+        "validate", "from_modbams",
+        "--bam-and-bed", can_bam, f"{DATA}/can_gt.bed",
+        "--bam-and-bed", mod_bam, f"{DATA}/mod_gt.bed",
+        "--seed", "1", "--out-file", out_file,
+    )
+    body = out_file.read_text()
+    assert "acc" in body.lower() or "sample" in body.lower(), body
