@@ -417,6 +417,15 @@ def register_model_train(ssub):
     trn.add_argument("--optimizer", default=constants.DEFAULT_OPTIMIZER)
     trn.add_argument("--lr", type=float, default=constants.DEFAULT_LR)
     trn.add_argument(
+        "--opt-kwargs", nargs=3, action="append",
+        metavar=("NAME", "VALUE", "TYPE"),
+        help="typed optimizer kwarg passthrough, e.g. weight_decay 1e-5 float",
+    )
+    trn.add_argument(
+        "--lr-scheduler-kwargs", nargs=3, action="append",
+        metavar=("NAME", "VALUE", "TYPE"),
+    )
+    trn.add_argument(
         "--scheduler", default=constants.DEFAULT_SCHEDULER
     )
     trn.add_argument(
@@ -469,6 +478,8 @@ def run_model_train(args):
             process_id=args.process_id,
         )
         mesh = make_mesh()
+    from remora_tpu import constants as _c
+
     train_opts = TrainOpts(
         epochs=args.epochs,
         early_stopping=args.early_stopping,
@@ -477,6 +488,13 @@ def run_model_train(args):
         lr_scheduler_str=args.scheduler,
         lr_cool_down_epochs=args.lr_cool_down_epochs,
         lr_cool_down_lr=args.lr_cool_down_lr,
+        opt_kwargs=tuple(
+            tuple(kw) for kw in (args.opt_kwargs or _c.DEFAULT_OPT_VALUES)
+        ),
+        lr_scheduler_kwargs=tuple(
+            tuple(kw)
+            for kw in (args.lr_scheduler_kwargs or _c.DEFAULT_SCH_VALUES)
+        ),
     )
     train_model(
         seed=args.seed,
