@@ -166,3 +166,22 @@ def test_pod5_writer_roundtrip(tmp_path):
         assert abs(cal.offset - (-12.5)) < 1e-6
         assert abs(cal.scale - 1 / 0.18) < 1e-6
         assert r.sample_rate == 5000
+
+
+def test_read_index_fetch_region(can_mappings):
+    """ReadIndexedBam.fetch yields primary records overlapping a region,
+    strand-filtered (reference io.ReadIndexedBam.fetch semantics)."""
+    from remora_tpu.io.read_index import ReadIndexedBam
+
+    idx = ReadIndexedBam(str(can_mappings))
+    recs = list(idx.fetch("chr13", 52300000, 52320000))
+    assert len(recs) > 0
+    for r in recs:
+        assert r.reference_name == "chr13"
+        assert r.reference_start < 52320000 and r.reference_end > 52300000
+    fwd = list(idx.fetch("chr13", 52300000, 52320000, strand="+"))
+    rev = list(idx.fetch("chr13", 52300000, 52320000, strand="-"))
+    assert len(fwd) + len(rev) == len(recs)
+    assert all(f.is_forward for f in fwd)
+    assert all(r.is_reverse for r in rev)
+    assert list(idx.fetch("chrUnknown", 0, 1000)) == []
