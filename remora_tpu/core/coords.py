@@ -1,8 +1,10 @@
-"""Coordinate mapping math: CIGAR -> ref/query knots -> signal positions.
+"""Alignment coordinate transforms: CIGAR -> ref/query knots -> signal.
 
 Behavioral parity with the reference (``src/remora/data_chunks.py:29–122``):
-piecewise-linear interpolation through alignment-match "knots", composed
-with the move-table query->signal map, floored to integer signal indices.
+each reference position receives a fractional query coordinate by linear
+interpolation through the endpoints of aligned (match) runs, and that is
+then composed with the move-table query->signal map and floored to integer
+signal indices.
 """
 
 import re
@@ -11,22 +13,23 @@ import numpy as np
 
 from remora_tpu import RemoraError
 
-# CIGAR op tables indexed by numeric op code (M I D N S H P = X)
+# Numeric CIGAR op codes follow the SAM spec ordering.
 CIGAR_CODES = "MIDNSHP=X"
 CODE_TO_OP = {c: i for i, c in enumerate(CIGAR_CODES)}
-MATCH_OPS = np.array([True, False, False, False, False, False, False, True, True])
-QUERY_OPS = np.array([True, True, False, False, True, False, False, True, True])
-REF_OPS = np.array([True, False, True, True, False, False, False, True, True])
-MATCH_OPS_SET = frozenset(np.where(MATCH_OPS)[0].tolist())
+# Which coordinate systems each op advances, derived from the spec.
+REF_OPS = np.array([c in "MDN=X" for c in CIGAR_CODES])
+QUERY_OPS = np.array([c in "MIS=X" for c in CIGAR_CODES])
+MATCH_OPS = np.array([c in "M=X" for c in CIGAR_CODES])
+MATCH_OPS_SET = frozenset(i for i, c in enumerate(CIGAR_CODES) if c in "M=X")
 
 _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
 
 
 def cigartuples_from_string(cigarstring):
-    """Parse a CIGAR string into a list of (op, length) tuples."""
+    """Parse a CIGAR string into a pysam-style list of (op, length)."""
     return [
-        (CODE_TO_OP[m.group(2)], int(m.group(1)))
-        for m in _CIGAR_RE.finditer(cigarstring)
+        (CODE_TO_OP[op], int(count))
+        for count, op in _CIGAR_RE.findall(cigarstring)
     ]
 
 
@@ -35,51 +38,54 @@ def cigartuples_to_string(cigartuples):
 
 
 def make_sequence_coordinate_mapping(cigar):
-    """Map each reference position to a (fractional) query position.
+    """Assign a (fractional) query coordinate to every reference position.
+
+    Knots are placed at the first and last base of every aligned run; query
+    coordinates for reference positions between runs (deletions/skips) are
+    linearly interpolated between the surrounding knots.
 
     Args:
         cigar: list of (op, length) tuples
 
     Returns:
-        float array of shape (ref_len + 1,): query coordinate assigned to
-        each reference coordinate (knot interpolation over match ops).
+        float array of shape (ref_len + 1,)
     """
-    while len(cigar) > 0 and cigar[-1][0] not in MATCH_OPS_SET:
-        cigar = cigar[:-1]
-    if len(cigar) == 0:
+    # ignore trailing clip/indel ops so the final knot lands on a match
+    n_keep = len(cigar)
+    while n_keep and cigar[n_keep - 1][0] not in MATCH_OPS_SET:
+        n_keep -= 1
+    if n_keep == 0:
         raise RemoraError("No match operations found in alignment cigar")
-    ops, lens = map(np.array, zip(*cigar))
-    if ops.min() < 0 or ops.max() > 8:
+    ops = np.fromiter((op for op, _ in cigar[:n_keep]), dtype=np.int64)
+    lens = np.fromiter((ln for _, ln in cigar[:n_keep]), dtype=np.int64)
+    if not ((0 <= ops) & (ops <= 8)).all():
         raise RemoraError("Invalid cigar op(s)")
-    if lens.min() < 0:
+    if (lens < 0).any():
         raise RemoraError("Cigar lengths may not be negative")
 
-    is_match = MATCH_OPS[ops]
-    match_counts = lens[is_match]
-    # for each match run of length L ending at cumulative position c we add
-    # knots at (c - L) and (c - 1) in both coordinate systems
-    offsets = np.array([match_counts, np.ones_like(match_counts)])
+    # cumulative end coordinate of every op in each coordinate system
+    ref_end = np.cumsum(lens * REF_OPS[ops])
+    query_end = np.cumsum(lens * QUERY_OPS[ops])
 
-    ref_knots = np.cumsum(np.where(REF_OPS[ops], lens, 0))
-    ref_knots = np.concatenate(
-        [[0], (ref_knots[is_match] - offsets).T.flatten(), [ref_knots[-1]]]
-    )
-    query_knots = np.cumsum(np.where(QUERY_OPS[ops], lens, 0))
-    query_knots = np.concatenate(
-        [[0], (query_knots[is_match] - offsets).T.flatten(), [query_knots[-1]]]
-    )
+    aligned = MATCH_OPS[ops]
+    run_len = lens[aligned]
+
+    def knot_coords(ends):
+        run_end = ends[aligned]
+        # two knots per aligned run: run start, and last base of the run
+        inner = np.column_stack((run_end - run_len, run_end - 1)).ravel()
+        return np.concatenate(([0], inner, ends[-1:]))
+
+    ref_knots = knot_coords(ref_end)
+    query_knots = knot_coords(query_end)
     return np.interp(np.arange(ref_knots[-1] + 1), ref_knots, query_knots)
 
 
 def map_ref_to_signal(*, query_to_signal, ref_to_query_knots):
     """Compose ref->query knots with the query->signal map (floored)."""
-    return np.floor(
-        np.interp(
-            ref_to_query_knots,
-            np.arange(query_to_signal.size),
-            query_to_signal,
-        )
-    ).astype(int)
+    base_idx = np.arange(query_to_signal.size)
+    sig_coords = np.interp(ref_to_query_knots, base_idx, query_to_signal)
+    return np.floor(sig_coords).astype(int)
 
 
 def compute_ref_to_signal(query_to_signal, cigar):
@@ -100,14 +106,15 @@ def parse_move_table(stride, moves, sig_len, seq_len=None, check=True,
         sig_len: total signal length
         seq_len: expected basecall length (for validation)
         reverse_signal: flip mapping for 3'->5' (RNA) signal
+        check: validate table consistency against seq_len / sig_len
 
     Returns:
-        int array of length (num_bases + 1) giving signal start index per
-        base plus the end-of-signal terminator.
+        int array of length (num_bases + 1): signal start index per base,
+        terminated by sig_len.
     """
     moves = np.asarray(moves)
-    query_to_signal = np.nonzero(moves)[0] * stride
-    query_to_signal = np.concatenate([query_to_signal, [sig_len]])
+    base_starts = np.flatnonzero(moves) * stride
+    query_to_signal = np.append(base_starts, sig_len)
     if reverse_signal:
         query_to_signal = sig_len - query_to_signal[::-1]
     if check and seq_len is not None and query_to_signal.size - 1 != seq_len:

@@ -1,8 +1,9 @@
-"""Vectorized per-base signal metrics (dwell / mean / sd, trimmed variants).
+"""Per-base signal statistics (dwell / mean / sd and trimmed variants).
 
-Behavioral parity with the reference ``src/remora/metrics.py``: all
-statistics are computed with the cumulative-sum trick from a
-sequence->signal mapping.
+Behavioral parity with the reference ``src/remora/metrics.py``, but built
+around one generic windowed-moment engine: every metric is a prefix-sum
+lookup over per-base signal windows, where the "trimmed" variants simply
+shrink each window by fixed offsets. Degenerate (empty) windows yield NaN.
 """
 
 import numpy as np
@@ -11,36 +12,66 @@ DEFAULT_START_TRIM = 1
 DEFAULT_END_TRIM = 1
 
 
-def _clip_sig(sig, seq_to_sig):
-    sig = sig[seq_to_sig[0] : seq_to_sig[-1]]
-    return sig, seq_to_sig - seq_to_sig[0]
+class _BaseWindows:
+    """Per-base signal windows with prefix-sum moment queries.
+
+    The signal is first restricted to the span covered by the mapping so
+    prefix sums stay small; window edges may then be narrowed by
+    (start_trim, end_trim) samples per base.
+    """
+
+    def __init__(self, sig, seq_to_sig):
+        lo = seq_to_sig[0]
+        self.sig = sig[lo : seq_to_sig[-1]]
+        self.starts = seq_to_sig[:-1] - lo
+        self.ends = seq_to_sig[1:] - lo
+        self.full_widths = np.diff(seq_to_sig).astype(np.float32)
+        self._cs1 = None
+        self._cs2 = None
+
+    @staticmethod
+    def _prefix(values):
+        out = np.zeros(values.size + 1)
+        np.cumsum(values, out=out[1:])
+        return out
+
+    def _moments(self, start_trim, end_trim):
+        """Windowed (width, sum, sum-of-squares) after edge trimming."""
+        if start_trim == 0 and end_trim == 0:
+            lo, hi = self.starts, self.ends
+            width = self.full_widths
+        else:
+            lo = np.minimum(self.starts + start_trim, self.sig.size)
+            hi = np.maximum(self.ends - end_trim, 0)
+            width = np.maximum(self.full_widths - start_trim - end_trim, 0)
+        if self._cs1 is None:
+            self._cs1 = self._prefix(self.sig)
+        return width, self._cs1[hi] - self._cs1[lo], (lo, hi)
+
+    def means(self, start_trim=0, end_trim=0):
+        width, total, _ = self._moments(start_trim, end_trim)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m = total / width
+            m[np.isinf(m)] = np.nan
+        return m
+
+    def stdevs(self, means, start_trim=0, end_trim=0):
+        width, _, (lo, hi) = self._moments(start_trim, end_trim)
+        if self._cs2 is None:
+            self._cs2 = self._prefix(np.square(self.sig))
+        sq_total = self._cs2[hi] - self._cs2[lo]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = np.maximum(sq_total / width - np.square(means), 0)
+            sd = np.sqrt(var)
+            sd[np.isinf(sd)] = np.nan
+        return sd
 
 
-def _cumsum0(sig):
-    cs = np.empty(sig.size + 1)
-    cs[0] = 0
-    cs[1:] = np.cumsum(sig)
-    return cs
-
-
-def _base_means(sig, seq_to_sig, dwells):
-    cs = _cumsum0(sig)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        means = np.diff(cs[seq_to_sig]) / dwells
-        means[np.isinf(means)] = np.nan
-    return means
-
-
-def _trim_means(sig, seq_to_sig, dwells, st_trim, en_trim):
-    cs = _cumsum0(sig)
-    trim_sts = np.minimum(sig.size, seq_to_sig[:-1] + st_trim)
-    trim_ens = np.maximum(0, seq_to_sig[1:] - en_trim)
-    trim_sums = cs[trim_ens] - cs[trim_sts]
-    trim_dwells = np.maximum(0, dwells - st_trim - en_trim)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        means = trim_sums / trim_dwells
-        means[np.isinf(means)] = np.nan
-    return means
+def _trims(kwargs):
+    return (
+        kwargs.get("start_trim", DEFAULT_START_TRIM),
+        kwargs.get("end_trim", DEFAULT_END_TRIM),
+    )
 
 
 def compute_dwell(sig, seq_to_sig, **kwargs):
@@ -48,52 +79,36 @@ def compute_dwell(sig, seq_to_sig, **kwargs):
 
 
 def compute_dwell_mean(sig, seq_to_sig, **kwargs):
-    dwells = compute_dwell(sig, seq_to_sig)["dwell"]
-    sig, seq_to_sig = _clip_sig(sig, seq_to_sig)
-    return {"dwell": dwells, "mean": _base_means(sig, seq_to_sig, dwells)}
+    win = _BaseWindows(sig, seq_to_sig)
+    return {"dwell": win.full_widths, "mean": win.means()}
 
 
 def compute_dwell_mean_sd(sig, seq_to_sig, **kwargs):
-    dwells = compute_dwell(sig, seq_to_sig)["dwell"]
-    sig, seq_to_sig = _clip_sig(sig, seq_to_sig)
-    means = _base_means(sig, seq_to_sig, dwells)
-    ss_cs = _cumsum0(np.square(sig))
-    with np.errstate(divide="ignore", invalid="ignore"):
-        sds = np.sqrt(
-            np.maximum(np.diff(ss_cs[seq_to_sig]) / dwells - np.square(means), 0)
-        )
-        sds[np.isinf(sds)] = np.nan
-    return {"dwell": dwells, "mean": means, "sd": sds}
-
-
-def compute_trimmean(sig, seq_to_sig, **kwargs):
-    st = kwargs.get("start_trim", DEFAULT_START_TRIM)
-    en = kwargs.get("end_trim", DEFAULT_END_TRIM)
-    dwells = compute_dwell(sig, seq_to_sig)["dwell"]
-    sig, seq_to_sig = _clip_sig(sig, seq_to_sig)
+    win = _BaseWindows(sig, seq_to_sig)
+    means = win.means()
     return {
-        "dwells": dwells,
-        "trimmean": _trim_means(sig, seq_to_sig, dwells, st, en),
+        "dwell": win.full_widths,
+        "mean": means,
+        "sd": win.stdevs(means),
     }
 
 
+def compute_trimmean(sig, seq_to_sig, **kwargs):
+    st, en = _trims(kwargs)
+    win = _BaseWindows(sig, seq_to_sig)
+    # NB: plural "dwells" key preserved from the reference API
+    return {"dwells": win.full_widths, "trimmean": win.means(st, en)}
+
+
 def compute_trimmean_trimsd(sig, seq_to_sig, **kwargs):
-    st = kwargs.get("start_trim", DEFAULT_START_TRIM)
-    en = kwargs.get("end_trim", DEFAULT_END_TRIM)
-    dwells = compute_dwell(sig, seq_to_sig)["dwell"]
-    sig, seq_to_sig = _clip_sig(sig, seq_to_sig)
-    trim_means = _trim_means(sig, seq_to_sig, dwells, st, en)
-    ss_cs = _cumsum0(np.square(sig))
-    trim_sts = np.minimum(sig.size, seq_to_sig[:-1] + st)
-    trim_ens = np.maximum(0, seq_to_sig[1:] - en)
-    trim_ss = ss_cs[trim_ens] - ss_cs[trim_sts]
-    trim_dwells = np.maximum(0, dwells - st - en)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        trim_sds = np.sqrt(
-            np.maximum(0, (trim_ss / trim_dwells) - np.square(trim_means))
-        )
-        trim_sds[np.isinf(trim_sds)] = np.nan
-    return {"dwell": dwells, "trimmean": trim_means, "trimsd": trim_sds}
+    st, en = _trims(kwargs)
+    win = _BaseWindows(sig, seq_to_sig)
+    tmeans = win.means(st, en)
+    return {
+        "dwell": win.full_widths,
+        "trimmean": tmeans,
+        "trimsd": win.stdevs(tmeans, st, en),
+    }
 
 
 METRIC_FUNCS = {
