@@ -96,3 +96,29 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def show_runs(mine, ref, min_run=8, top=15):
+    a, b = toks(mine), toks(ref)
+    bpos = {}
+    for i in range(len(b)):
+        bpos.setdefault(b[i], []).append(i)
+    prev = [0] * (len(b) + 1)
+    best = []
+    for i in range(len(a)):
+        cur = [0] * (len(b) + 1)
+        for j in bpos.get(a[i], ()):
+            cur[j + 1] = prev[j] + 1
+        L = max(cur) if cur else 0
+        best.append(L)
+        prev = cur
+    # report maximal runs
+    runs = []
+    i = len(a) - 1
+    while i >= 0:
+        if best[i] >= min_run and (i == len(a) - 1 or best[i + 1] != best[i] + 1):
+            runs.append((best[i], i - best[i] + 1))
+        i -= 1
+    runs.sort(reverse=True)
+    for L, st in runs[:top]:
+        print(f"len={L:4d}  {' '.join(a[st:st + min(L, 25)])}")
