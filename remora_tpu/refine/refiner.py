@@ -1,10 +1,14 @@
-"""Signal-mapping refiner: scaling + banded-DP refinement manager.
+"""Signal-mapping refiner: k-mer level scaling + banded-DP driver.
 
 Reference analog: ``SigMapRefiner`` (``src/remora/refine_signal_map.py:
-150–626``) plus the top-level ``refine_signal_mapping`` (``:778–840``).
+150–626``) and ``refine_signal_mapping`` (``:778–840``). Serialization
+keys and float op order follow the reference so that datasets, model
+metadata, and refined DP paths remain bit-compatible.
 """
 
 from dataclasses import dataclass, field
+from itertools import islice
+from typing import Optional
 
 import numpy as np
 
@@ -27,19 +31,37 @@ from remora_tpu.refine import rescale as rescale_mod
 LOGGER = log.get_logger()
 
 
-def compute_dwell_pen_array(target, limit, weight):
+def compute_dwell_pen_array(target: int, limit: int, weight: float):
+    """Quadratic short-dwell penalty table: weight * (d - target)^2."""
     if limit > target:
         LOGGER.warning(
-            f"Requested short dwell limit ({limit}) is greater than target "
-            f"dwell ({target}). Setting limit to target."
+            f"Short-dwell limit ({limit}) exceeds the target dwell "
+            f"({target}); clamping limit to the target."
         )
         limit = target
-    return weight * np.square(np.arange(limit, dtype=np.float32) - target)
+    dwell_axis = np.arange(limit, dtype=np.float32)
+    return weight * np.square(dwell_axis - target)
 
 
 DEFAULT_REFINE_SHORT_DWELL_PEN = compute_dwell_pen_array(
     *DEFAULT_REFINE_SHORT_DWELL_PARAMS
 )
+
+_ROUGH_RESCALE_DISPATCH = {
+    ROUGH_RESCALE_LEAST_SQUARES: rescale_mod.quantile_lstsq_rescale,
+    ROUGH_RESCALE_THEIL_SEN: rescale_mod.quantile_theil_sen_rescale,
+}
+
+
+def _banded_search_space(seq_to_sig_map, levels, sig_len, bhw, min_step):
+    """Per-base [lower, upper) signal bounds for the banded DP."""
+    sig_band = band_mod.compute_sig_band(seq_to_sig_map, levels, bhw=bhw)
+    seq_band = band_mod.convert_to_seq_band(sig_band)
+    band_mod.adjust_seq_band(seq_band, min_step=min_step)
+    band_mod.validate_band(
+        seq_band, sig_len=sig_len, seq_len=levels.shape[0], is_sig_band=False
+    )
+    return seq_band
 
 
 def refine_signal_mapping(
@@ -51,98 +73,130 @@ def refine_signal_mapping(
     short_dwell_pen=DEFAULT_REFINE_SHORT_DWELL_PEN,
     adjust_band_min_step=2,
 ):
-    """Refine one read's mapping against expected levels.
+    """Refine one read's signal mapping against expected levels.
 
     Returns (path + sig offset, all_scores, traceback, seq_band,
-    base_offsets) matching the reference return contract.
+    base_offsets); score/traceback entries are None when the native DP
+    fast path is taken.
     """
-    signal = signal[seq_to_sig_map[0] : seq_to_sig_map[-1]]
-    sig_map_start = 0
-    if seq_to_sig_map[0] != 0:
-        sig_map_start = seq_to_sig_map[0]
-        seq_to_sig_map = seq_to_sig_map - seq_to_sig_map[0]
+    # rebase everything so base 0 starts at signal index 0
+    origin = int(seq_to_sig_map[0])
+    signal = signal[origin : seq_to_sig_map[-1]]
+    if origin:
+        seq_to_sig_map = seq_to_sig_map - origin
 
-    sig_band = band_mod.compute_sig_band(
-        seq_to_sig_map, levels, bhw=band_half_width
+    seq_band = _banded_search_space(
+        seq_to_sig_map,
+        levels,
+        signal.shape[0],
+        band_half_width,
+        adjust_band_min_step,
     )
-    seq_band = band_mod.convert_to_seq_band(sig_band)
-    band_mod.adjust_seq_band(seq_band, min_step=adjust_band_min_step)
-    band_mod.validate_band(
-        seq_band,
-        sig_len=signal.shape[0],
-        seq_len=levels.shape[0],
-        is_sig_band=False,
-    )
-    temp_levels = np.nan_to_num(levels, nan=0.0)
-    # native C++ DP when available (same semantics, ~70x the NumPy path);
-    # full NumPy decode otherwise
+    sig_f32 = signal.astype(np.float32)
+    lvl_f32 = np.nan_to_num(levels, nan=0.0).astype(np.float32)
+
+    # native C++ DP when available (same semantics, ~70x the NumPy path)
     from remora_tpu.io.native import banded_dp_path
 
-    path = banded_dp_path(
-        signal.astype(np.float32),
-        temp_levels.astype(np.float32),
-        seq_band,
-        short_dwell_pen,
-        refine_algo,
-    )
+    path = banded_dp_path(sig_f32, lvl_f32, seq_band, short_dwell_pen, refine_algo)
     if path is not None:
-        return path + sig_map_start, None, None, seq_band, None
+        return path + origin, None, None, seq_band, None
     all_scores, path, traceback, base_offsets = dp_mod.seq_banded_dp(
-        signal.astype(np.float32),
-        temp_levels.astype(np.float32),
-        seq_band,
-        short_dwell_pen,
-        refine_algo,
+        sig_f32, lvl_f32, seq_band, short_dwell_pen, refine_algo
     )
-    return path + sig_map_start, all_scores, traceback, seq_band, base_offsets
+    return path + origin, all_scores, traceback, seq_band, base_offsets
 
 
 @dataclass
 class SigMapRefiner:
-    """K-mer level table + rescaling + refinement driver."""
+    """K-mer level table manager, re-scaler, and refinement driver."""
 
-    kmer_model_filename: str = None
+    # level-table source (one of: file, string dict, raw array below)
+    kmer_model_filename: Optional[str] = None
+    # scaling behavior
     do_rough_rescale: bool = False
     scale_iters: int = -1
+    rough_rescale_method: str = DEFAULT_ROUGH_RESCALE_METHOD
+    # DP settings
     algo: str = DEFAULT_REFINE_ALGO
     half_bandwidth: int = DEFAULT_REFINE_HBW
-    sd_params: tuple = None
+    sd_params: Optional[tuple] = None
     do_fix_guage: bool = False
-    rough_rescale_method: str = DEFAULT_ROUGH_RESCALE_METHOD
-
     sd_arr: np.ndarray = field(
         default_factory=lambda: DEFAULT_REFINE_SHORT_DWELL_PEN
     )
-    _levels_array: np.ndarray = None
-    str_kmer_levels: dict = None
-    kmer_len: int = None
-    kmer_idx_stats: list = None
+    # loaded/derived state
+    _levels_array: Optional[np.ndarray] = None
+    str_kmer_levels: Optional[dict] = None
+    kmer_len: Optional[int] = None
+    kmer_idx_stats: Optional[list] = None
     center_idx: int = -1
     is_loaded: bool = False
+
+    def __post_init__(self):
+        self._ingest_levels()
+        wants_scaling = self.do_rough_rescale or self.scale_iters >= 0
+        if wants_scaling and not self.is_loaded:
+            raise RemoraError(
+                "Signal re-scaling requested but no levels table is loaded "
+                f"(is_loaded={self.is_loaded}, "
+                f"do_rough_rescale={self.do_rough_rescale}, "
+                f"scale_iters={self.scale_iters})"
+            )
+        if self.sd_params is not None:
+            target, limit, weight = self.sd_params
+            self.sd_arr = compute_dwell_pen_array(target, limit, weight)
+        if self.is_loaded and not wants_scaling:
+            LOGGER.warning(
+                "A k-mer table was supplied but neither rough re-scaling "
+                "nor refinement is enabled, so it will go unused."
+            )
+        if self.rough_rescale_method not in ROUGH_RESCALE_METHODS:
+            raise RemoraError(
+                f"Unknown rough re-scale method {self.rough_rescale_method!r}"
+            )
+
+    def _ingest_levels(self):
+        """Populate level state from whichever source was provided."""
+        arr = self._levels_array
+        if arr is not None and np.asarray(arr).dtype != object:
+            # a (possibly legacy-pickled) 4^k level table
+            self.is_loaded = True
+            self.kmer_len = (arr.size - 1).bit_length() // 2
+            assert 4**self.kmer_len == arr.size
+            return
+        if self.kmer_model_filename is not None:
+            self.str_kmer_levels, self.kmer_len = levels_mod.load_kmer_table(
+                self.kmer_model_filename
+            )
+        if self.str_kmer_levels is None:
+            return
+        self.is_loaded = True
+        self._determine_dominant_pos()
+        if self.do_fix_guage:
+            self.fix_gauge()
 
     def __repr__(self):
         if not self.is_loaded:
             return "No remora_tpu signal refine/map settings loaded"
-        r_str = (
-            f"Loaded {self.kmer_len}-mer table with {self.center_idx + 1} "
-            "central position."
-        )
+        parts = [
+            f"{self.kmer_len}-mer level table loaded "
+            f"(central position {self.center_idx + 1})."
+        ]
         if self.do_rough_rescale:
-            r_str += " Rough re-scaling will be executed."
+            parts.append("Rough re-scaling enabled.")
         if self.scale_iters > 0:
-            r_str += (
-                f" {self.scale_iters} rounds of signal mapping refinement "
-                "followed by precise re-scaling will be executed."
+            parts.append(
+                f"{self.scale_iters} refine-then-rescale iterations enabled."
             )
         if self.scale_iters >= 0:
-            r_str += (
-                " Signal mapping refinement will be executed using the "
-                f"{self.algo} refinement method (band half width: "
-                f"{self.half_bandwidth})."
+            parts.append(
+                f"Signal-mapping refinement enabled (algo: {self.algo}, "
+                f"band half width {self.half_bandwidth})."
             )
             if self.algo == REFINE_ALGO_DWELL_PEN_NAME:
-                r_str += f" Short dwell penalty array set to {self.sd_arr}."
-        return r_str
+                parts.append(f"Short-dwell penalties: {self.sd_arr}.")
+        return " ".join(parts)
 
     @property
     def bases_before(self):
@@ -154,60 +208,21 @@ class SigMapRefiner:
 
     @property
     def is_valid(self):
-        if self.is_loaded:
-            return self.do_rough_rescale or self.scale_iters >= 0
-        return not self.do_rough_rescale and self.scale_iters < 0
-
-    def __post_init__(self):
-        if self._levels_array is not None and not np.array_equal(
-            self._levels_array, np.array(None)
-        ):
-            self.is_loaded = True
-            self.kmer_len = int(np.log(self._levels_array.size) / np.log(4))
-            assert 4**self.kmer_len == self._levels_array.size
-        elif self.kmer_model_filename is not None:
-            self.str_kmer_levels, self.kmer_len = levels_mod.load_kmer_table(
-                self.kmer_model_filename
-            )
-            self.is_loaded = True
-            self._determine_dominant_pos()
-            if self.do_fix_guage:
-                self.fix_gauge()
-        elif self.str_kmer_levels is not None:
-            self.is_loaded = True
-            self._determine_dominant_pos()
-            if self.do_fix_guage:
-                self.fix_gauge()
-        if not self.is_loaded and (self.do_rough_rescale or self.scale_iters >= 0):
-            raise RemoraError(
-                "Signal re-scaling is requested without levels table. "
-                f"is_loaded: {self.is_loaded} "
-                f"do_rough_rescale: {self.do_rough_rescale} "
-                f"scale_iters: {self.scale_iters}"
-            )
-        if self.sd_params is not None:
-            self.sd_arr = compute_dwell_pen_array(*self.sd_params)
-        if not self.is_valid:
-            LOGGER.warning(
-                "K-mer table provided, but not used. See rough rescaling options."
-            )
-        if self.rough_rescale_method not in ROUGH_RESCALE_METHODS:
-            raise RemoraError(
-                f"Invalid rough re-scale method: {self.rough_rescale_method}"
-            )
+        wants_scaling = self.do_rough_rescale or self.scale_iters >= 0
+        return wants_scaling if self.is_loaded else not wants_scaling
 
     def _determine_dominant_pos(self):
         if self.str_kmer_levels is None:
             return
-        self.center_idx, self.kmer_idx_stats = levels_mod.determine_dominant_pos(
-            self.str_kmer_levels, self.kmer_len
+        self.center_idx, self.kmer_idx_stats = (
+            levels_mod.determine_dominant_pos(
+                self.str_kmer_levels, self.kmer_len
+            )
         )
 
     @property
     def levels_array(self):
-        if self._levels_array is None:
-            if self.str_kmer_levels is None:
-                return None
+        if self._levels_array is None and self.str_kmer_levels is not None:
             self._levels_array = levels_mod.levels_dict_to_array(
                 self.str_kmer_levels, self.kmer_len
             )
@@ -218,17 +233,12 @@ class SigMapRefiner:
         yield from levels_mod.all_kmers(self.kmer_len)
 
     def write_kmer_table(self, fh):
-        for kmer in levels_mod.all_kmers(self.kmer_len):
-            fh.write(
-                f"{kmer}\t{self.levels_array[levels_mod.index_from_kmer(kmer)]}\n"
-            )
+        for idx, kmer in enumerate(self.kmers):
+            fh.write(f"{kmer}\t{self.levels_array[idx]}\n")
 
     def fix_gauge(self):
         self._levels_array = levels_mod.fix_gauge(self.levels_array)
-        self.str_kmer_levels = {
-            kmer: self._levels_array[levels_mod.index_from_kmer(kmer)]
-            for kmer in levels_mod.all_kmers(self.kmer_len)
-        }
+        self.str_kmer_levels = dict(zip(self.kmers, self._levels_array))
 
     def extract_levels(self, int_seq):
         return levels_mod.extract_levels(
@@ -237,158 +247,165 @@ class SigMapRefiner:
 
     def rough_rescale(
         self,
-        shift,
-        scale,
-        seq_to_sig_map,
-        int_seq,
-        dacs,
-        quants=np.arange(0.05, 1, 0.05),
-        clip_bases=10,
-        use_base_center=True,
+        shift: float,
+        scale: float,
+        seq_to_sig_map: np.ndarray,
+        int_seq: np.ndarray,
+        dacs: np.ndarray,
+        quants: np.ndarray = np.arange(0.05, 1, 0.05),
+        clip_bases: int = 10,
+        use_base_center: bool = True,
     ):
         """Quantile-based rescale of (shift, scale) against expected levels."""
         levels = self.extract_levels(int_seq)
         if use_base_center:
-            optim_dacs = dacs[(seq_to_sig_map[:-1] + seq_to_sig_map[1:]) // 2]
-            if clip_bases > 0 and levels.size > clip_bases * 2:
-                levels = levels[clip_bases:-clip_bases]
-                optim_dacs = optim_dacs[clip_bases:-clip_bases]
+            # one representative DAC per base: the mid-dwell sample
+            starts = seq_to_sig_map[:-1]
+            mid_dwell = starts + (seq_to_sig_map[1:] - starts) // 2
+            fit_dacs = dacs[mid_dwell]
+            if 0 < clip_bases < levels.size / 2:
+                interior = slice(clip_bases, -clip_bases)
+                levels, fit_dacs = levels[interior], fit_dacs[interior]
         else:
-            optim_dacs = dacs[seq_to_sig_map[0] : seq_to_sig_map[-1]]
-        if self.rough_rescale_method == ROUGH_RESCALE_LEAST_SQUARES:
-            return rescale_mod.rough_rescale_lstsq(
-                optim_dacs, levels, shift, scale, quants
+            fit_dacs = dacs[seq_to_sig_map[0] : seq_to_sig_map[-1]]
+        try:
+            estimator = _ROUGH_RESCALE_DISPATCH[self.rough_rescale_method]
+        except KeyError:
+            raise RemoraError(
+                f"Invalid rough re-scale method: {self.rough_rescale_method}"
             )
-        elif self.rough_rescale_method == ROUGH_RESCALE_THEIL_SEN:
-            return rescale_mod.rough_rescale_theil_sen(
-                optim_dacs, levels, shift, scale, quants
-            )
-        raise RemoraError(
-            f"Invalid rough re-scale method: {self.rough_rescale_method}"
-        )
+        return estimator(fit_dacs, levels, shift, scale, quants)
 
     def rescale(
         self,
-        levels,
-        dacs,
-        shift,
-        scale,
-        seq_to_sig_map,
-        dwell_filter_pctls=(10, 90),
-        min_abs_level=0.2,
-        edge_filter_bases=10,
-        min_levels=10,
+        levels: np.ndarray,
+        dacs: np.ndarray,
+        shift: float,
+        scale: float,
+        seq_to_sig_map: np.ndarray,
+        dwell_filter_pctls: tuple = (10, 90),
+        min_abs_level: float = 0.2,
+        edge_filter_bases: int = 10,
+        min_levels: int = 10,
     ):
         """Precise rescale from the current mapping with dwell/level filters."""
+        spans = np.diff(seq_to_sig_map)
         with np.errstate(invalid="ignore"):
-            dacs_cumsum = np.empty(dacs.size + 1)
-            dacs_cumsum[0] = 0
-            dacs_cumsum[1:] = np.cumsum(dacs)
-            dwells = np.diff(seq_to_sig_map)
-            dac_means = np.diff(dacs_cumsum[seq_to_sig_map]) / dwells
-        dwells = np.diff(seq_to_sig_map)
-        dwell_min, dwell_max = np.percentile(dwells, dwell_filter_pctls)
-        edge_filter = np.full(dwells.size, True, dtype=bool)
-        if edge_filter_bases > 0:
-            edge_filter[:edge_filter_bases] = False
-            edge_filter[-edge_filter_bases:] = False
-        valid_bases = np.logical_and.reduce(
-            (
-                dwells > dwell_min,
-                dwells < dwell_max,
-                np.abs(levels - np.mean(levels)) > min_abs_level,
-                np.logical_not(np.isnan(dac_means)),
-                edge_filter,
-            )
-        )
-        filt_levels = levels[valid_bases]
-        filt_dacs = dac_means[valid_bases]
-        if filt_levels.size < min_levels:
-            raise RemoraError("Too few positions")
-        return rescale_mod.rescale_theil_sen(filt_dacs, filt_levels, shift, scale)
+            prefix = np.empty(dacs.size + 1)
+            prefix[0] = 0
+            np.cumsum(dacs, out=prefix[1:])
+            per_base_dac = np.diff(prefix[seq_to_sig_map]) / spans
 
-    def refine_sig_map(self, shift, scale, seq_to_sig_map, int_seq, dacs):
+        # drop bases in the dwell-distribution tails (poor assignments),
+        # near-mean levels (no rescaling signal), and read edges
+        dwell_lo, dwell_hi = np.percentile(spans, dwell_filter_pctls)
+        keep = (spans > dwell_lo) & (spans < dwell_hi)
+        centered_levels = levels - np.mean(levels)
+        keep &= np.abs(centered_levels) > min_abs_level
+        keep &= ~np.isnan(per_base_dac)
+        if edge_filter_bases > 0:
+            keep[:edge_filter_bases] = False
+            keep[-edge_filter_bases:] = False
+        if np.count_nonzero(keep) < min_levels:
+            raise RemoraError("Too few positions")
+        return rescale_mod.point_theil_sen_rescale(
+            per_base_dac[keep], levels[keep], shift, scale
+        )
+
+    def refine_sig_map(
+        self,
+        shift: float,
+        scale: float,
+        seq_to_sig_map: np.ndarray,
+        int_seq: np.ndarray,
+        dacs: np.ndarray,
+    ):
         """scale_iters rounds of banded-DP refinement + precise rescale."""
         levels = self.extract_levels(int_seq)
-        dacs = dacs[seq_to_sig_map[0] : seq_to_sig_map[-1]]
-        sig_st = seq_to_sig_map[0]
-        seq_to_sig_map = seq_to_sig_map - sig_st
-        for _ in range(max(1, self.scale_iters)):
-            seq_to_sig_map, _, _, _, _ = refine_signal_mapping(
+        origin = seq_to_sig_map[0]
+        dacs = dacs[origin : seq_to_sig_map[-1]]
+        seq_to_sig_map = seq_to_sig_map - origin
+        n_rounds = max(self.scale_iters, 1)
+        for _ in range(n_rounds):
+            seq_to_sig_map = refine_signal_mapping(
                 (dacs - shift) / scale,
                 seq_to_sig_map,
                 levels,
-                self.half_bandwidth,
-                self.algo,
-                self.sd_arr,
-            )
-            if self.scale_iters > 0:
-                try:
-                    shift, scale = self.rescale(
-                        levels, dacs, shift, scale, seq_to_sig_map
-                    )
-                except RemoraError as e:
-                    LOGGER.debug(f"rescaling error: {e}")
-                    break
-        return seq_to_sig_map + sig_st, shift, scale
+                band_half_width=self.half_bandwidth,
+                refine_algo=self.algo,
+                short_dwell_pen=self.sd_arr,
+            )[0]
+            if self.scale_iters <= 0:
+                continue
+            try:
+                shift, scale = self.rescale(
+                    levels, dacs, shift, scale, seq_to_sig_map
+                )
+            except RemoraError as err:
+                LOGGER.debug(f"precise re-scale skipped: {err}")
+                break
+        return seq_to_sig_map + origin, shift, scale
 
     # --- (de)serialization ---
+    # metadata key <-> constructor kwarg; key names are the on-disk
+    # compat contract shared with dataset/checkpoint metadata
+    _META_KEYS = (
+        ("refine_kmer_levels", "_levels_array"),
+        ("refine_kmer_center_idx", "center_idx"),
+        ("refine_do_rough_rescale", "do_rough_rescale"),
+        ("refine_scale_iters", "scale_iters"),
+        ("refine_algo", "algo"),
+        ("refine_half_bandwidth", "half_bandwidth"),
+        ("refine_sd_arr", "sd_arr"),
+        ("rough_rescale_method", "rough_rescale_method"),
+    )
+
     def asdict(self):
-        return {
-            "refine_kmer_levels": self.levels_array if self.is_loaded else None,
-            "refine_kmer_center_idx": self.center_idx,
-            "refine_do_rough_rescale": self.do_rough_rescale,
-            "refine_scale_iters": self.scale_iters,
-            "refine_algo": self.algo,
-            "refine_half_bandwidth": self.half_bandwidth,
-            "refine_sd_arr": self.sd_arr,
-            "rough_rescale_method": self.rough_rescale_method,
-        }
+        out = {key: getattr(self, attr) for key, attr in self._META_KEYS}
+        out["refine_kmer_levels"] = (
+            self.levels_array if self.is_loaded else None
+        )
+        return out
 
     @classmethod
     def load_from_metadata(cls, metadata):
-        return cls(
-            _levels_array=metadata.get("refine_kmer_levels"),
-            center_idx=metadata.get("refine_kmer_center_idx"),
-            do_rough_rescale=metadata.get("refine_do_rough_rescale"),
-            scale_iters=metadata.get("refine_scale_iters"),
-            algo=metadata.get("refine_algo"),
-            half_bandwidth=metadata.get("refine_half_bandwidth"),
-            sd_arr=metadata.get("refine_sd_arr"),
-            rough_rescale_method=metadata.get(
-                "rough_rescale_method", ROUGH_RESCALE_LEAST_SQUARES
-            ),
-        )
+        kwargs = {attr: metadata.get(key) for key, attr in cls._META_KEYS}
+        if kwargs["rough_rescale_method"] is None:
+            kwargs["rough_rescale_method"] = ROUGH_RESCALE_LEAST_SQUARES
+        return cls(**kwargs)
 
     @classmethod
     def load_from_dict(cls, data, **kwargs):
-        kmer_len = len(next(iter(data.keys())))
-        return cls(str_kmer_levels=data, kmer_len=kmer_len, **kwargs)
+        (first_kmer,) = islice(data, 1)
+        return cls(str_kmer_levels=data, kmer_len=len(first_kmer), **kwargs)
 
     def __eq__(self, other):
+        """Equality on the settings that affect refinement behavior.
+
+        Tiered: scaling mode first; when neither instance rescales or
+        refines the rest is irrelevant; DP settings only matter when
+        refinement iterations are enabled.
+        """
         if not isinstance(other, SigMapRefiner):
             return False
-        if self.do_rough_rescale != other.do_rough_rescale:
+        mode = (self.do_rough_rescale, self.scale_iters)
+        if mode != (other.do_rough_rescale, other.scale_iters):
             return False
-        if self.scale_iters != other.scale_iters:
-            return False
-        if not self.do_rough_rescale and self.scale_iters < 0:
+        if not mode[0] and mode[1] < 0:
+            # neither rescales nor refines: remaining settings are inert
             return True
         if self.rough_rescale_method != other.rough_rescale_method:
             return False
-        if (
-            not np.array_equal(self._levels_array, other._levels_array)
-            or self.center_idx != other.center_idx
+        if self.center_idx != other.center_idx or not np.array_equal(
+            self._levels_array, other._levels_array
         ):
             return False
         if self.scale_iters < 0:
             return True
-        return all(
-            (
-                self.algo == other.algo,
-                self.half_bandwidth == other.half_bandwidth,
-                np.array_equal(self.sd_arr, other.sd_arr),
-            )
+        return (
+            self.algo == other.algo
+            and self.half_bandwidth == other.half_bandwidth
+            and np.array_equal(self.sd_arr, other.sd_arr)
         )
 
     def get_sub_kmer_table(self, sub_kmer_size):
@@ -399,33 +416,30 @@ class SigMapRefiner:
         """
         if sub_kmer_size >= self.kmer_len:
             raise RemoraError(
-                "Sub k-mer size must be smaller than stored k-mer size"
+                "Requested sub-k-mer is not smaller than the stored k-mer"
             )
         if self.kmer_idx_stats is None:
             self._determine_dominant_pos()
-        sub_range = [self.center_idx, self.center_idx + 1]
-        dominant_base = 0
-        while sub_range[1] - sub_range[0] < sub_kmer_size:
-            if sub_range[0] == 0:
-                sub_range[1] += 1
-            elif sub_range[1] == self.kmer_len:
-                dominant_base += 1
-                sub_range[0] -= 1
-            elif (
-                self.kmer_idx_stats[sub_range[0] - 1]
-                > self.kmer_idx_stats[sub_range[1]]
-            ):
-                dominant_base += 1
-                sub_range[0] -= 1
+        # grow a window around the dominant position, preferring the side
+        # with the stronger positional effect
+        lo = hi = self.center_idx
+        focus_off = 0
+        for _ in range(sub_kmer_size - 1):
+            grow_left = hi + 1 == self.kmer_len or (
+                lo > 0 and self.kmer_idx_stats[lo - 1] > self.kmer_idx_stats[hi + 1]
+            )
+            if grow_left:
+                lo -= 1
+                focus_off += 1
             else:
-                sub_range[1] += 1
+                hi += 1
         sums = {}
         for kmer, level in zip(self.kmers, self.levels_array):
-            sub = kmer[sub_range[0] : sub_range[0] + sub_kmer_size]
+            sub = kmer[lo : lo + sub_kmer_size]
             tot, cnt = sums.get(sub, (0.0, 0))
             sums[sub] = (tot + float(level), cnt + 1)
         rows = [
-            (sub, tot / cnt, sub[dominant_base])
+            (sub, tot / cnt, sub[focus_off])
             for sub, (tot, cnt) in sums.items()
         ]
         rows.sort(key=lambda r: r[1])

@@ -1,7 +1,11 @@
-"""Signal re-scaling estimators (least squares and Theil–Sen).
+"""Signal re-scaling estimators (least-squares and Theil–Sen).
 
-Reference analog ``src/remora/refine_signal_map.py:54–121``. All operate
-in the (x - shift) / scale convention and return updated (shift, scale).
+Reference analog ``src/remora/refine_signal_map.py:54–121``. Every
+estimator fits an affine map ``y ~ b0 + b1 * x`` between normalized
+signal observations and expected k-mer levels, then folds that fit back
+into the (shift, scale) pair of the ``norm = (dac - shift) / scale``
+convention. Floating-point op order is kept identical to the reference
+so refined DP paths stay bit-exact.
 """
 
 import numpy as np
@@ -10,68 +14,66 @@ from remora_tpu import RemoraError
 from remora_tpu.constants import MAX_POINTS_FOR_THEIL_SEN
 
 
-def rescale_lstsq(dacs, levels, shift, scale):
-    norm_sig = (dacs - shift) / scale
-    shift_est, scale_est = np.linalg.lstsq(
-        np.column_stack([np.ones_like(norm_sig), norm_sig]), levels, rcond=None
-    )[0]
-    if scale_est == 0:
+def _normalize(dacs, shift, scale):
+    return (dacs - shift) / scale
+
+
+def _lstsq_refit(x, y, shift, scale):
+    """Least-squares affine fit folded into updated (shift, scale)."""
+    design = np.column_stack([np.ones_like(x), x])
+    b0, b1 = np.linalg.lstsq(design, y, rcond=None)[0]
+    if b1 == 0:
+        # degenerate fit: leave scaling untouched
         return shift, scale
-    new_shift = shift - (scale * shift_est / scale_est)
-    new_scale = scale / scale_est
-    return new_shift, new_scale
+    return shift - (scale * b0 / b1), scale / b1
 
 
-def rough_rescale_lstsq(dacs, levels, shift, scale, quants):
-    norm_sig = (dacs - shift) / scale
-    norm_qs = np.quantile(norm_sig, quants)
-    shift_est, scale_est = np.linalg.lstsq(
-        np.column_stack([np.ones_like(norm_qs), norm_qs]),
-        np.quantile(levels, quants),
-        rcond=None,
-    )[0]
-    if scale_est == 0:
-        return shift, scale
-    new_shift = shift - (scale * shift_est / scale_est)
-    new_scale = scale / scale_est
-    return new_shift, new_scale
-
-
-def compute_slopes(r_event_means, r_model_means):
-    delta_event = r_event_means[:, np.newaxis] - r_event_means
-    delta_model = r_model_means[:, np.newaxis] - r_model_means
-    return delta_model[delta_event > 0] / delta_event[delta_event > 0]
-
-
-def theil_sen(dacs, lvls, shift, scale):
+def _theil_sen_refit(x, y, shift, scale):
+    """Median-of-pairwise-slopes affine fit folded into (shift, scale)."""
     from remora_tpu.io.native import theil_sen_slope
 
-    slope = theil_sen_slope(dacs, lvls)
+    slope = theil_sen_slope(x, y)
     if slope is None:
-        slope = np.median(compute_slopes(dacs, lvls))
-    inter = np.median(lvls - (slope * dacs))
+        # native library unavailable: full pairwise slope matrix
+        dx = x[:, np.newaxis] - x
+        dy = y[:, np.newaxis] - y
+        slope = np.median(dy[dx > 0] / dx[dx > 0])
     if slope == 0:
         raise RemoraError(
             "Read failed sequence-based signal re-scaling parameter estimation."
         )
-    scale_corr = 1 / slope
-    shift_corr = -inter / slope
-    return shift + (shift_corr * scale), scale * scale_corr
+    inter = np.median(y - (slope * x))
+    return shift + (-inter / slope * scale), scale * (1 / slope)
 
 
-def rescale_theil_sen(dacs, levels, shift, scale):
-    norm_sig = (dacs - shift) / scale
-    if levels.shape[0] > MAX_POINTS_FOR_THEIL_SEN:
-        samp = np.random.choice(
-            levels.shape[0], MAX_POINTS_FOR_THEIL_SEN, replace=False
+def point_lstsq_rescale(dacs, levels, shift, scale):
+    return _lstsq_refit(_normalize(dacs, shift, scale), levels, shift, scale)
+
+
+def point_theil_sen_rescale(dacs, levels, shift, scale):
+    x = _normalize(dacs, shift, scale)
+    y = levels
+    if y.shape[0] > MAX_POINTS_FOR_THEIL_SEN:
+        # bound the O(n^2) pairwise-slope cost (reference RNG semantics)
+        keep = np.random.choice(
+            y.shape[0], MAX_POINTS_FOR_THEIL_SEN, replace=False
         )
-        levels = levels[samp]
-        norm_sig = norm_sig[samp]
-    return theil_sen(norm_sig, levels, shift, scale)
+        x, y = x[keep], y[keep]
+    return _theil_sen_refit(x, y, shift, scale)
 
 
-def rough_rescale_theil_sen(dacs, levels, shift, scale, quants):
-    norm_sig = (dacs - shift) / scale
-    return theil_sen(
-        np.quantile(norm_sig, quants), np.quantile(levels, quants), shift, scale
-    )
+def _matched_quantiles(dacs, levels, shift, scale, quants):
+    """Matched (signal, level) quantile pairs for robust rough fitting."""
+    sig_qs = np.quantile(_normalize(dacs, shift, scale), quants)
+    lvl_qs = np.quantile(levels, quants)
+    return sig_qs, lvl_qs
+
+
+def quantile_lstsq_rescale(dacs, levels, shift, scale, quants):
+    x, y = _matched_quantiles(dacs, levels, shift, scale, quants)
+    return _lstsq_refit(x, y, shift, scale)
+
+
+def quantile_theil_sen_rescale(dacs, levels, shift, scale, quants):
+    x, y = _matched_quantiles(dacs, levels, shift, scale, quants)
+    return _theil_sen_refit(x, y, shift, scale)
