@@ -46,15 +46,16 @@ class RegionIndexedBam:
 
 
 def iter_regions(bam, reg_len=100_000):
+    """Tile every contig into reg_len windows on both strands."""
     header = bam.header
     for ctg, ctg_len in zip(header.references, header.lengths):
-        for st in range((ctg_len // reg_len) + 1):
+        for win_start in range(0, ctg_len + 1, reg_len):
             for strand in "+-":
                 yield RefRegion(
                     ctg=ctg,
                     strand=strand,
-                    start=st * reg_len,
-                    end=(st + 1) * reg_len,
+                    start=win_start,
+                    end=win_start + reg_len,
                 )
 
 
@@ -66,90 +67,92 @@ def get_reg_bam_reads(ref_reg, bam):
     ]
 
 
+def _sample_region_reads(ref_reg, bam, max_reads):
+    """Region's primary reads, down-sampled to at most max_reads."""
+    bam_reads = get_reg_bam_reads(ref_reg, bam)
+    if not bam_reads:
+        raise RemoraError("No reads covering region")
+    if max_reads is not None and len(bam_reads) > max_reads:
+        bam_reads = random.sample(bam_reads, max_reads)
+    return bam_reads
+
+
 def iter_covered_regions(bam_path, chunk_len=1_000, max_chunk_cov=None):
+    """Yield (region, covering reads), optionally capping total coverage."""
     bam = RegionIndexedBam(bam_path)
     for reg in iter_regions(bam, chunk_len):
         bam_reads = get_reg_bam_reads(reg, bam)
-        if len(bam_reads) == 0:
+        if not bam_reads:
             continue
         if max_chunk_cov is not None:
-            target_bases = chunk_len * max_chunk_cov
-            total_bases = 0
+            # take random reads until the per-region base budget is spent
+            budget = chunk_len * max_chunk_cov
             random.shuffle(bam_reads)
-            sampled = []
+            kept = []
             for rec in bam_reads:
-                sampled.append(rec)
-                total_bases += min(rec.reference_end, reg.end) - max(
-                    rec.reference_start, reg.start
-                )
-                if total_bases >= target_bases:
+                kept.append(rec)
+                overlap_lo = max(rec.reference_start, reg.start)
+                overlap_hi = min(rec.reference_end, reg.end)
+                budget -= overlap_hi - overlap_lo
+                if budget <= 0:
                     break
-            bam_reads = sampled
+            bam_reads = kept
         yield reg, bam_reads
 
 
 def get_ref_int_seq_from_reads(ref_reg, bam_reads, ref_orient=True):
-    """Forward reference int sequence pieced together from read MD tags."""
-    int_seq = np.full(ref_reg.len, -2, np.int32)
+    """Forward reference int sequence pieced together from read MD tags.
+
+    Positions no read covers are left at -2.
+    """
+    pile = np.full(ref_reg.len, -2, np.int32)
     for rec in bam_reads:
-        read_ref_seq = rec.get_reference_sequence().upper()
-        int_seq[
-            max(0, rec.reference_start - ref_reg.start) : (
-                rec.reference_end - ref_reg.start
-            )
-        ] = sequtil.seq_to_int(
-            read_ref_seq[
-                max(0, ref_reg.start - rec.reference_start) : (
-                    ref_reg.end - rec.reference_start
-                )
-            ]
-        )
-        if not np.any(int_seq == -2):
+        lo = max(rec.reference_start, ref_reg.start)
+        hi = min(rec.reference_end, ref_reg.end)
+        if hi <= lo:
+            continue
+        rec_ref_seq = rec.get_reference_sequence().upper()
+        piece = rec_ref_seq[lo - rec.reference_start : hi - rec.reference_start]
+        pile[lo - ref_reg.start : hi - ref_reg.start] = sequtil.seq_to_int(piece)
+        if (pile != -2).all():
             break
     if ref_reg.strand == "-":
-        valid = int_seq >= 0
-        out = int_seq.copy()
-        out[valid] = sequtil.INT_COMP[int_seq[valid]]
-        return out if ref_orient else out[::-1]
-    return int_seq
+        flipped = pile.copy()
+        covered = flipped >= 0
+        flipped[covered] = sequtil.comp_int(flipped[covered])
+        return flipped if ref_orient else flipped[::-1]
+    return pile
 
 
 def get_ref_seq_from_reads(ref_reg, bam_reads, ref_orient=True):
     int_seq = get_ref_int_seq_from_reads(ref_reg, bam_reads, ref_orient)
-    int_seq = int_seq.copy()
-    int_seq[np.equal(int_seq, -2)] = -1
-    return sequtil.int_to_seq(int_seq)
+    return sequtil.int_to_seq(np.maximum(int_seq, -1))
 
 
 def get_ref_seq_and_levels_from_reads(ref_reg, bam_reads, sig_map_refiner,
                                       ref_orient=True):
     """Sequence + expected levels for a region from covering reads."""
-    if sig_map_refiner is None or not sig_map_refiner.is_loaded:
-        levels = None
+    have_levels = sig_map_refiner is not None and sig_map_refiner.is_loaded
+    if not have_levels:
         ctx = get_ref_int_seq_from_reads(ref_reg, bam_reads, ref_orient=False)
-        ctx[np.equal(ctx, -2)] = -1
-        seq = sequtil.int_to_seq(ctx)
+        levels = None
+        seq = sequtil.int_to_seq(np.maximum(ctx, -1))
     else:
+        # pad the region by the k-mer context so edge levels are defined
+        bb, ba = sig_map_refiner.bases_before, sig_map_refiner.bases_after
+        padded_reg = ref_reg.adjust(-bb, ba, ref_orient=False)
         ctx = get_ref_int_seq_from_reads(
-            ref_reg.adjust(
-                -sig_map_refiner.bases_before,
-                sig_map_refiner.bases_after,
-                ref_orient=False,
-            ),
-            bam_reads,
-            ref_orient=False,
+            padded_reg, bam_reads, ref_orient=False
         )
+        uncovered = ctx == -2
         levels = sig_map_refiner.extract_levels(np.clip(ctx, -1, 3))
-        levels[np.equal(ctx, -2)] = np.nan
-        ctx[np.equal(ctx, -2)] = -1
-        seq = sequtil.int_to_seq(ctx)
-        bb = sig_map_refiner.bases_before
+        levels[uncovered] = np.nan
+        seq = sequtil.int_to_seq(np.maximum(ctx, -1))
         seq = seq[bb : bb + ref_reg.len]
         levels = levels[bb : bb + ref_reg.len]
-    if ref_reg.strand == "-" and ref_orient:
+    if ref_orient and ref_reg.strand == "-":
         seq = seq[::-1]
-        if levels is not None:
-            levels = levels[::-1]
+        levels = None if levels is None else levels[::-1]
     return seq, levels
 
 
@@ -164,24 +167,34 @@ def get_pod5_reads(pod5_dr, read_ids):
 
 def get_io_reads(bam_reads, pod5_dr, reverse_signal=False, missing_ok=False,
                  pa_scaling=None):
-    pod5_reads = get_pod5_reads(
-        pod5_dr, set(get_parent_id(r) for r in bam_reads)
+    """Join BAM records with their POD5 signal into io Reads."""
+    signal_by_id = get_pod5_reads(
+        pod5_dr, {get_parent_id(rec) for rec in bam_reads}
     )
-    io_reads = []
+    joined = []
     for rec in bam_reads:
         try:
-            io_read = Read.from_pod5_and_alignment(
-                pod5_read_record=pod5_reads[get_parent_id(rec)],
-                alignment_record=rec,
-                reverse_signal=reverse_signal,
-                pa_scaling=pa_scaling,
+            joined.append(
+                Read.from_pod5_and_alignment(
+                    pod5_read_record=signal_by_id[get_parent_id(rec)],
+                    alignment_record=rec,
+                    reverse_signal=reverse_signal,
+                    pa_scaling=pa_scaling,
+                )
             )
         except Exception:
-            if missing_ok:
-                continue
-            raise RemoraError("BAM record not found in POD5")
-        io_reads.append(io_read)
-    return io_reads
+            if not missing_ok:
+                raise RemoraError("BAM record not found in POD5")
+    return joined
+
+
+def _maybe_refine(io_reads, sig_map_refiner, skip_refine, require_loaded=False):
+    if sig_map_refiner is None or skip_refine:
+        return
+    if require_loaded and not sig_map_refiner.is_loaded:
+        return
+    for rd in io_reads:
+        rd.set_refine_signal_mapping(sig_map_refiner, ref_mapping=True)
 
 
 def get_reads_reference_regions(
@@ -195,29 +208,20 @@ def get_reads_reference_regions(
     pa_scaling=None,
     signal_type="norm",
 ):
+    """Per-sample lists of per-read region extracts (plus the BAM reads)."""
     all_bam_reads = []
     samples_read_ref_regs = []
     for pod5_dr, bam in pod5_bam_pairs:
-        sample_bam_reads = get_reg_bam_reads(ref_reg, bam)
-        if len(sample_bam_reads) == 0:
-            raise RemoraError("No reads covering region")
-        if max_reads is not None and len(sample_bam_reads) > max_reads:
-            sample_bam_reads = random.sample(sample_bam_reads, max_reads)
-        all_bam_reads.append(sample_bam_reads)
+        sample_reads = _sample_region_reads(ref_reg, bam, max_reads)
+        all_bam_reads.append(sample_reads)
         io_reads = get_io_reads(
-            sample_bam_reads, pod5_dr, reverse_signal,
+            sample_reads, pod5_dr, reverse_signal,
             missing_ok=missing_ok, pa_scaling=pa_scaling,
         )
-        if sig_map_refiner is not None and not skip_sig_map_refine:
-            for io_read in io_reads:
-                io_read.set_refine_signal_mapping(
-                    sig_map_refiner, ref_mapping=True
-                )
+        _maybe_refine(io_reads, sig_map_refiner, skip_sig_map_refine)
         samples_read_ref_regs.append(
-            [
-                io_read.extract_ref_reg(ref_reg, signal_type=signal_type)
-                for io_read in io_reads
-            ]
+            [rd.extract_ref_reg(ref_reg, signal_type=signal_type)
+             for rd in io_reads]
         )
     return samples_read_ref_regs, all_bam_reads
 
@@ -236,32 +240,29 @@ def get_ref_reg_sample_metrics(
     signal_type="norm",
     **kwargs,
 ):
+    """Stacked per-read metric arrays over one region for one sample."""
     io_reads = get_io_reads(
         bam_reads, pod5_dr, reverse_signal,
         missing_ok=missing_ok, pa_scaling=pa_scaling,
     )
-    if (
-        sig_map_refiner is not None
-        and sig_map_refiner.is_loaded
-        and not skip_sig_map_refine
-    ):
-        for io_read in io_reads:
-            io_read.set_refine_signal_mapping(sig_map_refiner, ref_mapping=True)
-    sample_metrics = [
-        io_read.compute_per_base_metric(
+    _maybe_refine(
+        io_reads, sig_map_refiner, skip_sig_map_refine, require_loaded=True
+    )
+    per_read = [
+        rd.compute_per_base_metric(
             metric, region=ref_reg, signal_type=signal_type, **kwargs
         )
-        for io_read in io_reads
+        for rd in io_reads
     ]
-    if len(sample_metrics) <= 0:
+    if not per_read:
         return None
-    reg_metrics = {
-        name: np.stack([mv[name] for mv in sample_metrics])
-        for name in sample_metrics[0].keys()
+    stacked = {
+        name: np.stack([read_metrics[name] for read_metrics in per_read])
+        for name in per_read[0]
     }
     if ref_orient and ref_reg.strand == "-":
-        return {name: vals[:, ::-1] for name, vals in reg_metrics.items()}
-    return reg_metrics
+        stacked = {name: vals[:, ::-1] for name, vals in stacked.items()}
+    return stacked
 
 
 def get_ref_reg_samples_metrics(
@@ -275,17 +276,14 @@ def get_ref_reg_samples_metrics(
     missing_ok=False,
     **kwargs,
 ):
+    """get_ref_reg_sample_metrics over every (pod5, bam) sample pair."""
     all_bam_reads = []
     samples_metrics = []
     for pod5_dr, bam in pod5_bam_pairs:
-        sample_bam_reads = get_reg_bam_reads(ref_reg, bam)
-        if len(sample_bam_reads) == 0:
-            raise RemoraError("No reads covering region")
-        if max_reads is not None and len(sample_bam_reads) > max_reads:
-            sample_bam_reads = random.sample(sample_bam_reads, max_reads)
-        all_bam_reads.append(sample_bam_reads)
+        sample_reads = _sample_region_reads(ref_reg, bam, max_reads)
+        all_bam_reads.append(sample_reads)
         sample_metrics = get_ref_reg_sample_metrics(
-            ref_reg, pod5_dr, sample_bam_reads, metric, sig_map_refiner,
+            ref_reg, pod5_dr, sample_reads, metric, sig_map_refiner,
             skip_sig_map_refine, reverse_signal, **kwargs,
         )
         if sample_metrics is not None:

@@ -1,10 +1,17 @@
-"""Reference region + BED parsing (reference analog ``src/remora/io.py:45–144``)."""
+"""Reference regions and BED parsing (reference analog ``src/remora/io.py:45–144``)."""
 
 import re
 from collections import defaultdict
 from dataclasses import dataclass
+from typing import Optional
 
 from remora_tpu import RemoraError
+
+# "ctg:start-end" with an optional ":+"/":-" strand suffix; samtools-style
+# 1-based inclusive coordinates
+_REGION_RE = re.compile(
+    r"(?P<ctg>.+):(?P<start>\d+)-(?P<end>\d+)(?::(?P<strand>[+-]))?$"
+)
 
 
 @dataclass
@@ -12,85 +19,75 @@ class RefRegion:
     ctg: str
     strand: str
     start: int
-    end: int = None
+    end: Optional[int] = None
 
     @property
     def len(self):
-        if self.end is None:
-            return 1
-        return self.end - self.start
+        return 1 if self.end is None else self.end - self.start
 
     @classmethod
     def parse_ref_region_str(cls, ref_reg_str, req_strand=True):
-        mat = re.match(
-            r"^(?P<ctg>.+):(?P<st>\d+)-(?P<en>\d+):(?P<strand>[\+\-])$"
-            if req_strand
-            else r"^(?P<ctg>.+):(?P<st>\d+)-(?P<en>\d+)(:(?P<strand>[\+\-]))?$",
-            ref_reg_str,
-        )
-        if mat is None:
+        hit = _REGION_RE.match(ref_reg_str)
+        if hit is None or (req_strand and hit["strand"] is None):
             raise RemoraError(f"Invalid reference region: {ref_reg_str}")
-        start = int(mat.group("st")) - 1
+        start = int(hit["start"]) - 1
         if start < 0:
-            raise RemoraError("Invalid reference start coordinate")
-        return cls(
-            ctg=mat.group("ctg"),
-            strand=mat.group("strand"),
-            start=start,
-            end=int(mat.group("en")),
-        )
+            raise RemoraError("Reference region start must be >= 1")
+        return cls(hit["ctg"], hit["strand"], start, int(hit["end"]))
 
     @property
     def coord_range(self):
         return range(self.start, self.end)
 
     def adjust(self, start_adjust=0, end_adjust=0, ref_orient=True):
-        """Expanded/shifted copy; read-oriented adjustment flips for '-'."""
-        if ref_orient or self.strand == "+":
-            end_coord = None if self.end is None else self.end + end_adjust
-            return RefRegion(
-                self.ctg, self.strand, self.start + start_adjust, end_coord
-            )
-        end_coord = None if self.end is None else self.end - start_adjust
-        return RefRegion(self.ctg, self.strand, self.start - end_adjust, end_coord)
+        """Expanded/shifted copy.
+
+        With ``ref_orient=False`` the adjustments are applied in read
+        orientation, so on the reverse strand the start/end roles swap.
+        """
+        if not ref_orient and self.strand == "-":
+            start_adjust, end_adjust = -end_adjust, -start_adjust
+        new_end = self.end
+        if new_end is not None:
+            new_end += end_adjust
+        return RefRegion(self.ctg, self.strand, self.start + start_adjust, new_end)
 
 
-def parse_bed_lines(bed_path):
+def _bed_fields(bed_path):
+    """Yield (ctg, start, end, name, strand-or-None) per valid BED line."""
     with open(bed_path) as fh:
         for line in fh:
             fields = line.split()
             if len(fields) < 3:
                 continue
-            ctg, st, en = fields[:3]
-            strand = (
-                None if len(fields) < 6 or fields[5] not in "+-" else fields[5]
-            )
-            yield RefRegion(ctg, strand, int(st), int(en))
+            strand = fields[5] if len(fields) >= 6 and fields[5] in "+-" else None
+            name = fields[3] if len(fields) >= 4 else None
+            yield fields[0], int(fields[1]), int(fields[2]), name, strand
+
+
+def parse_bed_lines(bed_path):
+    for ctg, start, end, _name, strand in _bed_fields(bed_path):
+        yield RefRegion(ctg, strand, start, end)
 
 
 def parse_bed(bed_path):
-    """(ctg, strand) -> set of positions covered by the BED file."""
-    regs = defaultdict(set)
-    for reg in parse_bed_lines(bed_path):
-        strands = "+-" if reg.strand is None else reg.strand
-        for strand in strands:
-            regs[(reg.ctg, strand)].update(reg.coord_range)
-    return dict(regs)
+    """(ctg, strand) -> set of positions covered by the BED file.
+
+    Strandless records count toward both strands.
+    """
+    covered = defaultdict(set)
+    for ctg, start, end, _name, strand in _bed_fields(bed_path):
+        for st in ("+", "-") if strand is None else (strand,):
+            covered[(ctg, st)].update(range(start, end))
+    return dict(covered)
 
 
 def parse_mods_bed(bed_path):
     """(ctg, strand) -> {pos: mod_name}; also returns the set of mods seen."""
-    regs = defaultdict(dict)
+    site_mods = defaultdict(dict)
     all_mods = set()
-    with open(bed_path) as fh:
-        for line in fh:
-            fields = line.split()
-            ctg, st, en, mod = fields[:4]
-            all_mods.add(mod)
-            strands = (
-                "+-" if len(fields) < 6 or fields[5] not in "+-" else fields[5]
-            )
-            for strand in strands:
-                for pos in range(int(st), int(en)):
-                    regs[(ctg, strand)][pos] = mod
-    return dict(regs), all_mods
+    for ctg, start, end, mod, strand in _bed_fields(bed_path):
+        all_mods.add(mod)
+        for st in ("+", "-") if strand is None else (strand,):
+            site_mods[(ctg, st)].update((pos, mod) for pos in range(start, end))
+    return dict(site_mods), all_mods
