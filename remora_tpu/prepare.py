@@ -3,12 +3,13 @@
 Reference analog ``src/remora/prepare_train_data.py``. Host pipeline
 stages (signal decode, alignment join, chunk extraction) run as
 process-parallel stages over bounded queues; the main process owns the
-memory-mapped output store.
+memory-mapped output store and flushes it periodically for crash
+tolerance.
 """
 
 import os
 import sys
-from collections import defaultdict
+from collections import Counter
 
 import numpy as np
 
@@ -24,6 +25,49 @@ from remora_tpu.io.read import extract_alignments, iter_signal
 from remora_tpu.io.read_index import ReadIndexedBam, get_read_ids
 
 LOGGER = log.get_logger()
+
+
+def _ref_anchored_training_read(io_read, int_label):
+    """RemoraRead over the aligned reference sequence, labels filled in.
+
+    Uses DAC->norm scaling (training convention; the inference path may
+    instead use zero-centered pA scaling via ``Read.into_remora_read``).
+    """
+    io_read.ref_to_signal = coords.compute_ref_to_signal(
+        io_read.query_to_signal, io_read.cigar
+    )
+    n_ref_bases = len(io_read.ref_seq)
+    assert io_read.ref_to_signal.size == n_ref_bases + 1
+    sig_lo, sig_hi = io_read.ref_to_signal[0], io_read.ref_to_signal[-1]
+    return RemoraRead(
+        dacs=io_read.dacs[sig_lo:sig_hi],
+        shift=io_read.shift_dacs_to_norm,
+        scale=io_read.scale_dacs_to_norm,
+        seq_to_sig_map=io_read.ref_to_signal - sig_lo,
+        str_seq=io_read.ref_seq,
+        labels=np.full(n_ref_bases, int_label, dtype=int),
+        read_id=io_read.read_id,
+    )
+
+
+def _training_read(io_read, int_label, motifs, focus_ref_pos, basecall_anchor):
+    """Build the labeled RemoraRead and select its focus bases."""
+    if basecall_anchor:
+        t_read = io_read.into_remora_read(use_reference_anchor=False)
+        t_read.labels = np.full(len(io_read.seq), int_label, dtype=int)
+        t_read.focus_bases = io_read.get_basecall_anchored_focus_bases(
+            motifs=motifs,
+            select_focus_reference_positions=focus_ref_pos,
+        )
+        return t_read
+    t_read = _ref_anchored_training_read(io_read, int_label)
+    if focus_ref_pos is None:
+        t_read.set_motif_focus_bases(motifs)
+    else:
+        t_read.focus_bases = io_read.get_filtered_focus_positions(
+            focus_ref_pos
+        )
+    return t_read
 
 
 def extract_chunks(
@@ -49,54 +93,28 @@ def extract_chunks(
     "Sequence too long" tally). Behaviorally identical to the per-chunk
     ``iter_chunks`` loop (parity-tested) without per-chunk Python.
     """
-    read_chunks = []
-    for read_idx, (io_read, err) in enumerate(read_errs):
+    per_alignment = []
+    for align_idx, (io_read, err) in enumerate(read_errs):
         if err is not None:
-            read_chunks.append((None, err))
+            per_alignment.append((None, err))
             continue
         if io_read.ref_seq is None:
-            read_chunks.append((None, "No reference sequence (missing MD tag)"))
+            per_alignment.append(
+                (None, "No reference sequence (missing MD tag)")
+            )
             continue
-        if basecall_anchor:
-            remora_read = io_read.into_remora_read(use_reference_anchor=False)
-            remora_read.focus_bases = io_read.get_basecall_anchored_focus_bases(
-                motifs=motifs,
-                select_focus_reference_positions=focus_ref_pos,
-            )
-            remora_read.labels = np.full(len(io_read.seq), int_label, dtype=int)
-        else:
-            io_read.ref_to_signal = coords.compute_ref_to_signal(
-                io_read.query_to_signal, io_read.cigar
-            )
-            assert io_read.ref_to_signal.size == len(io_read.ref_seq) + 1
-            trim_dacs = io_read.dacs[
-                io_read.ref_to_signal[0] : io_read.ref_to_signal[-1]
-            ]
-            remora_read = RemoraRead(
-                dacs=trim_dacs,
-                shift=io_read.shift_dacs_to_norm,
-                scale=io_read.scale_dacs_to_norm,
-                seq_to_sig_map=io_read.ref_to_signal - io_read.ref_to_signal[0],
-                str_seq=io_read.ref_seq,
-                labels=np.full(len(io_read.ref_seq), int_label, dtype=int),
-                read_id=io_read.read_id,
-            )
-            if focus_ref_pos is None:
-                remora_read.set_motif_focus_bases(motifs)
-            else:
-                remora_read.focus_bases = io_read.get_filtered_focus_positions(
-                    focus_ref_pos
-                )
-
-        remora_read.refine_signal_mapping(sig_map_refiner)
-        remora_read.downsample_focus_bases(max_chunks_per_read)
+        t_read = _training_read(
+            io_read, int_label, motifs, focus_ref_pos, basecall_anchor
+        )
+        t_read.refine_signal_mapping(sig_map_refiner)
+        t_read.downsample_focus_bases(max_chunks_per_read)
         try:
-            remora_read.check()
+            t_read.check()
         except RemoraError as e:
             LOGGER.debug(f"Read prep failed: {e}")
             continue
         res = extract_chunks_batch(
-            remora_read,
+            t_read,
             chunk_context,
             kmer_context_bases,
             max_seq_len,
@@ -106,17 +124,72 @@ def extract_chunks(
             check_chunks=True,
         )
         if res is None:
-            read_chunks.append(((None, 0), None))
+            per_alignment.append(((None, 0), None))
             continue
         arrays, n_long = res
         n = arrays["sequence_lengths"].size
         arrays["read_ids"] = np.full(n, io_read.read_id, dtype="<U36")
         LOGGER.debug(
             f"extracted {n} chunks from "
-            f"{io_read.read_id} alignment {read_idx}"
+            f"{io_read.read_id} alignment {align_idx}"
         )
-        read_chunks.append(((arrays, n_long), None))
-    return read_chunks
+        per_alignment.append(((arrays, n_long), None))
+    return per_alignment
+
+
+def _new_output_dataset(
+    out_path,
+    num_reads,
+    max_chunks_per_read,
+    max_seq_len,
+    mod_base,
+    mod_base_control,
+    motifs,
+    chunk_context,
+    kmer_context_bases,
+    rev_sig,
+    pa_scaling,
+    sig_map_refiner,
+    base_start_justify,
+    offset,
+):
+    if mod_base_control:
+        mod_codes, mod_names = [], []
+    else:
+        mod_codes, mod_names = [mod_base[0]], [mod_base[1]]
+    meta = DatasetMetadata(
+        allocate_size=max_chunks_per_read * num_reads,
+        max_seq_len=max_seq_len,
+        mod_bases=mod_codes,
+        mod_long_names=mod_names,
+        motif_sequences=[m.raw_motif for m in motifs],
+        motif_offsets=[m.focus_pos for m in motifs],
+        extra_arrays={
+            "read_ids": ("<U36", "UUID of the source read"),
+            "read_focus_bases": (
+                "int64",
+                "Focus base index within the training sequence",
+            ),
+        },
+        chunk_context=chunk_context,
+        kmer_context_bases=kmer_context_bases,
+        reverse_signal=rev_sig,
+        pa_scaling=pa_scaling,
+        sig_map_refiner=sig_map_refiner,
+        base_start_justify=base_start_justify,
+        offset=offset,
+    )
+    return CoreDataset(data_path=str(out_path), mode="w", metadata=meta)
+
+
+def _log_skip_tally(skips):
+    if not skips:
+        return
+    lines = [
+        f"{count:>7,} : {reason:<80}"
+        for reason, count in skips.most_common()
+    ]
+    LOGGER.info("Unsuccessful read/chunk reasons:\n" + "\n".join(lines))
 
 
 def extract_chunk_dataset(
@@ -155,36 +228,24 @@ def extract_chunk_dataset(
     if num_reads == 0:
         return
 
-    LOGGER.info(
-        f"Making {'basecall' if basecall_anchor else 'reference'}-anchored "
-        "training data"
-    )
+    anchor_kind = "basecall" if basecall_anchor else "reference"
+    LOGGER.info(f"Making {anchor_kind}-anchored training data")
     max_seq_len = sum(chunk_context) // min_samps_per_base
-    dataset = CoreDataset(
-        data_path=str(out_path),
-        mode="w",
-        metadata=DatasetMetadata(
-            allocate_size=max_chunks_per_read * num_reads,
-            max_seq_len=max_seq_len,
-            mod_bases=[] if mod_base_control else [mod_base[0]],
-            mod_long_names=[] if mod_base_control else [mod_base[1]],
-            motif_sequences=[m.raw_motif for m in motifs],
-            motif_offsets=[m.focus_pos for m in motifs],
-            extra_arrays={
-                "read_ids": ("<U36", "Read identifier"),
-                "read_focus_bases": (
-                    "int64",
-                    "Position within read training sequence",
-                ),
-            },
-            chunk_context=chunk_context,
-            kmer_context_bases=kmer_context_bases,
-            reverse_signal=rev_sig,
-            pa_scaling=pa_scaling,
-            sig_map_refiner=sig_map_refiner,
-            base_start_justify=base_start_justify,
-            offset=offset,
-        ),
+    dataset = _new_output_dataset(
+        out_path,
+        num_reads,
+        max_chunks_per_read,
+        max_seq_len,
+        mod_base,
+        mod_base_control,
+        motifs,
+        chunk_context,
+        kmer_context_bases,
+        rev_sig,
+        pa_scaling,
+        sig_map_refiner,
+        base_start_justify,
+        offset,
     )
 
     LOGGER.info("Processing reads")
@@ -234,48 +295,43 @@ def extract_chunk_dataset(
 
     from tqdm import tqdm
 
-    errs = defaultdict(int)
+    skips = Counter()
+    quiet = bool(os.environ.get("LOG_SAFE", False))
     pbar = tqdm(
-        total=len(read_ids),
-        smoothing=0,
-        unit=" Reads",
         desc="Extracting chunks",
-        disable=bool(os.environ.get("LOG_SAFE", False)),
+        total=len(read_ids),
+        unit=" Reads",
+        smoothing=0,
+        disable=quiet,
     )
     last_save = 0
     for read_chunks in chunks:
         pbar.update()
-        if len(read_chunks) == 0:
-            errs["No chunks extracted"] += 1
+        if not read_chunks:
+            skips["No chunks extracted"] += 1
             continue
         for align_res, err in read_chunks:
             if align_res is None:
-                errs[err] += 1
+                skips[err] += 1
                 continue
             arrays, n_long = align_res
             if n_long:
-                errs["Sequence too long"] += n_long
+                skips["Sequence too long"] += n_long
             if arrays is None:
                 continue
             try:
                 dataset.write_batch(arrays)
-                if dataset.size - last_save >= save_every:
-                    dataset.flush()
-                    dataset.write_metadata()
-                    last_save = dataset.size
             except RemoraError as e:
-                errs[str(e)] += 1
+                skips[str(e)] += 1
+                continue
+            # crash tolerance: persist arrays + metadata periodically
+            if dataset.size - last_save >= save_every:
+                dataset.flush()
+                dataset.write_metadata()
+                last_save = dataset.size
 
     pbar.close()
-    if errs:
-        err_str = "\n".join(
-            f"{num:>7,} : {err:<80}"
-            for num, err in sorted(
-                ((n, e) for e, n in errs.items()), reverse=True
-            )
-        )
-        LOGGER.info(f"Unsuccessful read/chunk reasons:\n{err_str}")
-
+    _log_skip_tally(skips)
     dataset.write_metadata()
     LOGGER.info(
         f"Extracted {dataset.size:,} chunks from {num_reads:,} reads."
