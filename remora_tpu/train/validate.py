@@ -2,7 +2,8 @@
 
 Reference analog ``src/remora/validate.py:42–288``: accuracy, confusion
 matrix, quantile-threshold filtered accuracy; unmodeled-label padding so
-a model can be validated on datasets with extra mod classes.
+a model can be validated on datasets carrying extra mod classes. Column
+layout of the TSV log matches the reference ``validation.log``.
 """
 
 import json
@@ -45,106 +46,108 @@ def confusion_matrix(labels, preds, num_classes=None):
 
 
 def compute_metrics(probs, labels, filt_frac):
-    pred_labels = np.argmax(probs, axis=1)
-    conf_mat = confusion_matrix(labels, pred_labels)
-    correctly_labeled = pred_labels == labels
-    acc = correctly_labeled.sum() / labels.size
+    """Accuracy / confusion matrix, plus both restricted to the most
+    confident (1 - filt_frac) of calls."""
+    called = probs.argmax(axis=1)
+    hit = called == labels
+    acc = hit.sum() / labels.size
+    conf_mat = confusion_matrix(labels, called)
 
-    pred_probs = np.take_along_axis(
-        probs, np.expand_dims(pred_labels, -1), -1
-    ).squeeze(-1)
-    filt_thr = np.quantile(pred_probs, filt_frac)
-    if filt_thr == pred_probs.max():
-        filt_thr *= 0.999999
-    conf_chunks = pred_probs > filt_thr
-    filt_labels = labels[conf_chunks]
-    if filt_labels.size == 0:
+    # confidence of each call = probability of its argmax class
+    call_conf = probs[np.arange(labels.size), called]
+    thresh = np.quantile(call_conf, filt_frac)
+    if thresh == call_conf.max():
+        # keep at least the top calls when the quantile hits the max
+        thresh *= 0.999999
+    confident = call_conf > thresh
+    n_kept = int(np.count_nonzero(confident))
+    if n_kept == 0:
         return acc, conf_mat, 1.0, np.nan, np.array([]), np.nan
-    filt_acc = correctly_labeled[conf_chunks].sum() / filt_labels.size
-    filt_conf_mat = confusion_matrix(filt_labels, pred_labels[conf_chunks])
-    filt_frac = 1 - (filt_labels.size / labels.size)
-    return acc, conf_mat, filt_frac, filt_acc, filt_conf_mat, filt_thr
+    filt_acc = hit[confident].sum() / n_kept
+    filt_conf_mat = confusion_matrix(labels[confident], called[confident])
+    return acc, conf_mat, 1 - n_kept / labels.size, filt_acc, filt_conf_mat, thresh
 
 
 def add_unmodeled_labels(output, unmodeled_labels):
-    """Insert -1000 logit columns for labels the model does not predict."""
+    """Insert -1000 logit columns for labels the model does not predict.
+
+    The modeled columns scatter, in order, into the class indices not
+    listed in ``unmodeled_labels`` (index 0 — canonical — is always
+    modeled)."""
     if unmodeled_labels.size == 0:
         return output
-    nobs, nlab = output.shape
-    n_new_lab = nlab + unmodeled_labels.size
-    new_output = np.full((nobs, n_new_lab), -1000, dtype=output.dtype)
-    new_output[:, 0] = output[:, 0]
-    unused_idx = 0
-    for idx in range(1, n_new_lab):
-        if idx in unmodeled_labels:
-            unused_idx += 1
-            continue
-        new_output[:, idx] = output[:, idx - unused_idx]
-    return new_output
+    nobs, n_modeled = output.shape
+    n_total = n_modeled + unmodeled_labels.size
+    modeled_cols = np.setdiff1d(np.arange(n_total), unmodeled_labels)
+    padded = np.full((nobs, n_total), -1000, dtype=output.dtype)
+    padded[:, modeled_cols] = output
+    return padded
 
 
 def cross_entropy(logits, labels):
-    logp = logits - np.log(np.exp(logits - logits.max(axis=1, keepdims=True))
-                           .sum(axis=1, keepdims=True)) - logits.max(
-        axis=1, keepdims=True
-    )
-    return float(-np.mean(np.take_along_axis(logp, labels[:, None], 1)))
+    shifted = logits - logits.max(axis=1, keepdims=True)
+    log_probs = shifted - np.log(np.exp(shifted).sum(axis=1, keepdims=True))
+    picked = np.take_along_axis(log_probs, labels[:, None], 1)
+    return float(-picked.mean())
+
+
+def _class_balance(probs, labels):
+    """Trim every represented class to the size of the smallest one."""
+    from remora_tpu import RemoraError
+
+    n_classes = max(labels.max() + 1, probs.shape[1])
+    class_rows = [np.flatnonzero(labels == cls) for cls in range(n_classes)]
+    sizes = [rows.size for rows in class_rows]
+    if len(sizes) == 1:
+        raise RemoraError(
+            "Cannot balance dataset with 1 label. "
+            "Consider running with `--allow-unbalanced`"
+        )
+    LOGGER.debug(f"Balancing labels. Starting from: {sizes}")
+    floor = min(size for size in sizes if size > 0)
+    kept_probs, kept_labels = [], []
+    for cls, rows in enumerate(class_rows):
+        if rows.size == 0:
+            # class absent from ground truth: leave it out entirely
+            continue
+        cls_probs = probs[rows]
+        if rows.size > floor:
+            np.random.shuffle(cls_probs)
+        kept_probs.append(cls_probs[:floor])
+        kept_labels.append(np.full(floor, cls, dtype=labels.dtype))
+    return np.concatenate(kept_probs), np.concatenate(kept_labels)
+
+
+def _metrics_tsv_row(ms, val_type, epoch, niter):
+    loss_field = "NAN" if np.isnan(ms.loss) else f"{ms.loss:.6f}"
+    return "\t".join(
+        (
+            str(val_type),
+            str(epoch),
+            str(niter),
+            f"{ms.acc:.6f}",
+            mat_to_str(ms.conf_mat),
+            loss_field,
+            str(ms.num_calls),
+            f"{ms.filt_frac:.4f}",
+            f"{ms.filt_acc:.6f}",
+            mat_to_str(ms.filt_conf_mat),
+            str(ms.filt_thresh),
+        )
+    ) + "\n"
 
 
 def process_mods_probs(probs, labels, allow_unbalanced, pct_filt, name,
                        fp=None):
     """Balance classes (optionally) and report metrics for modBAM validation."""
-    from remora_tpu import RemoraError
-
     if not allow_unbalanced:
-        nlabs = max(labels.max() + 1, probs.shape[1])
-        labels_probs = [probs[labels == i] for i in range(nlabs)]
-        lab_sizes = [lp.shape[0] for lp in labels_probs]
-        if len(lab_sizes) == 1:
-            raise RemoraError(
-                "Cannot balance dataset with 1 label. "
-                "Consider running with `--allow-unbalanced`"
-            )
-        LOGGER.debug(f"Balancing labels. Starting from: {lab_sizes}")
-        min_size = min(s for s in lab_sizes if s > 0)
-        bal_probs, bal_labels = [], []
-        for lab_idx, label_probs in enumerate(labels_probs):
-            if label_probs.shape[0] == 0:
-                continue
-            if label_probs.shape[0] > min_size:
-                np.random.shuffle(label_probs)
-            bal_probs.append(label_probs[:min_size])
-            bal_labels.append(np.full(min_size, lab_idx, dtype=labels.dtype))
-        probs = np.concatenate(bal_probs)
-        labels = np.concatenate(bal_labels)
-
-    acc, conf_mat, filt_frac, filt_acc, filt_conf_mat, filt_thr = (
-        compute_metrics(probs, labels, pct_filt / 100)
-    )
-    ms = VAL_METRICS(
-        loss=np.nan,
-        acc=acc,
-        num_calls=labels.size,
-        conf_mat=conf_mat,
-        filt_frac=filt_frac,
-        filt_acc=filt_acc,
-        filt_conf_mat=filt_conf_mat,
-        filt_thresh=filt_thr,
-    )
-    val_output = (
-        f"\n{ValidationLogger.HEADER}\n"
-        f"{name}\t0\t0\t"
-        f"{ms.acc:.6f}\t{mat_to_str(ms.conf_mat)}\t"
-        f"NAN\t{ms.num_calls}\t{ms.filt_frac:.4f}\t"
-        f"{ms.filt_acc:.6f}\t{mat_to_str(ms.filt_conf_mat)}\t{ms.filt_thresh}\n"
-    )
-    LOGGER.info(val_output)
+        probs, labels = _class_balance(probs, labels)
+    metric_values = compute_metrics(probs, labels, pct_filt / 100)
+    ms = VAL_METRICS(np.nan, metric_values[0], labels.size, *metric_values[1:])
+    row = _metrics_tsv_row(ms, name, 0, 0)
+    LOGGER.info(f"\n{ValidationLogger.HEADER}\n{row}")
     if fp is not None:
-        fp.write(
-            f"{name}\t0\t0\t{ms.acc:.6f}\t{mat_to_str(ms.conf_mat)}\tNAN\t"
-            f"{ms.num_calls}\t{ms.filt_frac:.4f}\t{ms.filt_acc:.6f}\t"
-            f"{mat_to_str(ms.filt_conf_mat)}\t{ms.filt_thresh}\n"
-        )
+        fp.write(row)
     return ms
 
 
@@ -164,7 +167,7 @@ class ValidationLogger:
             "Filtered_Threshold",
         )
     )
-    FULL_HEADER = "\t".join(["label", "class_pred", "class_probs"])
+    FULL_HEADER = "\t".join(("label", "class_pred", "class_probs"))
 
     def __init__(self, fp, full_results_fh=None):
         self.fp = fp
@@ -174,60 +177,44 @@ class ValidationLogger:
             self.full_fh.write(self.FULL_HEADER + "\n")
 
     def write_full_results(self, output, labels):
-        for lab, pred, probs in zip(
-            labels.tolist(), output.argmax(axis=1), softmax(output)
-        ):
-            self.fp_row = None
-            self.full_fh.write(
-                f"{lab}\t{pred}\t{','.join(map(str, probs))}\n"
-            )
+        calls = output.argmax(axis=1)
+        for lab, pred, probs in zip(labels.tolist(), calls, softmax(output)):
+            probs_field = ",".join(map(str, probs))
+            self.full_fh.write(f"{lab}\t{pred}\t{probs_field}\n")
 
     def run_validation(self, eval_fn, model_mod_bases, dataset,
                        filt_frac=constants.DEFAULT_FILT_FRAC):
         """eval_fn(sigs, enc_kmers) -> logits (numpy)."""
-        unmodeled_labels = np.array(
+        unmodeled = np.array(
             [
-                idx + 1
-                for idx, mb in enumerate(dataset.metadata.mod_bases)
-                if mb not in model_mod_bases
+                cls + 1
+                for cls, mod in enumerate(dataset.metadata.mod_bases)
+                if mod not in model_mod_bases
             ]
         )
-        all_labels, all_outputs, all_loss = [], [], []
+        label_batches, logit_batches, losses = [], [], []
         for batch in dataset:
             labels = np.asarray(batch["labels"])
-            all_labels.append(labels)
-            output = np.asarray(eval_fn(batch["signal"], batch["enc_kmers"]))
-            output = add_unmodeled_labels(output, unmodeled_labels)
-            all_outputs.append(output)
-            all_loss.append(cross_entropy(output, labels))
+            logits = np.asarray(eval_fn(batch["signal"], batch["enc_kmers"]))
+            logits = add_unmodeled_labels(logits, unmodeled)
+            label_batches.append(labels)
+            logit_batches.append(logits)
+            losses.append(cross_entropy(logits, labels))
             if self.full_fh is not None:
-                self.write_full_results(output, labels)
-        all_outputs = np.concatenate(all_outputs, axis=0)
-        all_labels = np.concatenate(all_labels)
-        all_probs = softmax(all_outputs)
-        acc, conf_mat, out_filt_frac, filt_acc, filt_conf_mat, filt_thr = (
-            compute_metrics(all_probs, all_labels, filt_frac)
-        )
+                self.write_full_results(logits, labels)
+        all_labels = np.concatenate(label_batches)
+        all_probs = softmax(np.concatenate(logit_batches, axis=0))
+        metric_values = compute_metrics(all_probs, all_labels, filt_frac)
         return VAL_METRICS(
-            loss=float(np.mean(all_loss)),
-            acc=acc,
-            num_calls=all_labels.size,
-            conf_mat=conf_mat,
-            filt_frac=out_filt_frac,
-            filt_acc=filt_acc,
-            filt_conf_mat=filt_conf_mat,
-            filt_thresh=filt_thr,
+            float(np.mean(losses)),
+            metric_values[0],
+            all_labels.size,
+            *metric_values[1:],
         )
 
     def validate_model(self, eval_fn, model_mod_bases, dataset,
                        filt_frac=constants.DEFAULT_FILT_FRAC, val_type="val",
                        nepoch=0, niter=0):
         ms = self.run_validation(eval_fn, model_mod_bases, dataset, filt_frac)
-        self.fp.write(
-            f"{val_type}\t{nepoch}\t{niter}\t"
-            f"{ms.acc:.6f}\t{mat_to_str(ms.conf_mat)}\t"
-            f"{ms.loss:.6f}\t{ms.num_calls}\t{ms.filt_frac:.4f}\t"
-            f"{ms.filt_acc:.6f}\t{mat_to_str(ms.filt_conf_mat)}\t"
-            f"{ms.filt_thresh}\n"
-        )
+        self.fp.write(_metrics_tsv_row(ms, val_type, nepoch, niter))
         return ms

@@ -2,10 +2,11 @@
 
 Reference analog ``src/remora/validate.py:296–594``: per-read MM/ML
 probabilities joined to ground-truth sites over aligned pairs, class
-balancing, accuracy/filtered-accuracy report.
+balancing, accuracy/filtered-accuracy report. Probability convention
+matches the reference: stored ML byte b -> (b + 0.5) / 256, canonical
+probability = 1 - sum(mod probabilities).
 """
 
-import sys
 from collections import defaultdict
 
 import numpy as np
@@ -18,210 +19,232 @@ from remora_tpu.train.validate import process_mods_probs
 
 LOGGER = log.get_logger()
 
+_FULL_HEADER = (
+    "query_name\tquery_pos\tref_name\tref_pos\tstrand\t"
+    "gt_mod_idx\tmod_probs\tref_align\tquery_align\t"
+    "within_align\twithin_gt\n"
+)
+
+
+def _mods_on_called_strand(read):
+    """Yield (mod_name, per-site values) for basecall-strand mods only."""
+    for (_cb, mod_strand, mod_name), values in (read.modified_bases or {}).items():
+        # mod_strand 0 = basecall strand; 1 = opposite (duplex) strand
+        if mod_strand == (1 if not read.is_reverse else 0):
+            continue
+        yield str(mod_name), values
+
+
+def _query_prob_vectors(read, alphabet):
+    """Per-query-position probability vector over [canonical, *mods]."""
+    site_probs = defaultdict(dict)
+    for mod_name, values in _mods_on_called_strand(read):
+        if mod_name not in alphabet:
+            continue
+        for q_pos, ml_byte in values:
+            site_probs[q_pos][mod_name] = (ml_byte + 0.5) / 256
+    vectors = {}
+    for q_pos, by_mod in site_probs.items():
+        mod_probs = [by_mod.get(mod, 0) for mod in alphabet[1:]]
+        vectors[q_pos] = np.array([1 - sum(by_mod.values())] + mod_probs)
+    return vectors
+
+
+def _alignment_strings(read, aligned_pairs):
+    """Gapped reference and query alignment strings."""
+    ref_str = "".join(b.upper() if b else "-" for _, _, b in aligned_pairs)
+    query_str = "".join(
+        "-" if q is None else read.query_sequence[q]
+        for q, _, _ in aligned_pairs
+    )
+    return ref_str, query_str
+
+
+def _context_field(align_str, a_idx, nctx, is_reverse):
+    lo = max(0, a_idx - nctx)
+    window = align_str[lo : a_idx + nctx + 1].rjust(nctx * 2 + 1, "-")
+    if is_reverse:
+        window = revcomp(window.replace("-", "N")).replace("N", "-")
+    return window
+
 
 def parse_mod_read(read, gt_sites, gt_ranges, alphabet, full_fh, nctx=5,
                    max_sites=None):
-    strand = "-" if read.is_reverse else "+"
-    ctg_gt = gt_sites.get((read.reference_name, strand))
-    ctg_gt_range = gt_ranges.get((read.reference_name, strand))
+    """Probability vectors + ground-truth labels for one read's sites."""
+    strand = "+-"[read.is_reverse]
+    site_key = (read.reference_name, strand)
+    ctg_gt = gt_sites.get(site_key)
+    ctg_gt_range = gt_ranges.get(site_key)
 
     try:
         aligned_pairs = read.get_aligned_pairs(with_seq=True)
     except (ValueError, KeyError):
         LOGGER.debug(f"Read missing MD tag {read.query_name}")
         return [], []
-    r_align = "".join(
-        b.upper() if b else "-" for _, _, b in aligned_pairs
-    )
-    q_align = "".join(
-        read.query_sequence[q] if q is not None else "-"
-        for q, _, _ in aligned_pairs
-    )
+    if full_fh is not None:
+        r_align, q_align = _alignment_strings(read, aligned_pairs)
 
-    q_mod_probs = defaultdict(dict)
-    mod_bases = read.modified_bases or {}
-    for (_cb, mod_strand, mod_name), mod_values in mod_bases.items():
-        mod_name = str(mod_name)
-        if (
-            (mod_strand == 0 and read.is_reverse)
-            or (mod_strand == 1 and not read.is_reverse)
-            or mod_name not in alphabet
-        ):
-            continue
-        for pos, prob in mod_values:
-            q_mod_probs[pos][mod_name] = (prob + 0.5) / 256
-    q_mod_probs_full = {}
-    for q_pos, pos_probs in q_mod_probs.items():
-        q_mod_probs_full[q_pos] = np.array(
-            [1 - sum(pos_probs.values())]
-            + [pos_probs.get(mn, 0) for mn in alphabet[1:]]
-        )
+    prob_vectors = _query_prob_vectors(read, alphabet)
 
     probs, labels = [], []
-    prev_q_pos = prev_r_pos = None
-    for a_idx, pair in enumerate(aligned_pairs):
-        q_pos, r_pos, _b = pair
-        if q_pos is not None:
-            prev_q_pos = q_pos
-        if r_pos is not None:
-            prev_r_pos = r_pos
-        r_pos_mod = None if ctg_gt is None else ctg_gt.get(r_pos)
-        q_pos_mod_probs = q_mod_probs_full.get(q_pos)
-        if r_pos_mod is None and q_pos_mod_probs is None:
+    prev_q_pos, prev_r_pos = None, None
+    for a_idx, (q_pos, r_pos, _b) in enumerate(aligned_pairs):
+        prev_q_pos = q_pos if q_pos is not None else prev_q_pos
+        prev_r_pos = r_pos if r_pos is not None else prev_r_pos
+        gt_mod = None if ctg_gt is None else ctg_gt.get(r_pos)
+        called = prob_vectors.get(q_pos)
+        if gt_mod is None and called is None:
             continue
-        r_pos_mod_idx = (
-            None if r_pos_mod is None else alphabet.index(r_pos_mod)
-        )
+        gt_mod_idx = None if gt_mod is None else alphabet.index(gt_mod)
         if full_fh is not None:
-            probs_str = (
-                None
-                if q_pos_mod_probs is None
-                else ",".join(map(str, q_pos_mod_probs))
+            probs_field = (
+                None if called is None else ",".join(map(str, called))
             )
-            if a_idx < nctx:
-                r_pa = r_align[: a_idx + nctx + 1]
-                q_pa = q_align[: a_idx + nctx + 1]
-            else:
-                r_pa = r_align[a_idx - nctx : a_idx + nctx + 1]
-                q_pa = q_align[a_idx - nctx : a_idx + nctx + 1]
-            r_pa = r_pa.rjust(nctx * 2 + 1, "-")
-            q_pa = q_pa.rjust(nctx * 2 + 1, "-")
-            if read.is_reverse:
-                r_pa = revcomp(r_pa.replace("-", "N")).replace("N", "-")
-                q_pa = revcomp(q_pa.replace("-", "N")).replace("N", "-")
-            within_align = within_gt = False
-            if prev_q_pos is not None:
-                within_align = (
-                    read.query_alignment_start
-                    <= prev_q_pos
-                    < read.query_alignment_end
-                )
-            if ctg_gt_range is not None and prev_r_pos is not None:
-                within_gt = within_align and (
-                    ctg_gt_range[0] <= prev_r_pos <= ctg_gt_range[1]
-                )
+            ref_ctx = _context_field(r_align, a_idx, nctx, read.is_reverse)
+            query_ctx = _context_field(q_align, a_idx, nctx, read.is_reverse)
+            within_align = prev_q_pos is not None and (
+                read.query_alignment_start
+                <= prev_q_pos
+                < read.query_alignment_end
+            )
+            within_gt = (
+                within_align
+                and ctg_gt_range is not None
+                and prev_r_pos is not None
+                and ctg_gt_range[0] <= prev_r_pos <= ctg_gt_range[1]
+            )
             full_fh.write(
                 f"{read.query_name}\t{q_pos}\t{read.reference_name}\t"
-                f"{r_pos}\t{strand}\t{r_pos_mod_idx}\t{probs_str}\t"
-                f"{r_pa}\t{q_pa}\t{within_align}\t{within_gt}\n"
+                f"{r_pos}\t{strand}\t{gt_mod_idx}\t{probs_field}\t"
+                f"{ref_ctx}\t{query_ctx}\t{within_align}\t{within_gt}\n"
             )
-        if r_pos_mod is not None and q_pos_mod_probs is not None:
-            labels.append(r_pos_mod_idx)
-            probs.append(q_pos_mod_probs)
+        if gt_mod is not None and called is not None:
+            labels.append(gt_mod_idx)
+            probs.append(called)
     if max_sites is not None and len(labels) > max_sites:
-        indices = np.random.choice(len(labels), size=max_sites, replace=False)
-        labels = [labels[i] for i in indices]
-        probs = [probs[i] for i in indices]
+        chosen = np.random.choice(len(labels), size=max_sites, replace=False)
+        labels = [labels[i] for i in chosen]
+        probs = [probs[i] for i in chosen]
     return probs, labels
+
+
+class _WarnOnce:
+    def __init__(self):
+        self.seen = set()
+
+    def __call__(self, key, message):
+        if key not in self.seen:
+            self.seen.add(key)
+            LOGGER.warning(message)
 
 
 def parse_mod_bam(bam_path, gt_sites, gt_ranges, alphabet, full_fh,
                   context_bases=5, max_sites=None):
     probs, labels = [], []
-    do_warn_mod = do_warn_strand = True
+    warn_once = _WarnOnce()
     for read in FastBamScanner(bam_path):
-        mb = read.modified_bases
-        if mb is None:
+        if read.modified_bases is None:
             continue
-        valid_mods = False
-        for _cb, mod_strand, mod_name in mb.keys():
-            mod_name = str(mod_name)
-            if (mod_strand == 0 and read.is_reverse) or (
-                mod_strand == 1 and not read.is_reverse
-            ):
-                if do_warn_strand:
-                    LOGGER.warning(
-                        "Reverse strand (duplex) mods not supported"
-                    )
-                    do_warn_strand = False
-                continue
-            if mod_name not in alphabet:
-                if do_warn_mod:
-                    LOGGER.warning(
-                        f"Modified base found in BAM ({mod_name}) not found "
-                        "in ground truth. Add with --extra-bases if needed."
-                    )
-                    do_warn_mod = False
-                continue
-            valid_mods = True
-        if not valid_mods:
+        usable = False
+        for mod_name, _values in _mods_on_called_strand(read):
+            if mod_name in alphabet:
+                usable = True
+            else:
+                warn_once(
+                    "mod",
+                    f"Modified base found in BAM ({mod_name}) not found "
+                    "in ground truth. Add with --extra-bases if needed.",
+                )
+        n_strand_skipped = sum(1 for _ in read.modified_bases) - sum(
+            1 for _ in _mods_on_called_strand(read)
+        )
+        if n_strand_skipped:
+            warn_once(
+                "strand", "Reverse strand (duplex) mods not supported"
+            )
+        if not usable:
             continue
-        r_probs, r_labels = parse_mod_read(
+        read_probs, read_labels = parse_mod_read(
             read, gt_sites, gt_ranges, alphabet, full_fh,
             nctx=context_bases, max_sites=max_sites,
         )
-        probs.extend(r_probs)
-        labels.extend(r_labels)
-    if len(probs) < 1:
+        probs.extend(read_probs)
+        labels.extend(read_labels)
+    if not probs:
         raise RemoraError(
-            f"No valid modification calls from {bam_path}. Confirm that "
-            "contig names from reference FASTA and ground truth BED match."
+            f"Found no usable modification calls in {bam_path} — check "
+            "that BED and reference FASTA contig names agree."
         )
     LOGGER.debug(f"Parsed {len(probs)} modified base calls from {bam_path}")
     return np.array(probs), np.array(labels)
 
 
-def validate_modbams(bams_and_beds, full_results_path, name, pct_filt,
-                     allow_unbalanced=False, seed=None, extra_bases=None,
-                     max_sites_per_read=None, out_file=None):
-    seed = (
-        np.random.randint(0, np.iinfo(np.uint32).max, dtype=np.uint32)
-        if seed is None
-        else seed
-    )
-    np.random.seed(int(seed))
-    LOGGER.debug(f"Seed selected is {seed}")
+def _assemble_ground_truth(beds, extra_bases):
+    """Parse BEDs once each; derive the validation alphabet.
 
-    full_fh = None
-    if full_results_path is not None:
-        full_fh = open(full_results_path, "w", buffering=512)
-        full_fh.write(
-            "query_name\tquery_pos\tref_name\tref_pos\tstrand\t"
-            "gt_mod_idx\tmod_probs\tref_align\tquery_align\t"
-            "within_align\twithin_gt\n"
-        )
-
-    LOGGER.info("Parsing ground truth BED files")
-    bams, beds = zip(*bams_and_beds)
+    Returns per-sample site dicts, per-sample (min, max) site ranges, and
+    the alphabet [canonical, *sorted mods]."""
     parsed = {}
-    all_gt_sites, all_gt_ranges = [], []
-    all_mods = set()
+    sample_sites, sample_ranges = [], []
+    seen_mods = set()
     for bed_path in beds:
         if bed_path not in parsed:
             parsed[bed_path] = parse_mods_bed(bed_path)
-        gt_sites, samp_mods = parsed[bed_path]
-        all_gt_sites.append(gt_sites)
-        all_gt_ranges.append(
-            {cs: (min(poss), max(poss)) for cs, poss in gt_sites.items()}
+        sites, bed_mods = parsed[bed_path]
+        sample_sites.append(sites)
+        sample_ranges.append(
+            {key: (min(positions), max(positions))
+             for key, positions in sites.items()}
         )
-        all_mods.update(samp_mods)
+        seen_mods.update(bed_mods)
     if extra_bases is not None:
-        all_mods.update(extra_bases)
-    can_base = all_mods.intersection("ACGTU")
-    if len(can_base) > 1:
-        raise RemoraError(f"More than one canonical base found: {can_base}")
-    if len(can_base) == 0:
+        seen_mods.update(extra_bases)
+    canonical = seen_mods.intersection("ACGTU")
+    if len(canonical) > 1:
+        raise RemoraError(f"More than one canonical base found: {canonical}")
+    if not canonical:
         raise RemoraError("No canonical bases found in ground truth.")
-    mod_bases = all_mods.difference("ACGTU")
-    alphabet = list(can_base) + sorted(mod_bases)
+    alphabet = list(canonical) + sorted(seen_mods - set("ACGTU"))
+    return sample_sites, sample_ranges, alphabet
+
+
+def validate_modbams(bams_and_beds, full_results_path, name, pct_filt,
+                     allow_unbalanced=False, seed=None, extra_bases=None,
+                     max_sites_per_read=None, out_file=None):
+    if seed is None:
+        seed = np.random.randint(np.iinfo(np.uint32).max, dtype=np.uint32)
+    LOGGER.debug(f"Seed selected is {seed}")
+    np.random.seed(int(seed))
+
+    if full_results_path is None:
+        full_fh = None
+    else:
+        full_fh = open(full_results_path, "w", buffering=512)
+        full_fh.write(_FULL_HEADER)
+
+    LOGGER.info("Parsing ground truth BED files")
+    bams, beds = zip(*bams_and_beds)
+    sample_sites, sample_ranges, alphabet = _assemble_ground_truth(
+        beds, extra_bases
+    )
 
     LOGGER.info("Parsing modBAM files")
-    all_probs, all_labels = [], []
-    for bam_path, gt_sites, gt_ranges in zip(bams, all_gt_sites, all_gt_ranges):
+    sample_probs, sample_labels = [], []
+    for bam_path, sites, ranges in zip(bams, sample_sites, sample_ranges):
         probs, labels = parse_mod_bam(
-            bam_path, gt_sites, gt_ranges, alphabet, full_fh,
+            bam_path, sites, ranges, alphabet, full_fh,
             max_sites=max_sites_per_read,
         )
-        all_probs.append(probs)
-        all_labels.append(labels)
+        sample_probs.append(probs)
+        sample_labels.append(labels)
     if full_fh is not None:
         full_fh.close()
 
     LOGGER.info(f"Alphabet used (and order of reported metrics): {alphabet}")
     out_fp = open(out_file, "w") if out_file else None
     ms = process_mods_probs(
-        np.vstack(all_probs),
-        np.concatenate(all_labels),
+        np.vstack(sample_probs),
+        np.concatenate(sample_labels),
         allow_unbalanced,
         pct_filt,
         name,
