@@ -7,7 +7,7 @@ BAM records.
 """
 
 import sys
-from collections import defaultdict
+from collections import Counter
 from copy import copy
 from itertools import chain, islice
 
@@ -40,100 +40,99 @@ def call_read_mods(
         eval_fn: callable (sigs, enc_kmers) -> logits
         model_metadata: loaded model metadata dict
         focus_offset: call only this base (default: model motif hits)
+
+    Returns (nn_out, labels, positions) by default; with
+    ``return_mod_probs`` the first element is per-mod probabilities; with
+    ``return_mm_ml_tags`` the formatted (MM, ML) pair instead.
     """
-    if focus_offset is None:
-        motifs = [Motif(*mot) for mot in model_metadata["motifs"]]
-        read.set_motif_focus_bases(motifs)
-    else:
+    if focus_offset is not None:
         read.focus_bases = np.array([focus_offset])
+    else:
+        read.set_motif_focus_bases(
+            [Motif(*mot) for mot in model_metadata["motifs"]]
+        )
     read.prepare_batches(model_metadata, batch_size)
     if not read.batches:
-        return np.array([]), np.array([]), np.array([])
+        empty = np.array([])
+        return empty, empty, empty
     nn_out, labels, pos = read.run_model(eval_fn)
-    if not return_mod_probs and not return_mm_ml_tags:
+    if not (return_mod_probs or return_mm_ml_tags):
         return nn_out, labels, pos
-    probs = softmax(nn_out)[:, 1:].astype(np.float64)
+    full_probs = softmax(nn_out)
+    mod_probs = full_probs[:, 1:].astype(np.float64)
     if return_mm_ml_tags:
         return format_mm_ml_tags(
             seq=read.str_seq,
             poss=pos,
-            probs=probs,
+            probs=mod_probs,
             mod_bases=model_metadata["mod_bases"],
             can_base=model_metadata["can_base"],
         )
-    return probs, labels, pos
+    return mod_probs, labels, pos
 
 
 class DuplexReadModCaller:
+    """Calls each simplex strand, then maps both onto duplex coordinates."""
+
     def __init__(self, eval_fn, model_metadata):
         self.eval_fn = eval_fn
         self.model_metadata = model_metadata
 
+    def _strand_mod_probs(self, simplex_read, ref_start):
+        """Mod probabilities + duplex-reference positions for one strand."""
+        remora_read = simplex_read.into_remora_read(False)
+        mod_probs, _, positions = call_read_mods(
+            read=remora_read,
+            eval_fn=self.eval_fn,
+            model_metadata=self.model_metadata,
+            return_mod_probs=True,
+        )
+        return mod_probs, positions + ref_start
+
     def call_duplex_read_mod_probs(self, duplex_read: DuplexRead):
-        template_read = duplex_read.template_read.into_remora_read(False)
-        complement_read = duplex_read.complement_read.into_remora_read(False)
-
-        template_probs, _, template_positions = call_read_mods(
-            read=template_read,
-            eval_fn=self.eval_fn,
-            model_metadata=self.model_metadata,
-            return_mod_probs=True,
+        t_probs, t_pos = self._strand_mod_probs(
+            duplex_read.template_read, duplex_read.template_ref_start
         )
-        template_positions = template_positions + duplex_read.template_ref_start
-
-        complement_probs, _, complement_positions = call_read_mods(
-            read=complement_read,
-            eval_fn=self.eval_fn,
-            model_metadata=self.model_metadata,
-            return_mod_probs=True,
+        c_probs, c_pos = self._strand_mod_probs(
+            duplex_read.complement_read, duplex_read.complement_ref_start
         )
-        complement_positions = (
-            complement_positions + duplex_read.complement_ref_start
-        )
-
-        read_sequence = (
-            duplex_read.duplex_basecalled_sequence
-            if not duplex_read.is_reverse_mapped
-            else revcomp(duplex_read.duplex_basecalled_sequence)
-        )
+        seq = duplex_read.duplex_basecalled_sequence
         if duplex_read.is_reverse_mapped:
-            (template_positions, template_probs), (
-                complement_positions,
-                complement_probs,
-            ) = (complement_positions, complement_probs), (
-                template_positions,
-                template_probs,
+            # mapping flips the duplex: the template calls land on the
+            # second (complement) strand of the oriented sequence
+            seq = revcomp(seq)
+            (t_probs, t_pos), (c_probs, c_pos) = (
+                (c_probs, c_pos),
+                (t_probs, t_pos),
             )
-        complement_positions_duplex_orientation = (
-            len(read_sequence) - complement_positions - 1
-        )
         return {
-            "template_probs": template_probs,
-            "template_positions": template_positions,
-            "complement_probs": complement_probs,
-            "complement_positions": complement_positions_duplex_orientation,
-            "read_sequence": read_sequence,
+            "template_probs": t_probs,
+            "template_positions": t_pos,
+            "complement_probs": c_probs,
+            "complement_positions": len(seq) - c_pos - 1,
+            "read_sequence": seq,
         }
 
     def call_duplex_read_mods(self, duplex_read: DuplexRead):
         dp = self.call_duplex_read_mod_probs(duplex_read)
-        template_mm, template_ml = format_mm_ml_tags(
+        shared = dict(mod_bases=self.model_metadata["mod_bases"])
+        fwd_mm, fwd_ml = format_mm_ml_tags(
             seq=dp["read_sequence"],
             poss=dp["template_positions"],
             probs=dp["template_probs"],
-            mod_bases=self.model_metadata["mod_bases"],
             can_base=self.model_metadata["can_base"],
             strand="+",
+            **shared,
         )
-        complement_mm, complement_ml = format_mm_ml_tags(
+        rev_mm, rev_ml = format_mm_ml_tags(
             seq=dp["read_sequence"],
             poss=dp["complement_positions"],
             probs=dp["complement_probs"],
-            mod_bases=self.model_metadata["mod_bases"],
             can_base=revcomp(self.model_metadata["can_base"]),
             strand="-",
+            **shared,
         )
-        return template_mm + complement_mm, template_ml + complement_ml
+        return fwd_mm + rev_mm, fwd_ml + rev_ml
 
 
 class DelimIdConverter:
@@ -147,32 +146,31 @@ class DelimIdConverter:
 
 
 def check_simplex_alignments(*, simplex_index, duplex_index, pairs):
-    if len(pairs) == 0:
+    """Filter pairs to those fully resolvable in both BAMs."""
+    if not pairs:
         raise ValueError("no pairs found in file")
-    all_paired = set(chain(*pairs))
     simplex_ids = set(simplex_index.read_ids)
     duplex_ids = set(duplex_index.read_ids)
-    n_paired = len(all_paired.intersection(simplex_ids))
-    if n_paired == 0:
+    if not simplex_ids.intersection(chain(*pairs)):
         raise ValueError("zero simplex alignments found")
-    valid = [
-        (t, c)
-        for t, c in pairs
-        if t in simplex_ids and c in simplex_ids and t in duplex_ids
+    usable = [
+        (template, complement)
+        for template, complement in pairs
+        if template in simplex_ids
+        and complement in simplex_ids
+        and template in duplex_ids
     ]
-    LOGGER.debug(f"Found {len(valid)} valid reads out of {len(pairs)} pairs")
-    return valid, len(valid)
+    LOGGER.debug(f"Found {len(usable)} valid reads out of {len(pairs)} pairs")
+    return usable, len(usable)
 
 
 def prep_duplex_read_builder(simplex_index, pod5_path):
-    builder = DuplexPairsBuilder(
-        simplex_index=simplex_index, pod5_path=pod5_path
-    )
-    return [builder], {}
+    # one pairs-builder per worker process (holds open file handles)
+    return [DuplexPairsBuilder(simplex_index, pod5_path)], {}
 
 
-def iter_duplexed_io_reads(read_id_pair, builder):
-    return builder.make_read_pair(read_id_pair)
+def iter_duplexed_io_reads(read_id_pair, pairs_builder):
+    return pairs_builder.make_read_pair(read_id_pair)
 
 
 def make_duplex_reads(read_pair_result, duplex_index):
@@ -182,13 +180,17 @@ def make_duplex_reads(read_pair_result, duplex_index):
     template, complement = read_pair
     if template.read_id not in duplex_index:
         return read_pair, "duplex BAM record not found for read_id"
-    for bam_record in duplex_index.get_alignments(template.read_id):
-        duplex_read = DuplexRead.from_reads_and_alignment(
+    bam_record = next(duplex_index.get_alignments(template.read_id), None)
+    if bam_record is None:
+        return read_pair, "duplex BAM record not found for read_id"
+    return (
+        DuplexRead.from_reads_and_alignment(
+            duplex_alignment=bam_record,
             template_read=template,
             complement_read=complement,
-            duplex_alignment=bam_record,
-        )
-        return duplex_read, None
+        ),
+        None,
+    )
 
 
 def add_mod_mappings_to_alignment(duplex_read_result, caller):
@@ -199,10 +201,17 @@ def add_mod_mappings_to_alignment(duplex_read_result, caller):
     record = copy(duplex_read.duplex_alignment)
     record.drop_tags({"MM", "ML"})
     record.set_tag("MM", "Z", mm)
-    record.set_tag(
-        "ML", "BC", np.frombuffer(ml.tobytes(), dtype=np.uint8)
-    )
+    record.set_tag("ML", "BC", np.frombuffer(ml.tobytes(), dtype=np.uint8))
     return record, None
+
+
+def _open_indexed_bam(path, what, **kwargs):
+    LOGGER.info(f"Indexing {what} BAM")
+    index = ReadIndexedBam(path, **kwargs)
+    if index.num_records == 0:
+        LOGGER.info(f"No records found in {what} BAM file.")
+        sys.exit()
+    return index
 
 
 def infer_duplex(
@@ -230,25 +239,19 @@ def infer_duplex(
         eval_fn, model_metadata = first.eval_fn, first.metadata
     else:
         eval_fn, model_metadata = first
-    LOGGER.info("Indexing Duplex BAM")
-    duplex_bam_index = ReadIndexedBam(
+    duplex_bam_index = _open_indexed_bam(
         duplex_bam_path,
+        "Duplex",
         skip_non_primary=skip_non_primary,
         req_tags=set(),
         read_id_converter=DelimIdConverter(duplex_deliminator),
     )
-    if duplex_bam_index.num_records == 0:
-        LOGGER.info("No records found in duplex BAM file.")
-        sys.exit()
-    LOGGER.info("Indexing Simplex BAM")
-    simplex_bam_index = ReadIndexedBam(
-        simplex_bam_path, skip_non_primary=True, req_tags={"mv"}
+    simplex_bam_index = _open_indexed_bam(
+        simplex_bam_path, "Simplex", skip_non_primary=True, req_tags={"mv"}
     )
-    if simplex_bam_index.num_records == 0:
-        LOGGER.info("No records found in simplex BAM file.")
-        sys.exit()
     with open(pairs_path) as fh:
-        pairs = [tuple(line.split()) for line in fh if line.strip()]
+        pair_lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    pairs = [tuple(ln.split()) for ln in pair_lines]
     valid_pairs, num_valid = check_simplex_alignments(
         simplex_index=simplex_bam_index,
         duplex_index=duplex_bam_index,
@@ -287,23 +290,21 @@ def infer_duplex(
         use_mp_queue=False,
     )
 
-    errs = defaultdict(int)
+    skips = Counter()
     in_bam = FastBamScanner(duplex_bam_path)
     n_written = 0
     with BamWriter(out_bam, in_bam.header) as out:
         for record, err in records:
             if err is not None:
-                errs[err] += 1
-                continue
-            out.write(record)
-            n_written += 1
-    if errs:
-        err_str = "\n".join(
-            f"{num:>7} : {err:<80}"
-            for num, err in sorted(
-                ((n, e) for e, n in errs.items()), reverse=True
-            )
-        )
-        LOGGER.info(f"Unsuccessful read reasons:\n{err_str}")
+                skips[err] += 1
+            else:
+                out.write(record)
+                n_written += 1
+    if skips:
+        lines = [
+            f"{count:>7} : {reason:<80}"
+            for reason, count in skips.most_common()
+        ]
+        LOGGER.info("Unsuccessful read reasons:\n" + "\n".join(lines))
     LOGGER.info(f"Wrote {n_written} duplex records")
     return n_written
