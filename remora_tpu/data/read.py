@@ -7,6 +7,8 @@ exactly so that golden chunk counts and tensors match.
 """
 
 from dataclasses import dataclass
+from functools import cached_property
+from typing import Optional
 
 import numpy as np
 
@@ -14,6 +16,21 @@ from remora_tpu import RemoraError, log
 from remora_tpu.core import seq as sequtil
 
 LOGGER = log.get_logger()
+
+
+def _paste_clipped(dest, src, src_lo, src_hi):
+    """Copy ``src[src_lo:src_hi]`` into ``dest``, clipping out-of-range
+    source indices and leaving the corresponding dest edges untouched.
+
+    Returns (left_pad, right_pad): the number of dest positions skipped
+    on each side.
+    """
+    left_pad = max(-src_lo, 0)
+    right_pad = max(src_hi - src.size, 0)
+    dest[left_pad : dest.size - right_pad] = src[
+        src_lo + left_pad : src_hi - right_pad
+    ]
+    return left_pad, right_pad
 
 
 @dataclass
@@ -37,24 +54,27 @@ class Chunk:
     chunk_sig_focus_idx: int
     chunk_focus_base: int
     read_focus_base: int
-    read_id: str = None
-    label: int = None
+    read_id: Optional[str] = None
+    label: Optional[int] = None
 
     def mask_focus_base(self):
-        self.seq_w_context[self.chunk_focus_base + self.kmer_context_bases[0]] = -1
+        focus_idx = self.chunk_focus_base + self.kmer_context_bases[0]
+        self.seq_w_context[focus_idx] = -1
 
     @property
     def kmer_len(self):
-        return sum(self.kmer_context_bases) + 1
+        kb, ka = self.kmer_context_bases
+        return kb + ka + 1
 
     @property
     def seq_len(self):
-        return self.seq_w_context.size - sum(self.kmer_context_bases)
+        kb, ka = self.kmer_context_bases
+        return self.seq_w_context.size - kb - ka
 
     @property
     def seq(self):
-        st = self.kmer_context_bases[0]
-        return self.seq_w_context[st : st + self.seq_len]
+        lo = self.kmer_context_bases[0]
+        return self.seq_w_context[lo : lo + self.seq_len]
 
     @property
     def base_sig_lens(self):
@@ -63,16 +83,13 @@ class Chunk:
     def check(self):
         if self.signal.size <= 0:
             raise RemoraError("No signal for chunk")
-        if np.any(np.isnan(self.signal)):
+        if np.isnan(self.signal).any():
             raise RemoraError("Signal contains NaN")
-        if (
-            self.seq_w_context.size - sum(self.kmer_context_bases)
-            != self.seq_to_sig_map.size - 1
-        ):
+        if self.seq_len != self.seq_to_sig_map.size - 1:
             raise RemoraError("Invalid sig to seq map length")
-        if not np.all(np.diff(self.seq_to_sig_map) >= 0):
+        if np.any(self.base_sig_lens < 0):
             LOGGER.debug(
-                f"FAILED_CHUNK: not monotonic {self.read_id} "
+                f"FAILED_CHUNK: non-monotonic map in {self.read_id} "
                 f"{self.seq_to_sig_map}"
             )
         if self.seq_to_sig_map[0] < 0:
@@ -99,100 +116,89 @@ class RemoraRead:
     shift: float
     scale: float
     seq_to_sig_map: np.ndarray
-    int_seq: np.ndarray = None
-    str_seq: str = None
-    read_id: str = None
-    labels: np.ndarray = None
-    focus_bases: np.ndarray = None
-    batches: list = None
+    int_seq: Optional[np.ndarray] = None
+    str_seq: Optional[str] = None
+    read_id: Optional[str] = None
+    labels: Optional[np.ndarray] = None
+    focus_bases: Optional[np.ndarray] = None
+    batches: Optional[list] = None
+
+    _LAZY = ("sig", "sig_cumsum", "dwells", "base_levels")
 
     def __post_init__(self):
-        if self.int_seq is None:
-            if self.str_seq is None:
-                raise RemoraError("Must provide sequence to initialize RemoraRead")
+        if self.int_seq is not None:
+            self.str_seq = sequtil.int_to_seq(self.int_seq)
+        elif self.str_seq is not None:
             self.int_seq = sequtil.seq_to_int(self.str_seq)
         else:
-            self.str_seq = sequtil.int_to_seq(self.int_seq)
-        self._sig = None
-        self._dwells = None
-        self._sig_cumsum = None
-        self._base_levels = None
+            raise RemoraError("Must provide sequence to initialize RemoraRead")
+
+    def _reset_cache(self):
+        for name in self._LAZY:
+            self.__dict__.pop(name, None)
 
     @classmethod
     def test_read(cls, nbases=20, signal_per_base=10):
+        """Uniform spoof read (reference test double, data_chunks.py:179)."""
+        n_sig = nbases * signal_per_base
         return cls(
-            np.zeros(nbases * signal_per_base),
+            np.zeros(n_sig),
             0.0,
             1.0,
-            np.arange(nbases * signal_per_base + 1, step=signal_per_base),
+            np.arange(0, n_sig + 1, signal_per_base),
             np.arange(nbases) % 4,
             read_id="test_read",
             labels=np.zeros(nbases, dtype=np.int64),
         )
 
-    @property
+    # --- lazily derived signal views (cleared by _reset_cache) ---
+    @cached_property
     def sig(self):
-        if self._sig is None:
-            self._sig = ((self.dacs - self.shift) / self.scale).astype(np.float32)
-        return self._sig
+        return ((self.dacs - self.shift) / self.scale).astype(np.float32)
 
-    @property
+    @cached_property
     def sig_cumsum(self):
-        if self._sig_cumsum is None:
-            self._sig_cumsum = np.empty(self.sig.size + 1)
-            self._sig_cumsum[0] = 0
-            self._sig_cumsum[1:] = np.cumsum(self.sig)
-        return self._sig_cumsum
+        cs = np.zeros(self.sig.size + 1)
+        np.cumsum(self.sig, out=cs[1:])
+        return cs
 
-    @property
+    @cached_property
     def dwells(self):
-        if self._dwells is None:
-            self._dwells = np.diff(self.seq_to_sig_map)
-        return self._dwells
+        return np.diff(self.seq_to_sig_map)
 
-    @property
+    @cached_property
     def base_levels(self):
-        if self._base_levels is None:
-            with np.errstate(invalid="ignore"):
-                self._base_levels = (
-                    np.diff(self.sig_cumsum[self.seq_to_sig_map]) / self.dwells
-                )
-        return self._base_levels
-
-    def _reset_cache(self):
-        self._sig = None
-        self._dwells = None
-        self._sig_cumsum = None
-        self._base_levels = None
+        with np.errstate(invalid="ignore"):
+            return np.diff(self.sig_cumsum[self.seq_to_sig_map]) / self.dwells
 
     def check(self):
         if self.seq_to_sig_map.size != self.int_seq.size + 1:
             raise RemoraError(
-                f"Invalid read: seq ({self.int_seq.size}) and mapping "
-                f"({self.seq_to_sig_map.size}) sizes incompatible"
+                f"Invalid read: mapping size ({self.seq_to_sig_map.size}) "
+                f"must be sequence size ({self.int_seq.size}) + 1"
             )
         if self.seq_to_sig_map[0] != 0:
             raise RemoraError("Invalid read: mapping start")
         if self.seq_to_sig_map[-1] != self.sig.size:
             raise RemoraError("Invalid read: mapping end")
-        if self.int_seq.size and self.int_seq.max() > 3:
-            raise RemoraError("Invalid read: Invalid base")
-        if self.int_seq.size and self.int_seq.min() < -1:
-            raise RemoraError("Invalid read: Invalid base")
+        if self.int_seq.size:
+            if self.int_seq.max() > 3 or self.int_seq.min() < -1:
+                raise RemoraError("Invalid read: Invalid base")
 
     def copy(self):
+        def dup(arr):
+            return None if arr is None else arr.copy()
+
         return RemoraRead(
-            dacs=self.dacs.copy(),
-            shift=self.shift,
-            scale=self.scale,
-            seq_to_sig_map=self.seq_to_sig_map,
-            int_seq=None if self.int_seq is None else self.int_seq.copy(),
+            self.dacs.copy(),
+            self.shift,
+            self.scale,
+            self.seq_to_sig_map,
+            int_seq=dup(self.int_seq),
             str_seq=self.str_seq,
+            labels=dup(self.labels),
+            focus_bases=dup(self.focus_bases),
             read_id=self.read_id,
-            labels=None if self.labels is None else self.labels.copy(),
-            focus_bases=(
-                None if self.focus_bases is None else self.focus_bases.copy()
-            ),
         )
 
     def refine_signal_mapping(self, sig_map_refiner, check_read=False):
@@ -201,33 +207,30 @@ class RemoraRead:
             return
         if sig_map_refiner.do_rough_rescale:
             self.shift, self.scale = sig_map_refiner.rough_rescale(
-                self.shift,
-                self.scale,
-                self.seq_to_sig_map,
-                self.int_seq,
-                self.dacs,
+                shift=self.shift,
+                scale=self.scale,
+                seq_to_sig_map=self.seq_to_sig_map,
+                int_seq=self.int_seq,
+                dacs=self.dacs,
             )
             self._reset_cache()
         if sig_map_refiner.scale_iters >= 0:
-            prev_shift, prev_scale = self.shift, self.scale
+            prev = (self.shift, self.scale)
             try:
-                (
-                    self.seq_to_sig_map,
-                    self.shift,
-                    self.scale,
-                ) = sig_map_refiner.refine_sig_map(
-                    self.shift,
-                    self.scale,
-                    self.seq_to_sig_map,
-                    self.int_seq,
-                    self.dacs,
+                refined = sig_map_refiner.refine_sig_map(
+                    shift=self.shift,
+                    scale=self.scale,
+                    seq_to_sig_map=self.seq_to_sig_map,
+                    int_seq=self.int_seq,
+                    dacs=self.dacs,
                 )
+                self.seq_to_sig_map, self.shift, self.scale = refined
             except IndexError as e:
                 LOGGER.debug(f"refine_error {self.read_id} {e}")
             self._reset_cache()
             LOGGER.debug(
-                f"Refine mapping ::: shift: {prev_shift} -> {self.shift} "
-                f"scale: {prev_scale} -> {self.scale}"
+                f"Refined scaling: shift {prev[0]} -> {self.shift}, "
+                f"scale {prev[1]} -> {self.scale}"
             )
         if check_read:
             self.check()
@@ -236,14 +239,43 @@ class RemoraRead:
         self.focus_bases = sequtil.find_focus_bases(self.int_seq, motifs)
 
     def downsample_focus_bases(self, max_sites):
-        if self.focus_bases is not None and self.focus_bases.size > max_sites:
-            LOGGER.debug(
-                f"selected {max_sites} focus bases from "
-                f"{self.focus_bases.size} in read {self.read_id}"
-            )
-            self.focus_bases = np.random.choice(
-                self.focus_bases, size=max_sites, replace=False
-            )
+        if self.focus_bases is None or self.focus_bases.size <= max_sites:
+            return
+        LOGGER.debug(
+            f"downsampling focus bases {self.focus_bases.size} -> "
+            f"{max_sites} in read {self.read_id}"
+        )
+        self.focus_bases = np.random.choice(
+            self.focus_bases, size=max_sites, replace=False
+        )
+
+    def _chunk_signal(self, sig_lo, sig_hi, signal_padding):
+        """Chunk signal window with zero (or mirrored) edge padding."""
+        if sig_lo >= 0 and sig_hi <= self.sig.size:
+            return self.sig[sig_lo:sig_hi].copy(), 0
+        window = np.zeros(sig_hi - sig_lo, dtype=np.float32)
+        left_pad, right_pad = _paste_clipped(window, self.sig, sig_lo, sig_hi)
+        if signal_padding:
+            # mirror the read edges instead of zero fill
+            if left_pad:
+                window[:left_pad] = self.sig[left_pad:0:-1]
+            if right_pad:
+                n = self.sig.size
+                window[window.size - right_pad :] = self.sig[
+                    n : n - right_pad - 1 : -1
+                ]
+        return window, left_pad
+
+    def _chunk_sequence(self, seq_lo, seq_hi, kmer_context_bases):
+        """Sequence window incl. k-mer context, -1 padded at read edges."""
+        kb, ka = kmer_context_bases
+        if seq_lo >= kb and seq_hi + ka <= self.int_seq.size:
+            # in-range: return a view (mask_focus_base mutates through it,
+            # matching reference behavior)
+            return self.int_seq[seq_lo - kb : seq_hi + ka]
+        window = np.full(seq_hi - seq_lo + kb + ka, -1, dtype=np.int8)
+        _paste_clipped(window, self.int_seq, seq_lo - kb, seq_hi + ka)
+        return window
 
     def extract_chunk(
         self,
@@ -255,72 +287,34 @@ class RemoraRead:
         check_chunk=False,
         signal_padding=False,
     ):
+        """Extract one fixed-width chunk centered at a signal position."""
         chunk_len = sum(chunk_context)
-        sig_start = focus_sig_idx - chunk_context[0]
-        sig_end = focus_sig_idx + chunk_context[1]
-        seq_to_sig_offset = 0
-        if sig_start >= 0 and sig_end <= self.sig.size:
-            chunk_sig = self.sig[sig_start:sig_end].copy()
-        else:
-            # read edge: zero-pad (or mirror when signal_padding)
-            chunk_sig = np.zeros(chunk_len, dtype=np.float32)
-            fill_st = 0
-            fill_en = chunk_len
-            if sig_start < 0:
-                fill_st = -sig_start
-                seq_to_sig_offset = -sig_start
-                sig_start = 0
-            if sig_end > self.sig.size:
-                fill_en = self.sig.size - sig_start + seq_to_sig_offset
-                sig_end = self.sig.size
-            chunk_sig[fill_st:fill_en] = self.sig[sig_start:sig_end]
-            if signal_padding:
-                chunk_sig[:fill_st] = self.sig[sig_start + fill_st : sig_start : -1]
-                chunk_sig[fill_en:] = self.sig[
-                    sig_end : sig_end - chunk_sig.size + fill_en - 1 : -1
-                ]
+        sig_lo = focus_sig_idx - chunk_context[0]
+        sig_hi = focus_sig_idx + chunk_context[1]
+        chunk_sig, left_pad = self._chunk_signal(sig_lo, sig_hi, signal_padding)
+        clipped_lo = max(sig_lo, 0)
+        clipped_hi = min(sig_hi, self.sig.size)
 
-        seq_start = (
-            np.searchsorted(self.seq_to_sig_map, sig_start, side="right") - 1
+        # bases whose signal spans intersect the window
+        seq_lo = np.searchsorted(self.seq_to_sig_map, clipped_lo, "right") - 1
+        seq_hi = np.searchsorted(self.seq_to_sig_map, clipped_hi, "left")
+
+        chunk_map = self.seq_to_sig_map[seq_lo : seq_hi + 1] - (
+            clipped_lo - left_pad
         )
-        seq_end = np.searchsorted(self.seq_to_sig_map, sig_end, side="left")
+        chunk_map[0] = 0
+        chunk_map[-1] = chunk_len
+        chunk_map = chunk_map.astype(np.int32)
 
-        chunk_seq_to_sig = self.seq_to_sig_map[seq_start : seq_end + 1].copy()
-        chunk_seq_to_sig -= sig_start - seq_to_sig_offset
-        chunk_seq_to_sig[0] = 0
-        chunk_seq_to_sig[-1] = chunk_len
-        chunk_seq_to_sig = chunk_seq_to_sig.astype(np.int32)
-
-        kmer_before_bases, kmer_after_bases = kmer_context_bases
-        if (
-            seq_start >= kmer_before_bases
-            and seq_end + kmer_after_bases <= self.int_seq.size
-        ):
-            chunk_seq = self.int_seq[
-                seq_start - kmer_before_bases : seq_end + kmer_after_bases
-            ]
-        else:
-            chunk_seq = np.full(
-                seq_end - seq_start + sum(kmer_context_bases), -1, dtype=np.int8
-            )
-            fill_st = 0
-            fill_en = seq_end - seq_start + sum(kmer_context_bases)
-            chunk_seq_st = seq_start - kmer_before_bases
-            chunk_seq_en = seq_end + kmer_after_bases
-            if seq_start < kmer_before_bases:
-                fill_st = kmer_before_bases - seq_start
-                chunk_seq_st = 0
-            if seq_end + kmer_after_bases > self.int_seq.size:
-                fill_en -= seq_end + kmer_after_bases - self.int_seq.size
-                chunk_seq_en = self.int_seq.size
-            chunk_seq[fill_st:fill_en] = self.int_seq[chunk_seq_st:chunk_seq_en]
         chunk = Chunk(
             signal=chunk_sig,
-            seq_w_context=chunk_seq,
-            seq_to_sig_map=chunk_seq_to_sig,
+            seq_w_context=self._chunk_sequence(
+                seq_lo, seq_hi, kmer_context_bases
+            ),
+            seq_to_sig_map=chunk_map,
             kmer_context_bases=kmer_context_bases,
-            chunk_sig_focus_idx=focus_sig_idx - sig_start,
-            chunk_focus_base=read_focus_base - seq_start,
+            chunk_sig_focus_idx=focus_sig_idx - clipped_lo,
+            chunk_focus_base=read_focus_base - seq_lo,
             read_focus_base=read_focus_base,
             read_id=self.read_id,
             label=label,
@@ -328,6 +322,13 @@ class RemoraRead:
         if check_chunk:
             chunk.check()
         return chunk
+
+    def _anchor_signal_index(self, focus_base, base_start_justify):
+        """Signal coordinate a chunk is anchored on for a focus base."""
+        span_lo = self.seq_to_sig_map[focus_base]
+        if base_start_justify:
+            return span_lo
+        return (span_lo + self.seq_to_sig_map[focus_base + 1]) // 2
 
     def iter_chunks(
         self,
@@ -339,31 +340,24 @@ class RemoraRead:
         motifs=None,
     ):
         for focus_base in self.focus_bases:
-            if motifs is not None:
-                if not any(
-                    motif.match(self.int_seq, focus_base) for motif in motifs
-                ):
-                    LOGGER.debug("FAILED_MOTIF_CHECK")
-                    continue
+            if motifs is not None and not any(
+                mot.match(self.int_seq, focus_base) for mot in motifs
+            ):
+                LOGGER.debug("FAILED_MOTIF_CHECK")
+                continue
             label = -1 if self.labels is None else self.labels[focus_base]
-            focus_base = max(
-                min(focus_base + offset, self.seq_to_sig_map.size - 2), 0
-            )
-            if base_start_justify:
-                focus_sig_idx = self.seq_to_sig_map[focus_base]
-            else:
-                focus_sig_idx = (
-                    self.seq_to_sig_map[focus_base]
-                    + self.seq_to_sig_map[focus_base + 1]
-                ) // 2
+            # shift by requested offset, clamped to mapped bases
+            focus_base = min(focus_base + offset, self.seq_to_sig_map.size - 2)
+            focus_base = max(focus_base, 0)
+            anchor = self._anchor_signal_index(focus_base, base_start_justify)
             try:
                 yield self.extract_chunk(
-                    focus_sig_idx,
+                    anchor,
                     chunk_context,
                     kmer_context_bases,
-                    label=label,
-                    read_focus_base=focus_base,
                     check_chunk=check_chunks,
+                    read_focus_base=focus_base,
+                    label=label,
                 )
             except RemoraError as e:
                 LOGGER.debug(f"FAILED_CHUNK_CHECK {e}")
@@ -379,47 +373,48 @@ class RemoraRead:
         from remora_tpu.data.dataset import CoreDataset
         from remora_tpu.data.metadata import DatasetMetadata
 
+        md = model_metadata
         self.batches = []
-        self.refine_signal_mapping(model_metadata["sig_map_refiner"])
-        chunks = list(
+        self.refine_signal_mapping(md["sig_map_refiner"])
+        chunk_list = list(
             self.iter_chunks(
-                model_metadata["chunk_context"],
-                model_metadata["kmer_context_bases"],
-                model_metadata["base_start_justify"],
-                model_metadata["offset"],
+                md["chunk_context"],
+                md["kmer_context_bases"],
+                md["base_start_justify"],
+                md["offset"],
             )
         )
-        if len(chunks) == 0:
+        if not chunk_list:
             return
-        motif_seqs, motif_offsets = zip(*model_metadata["motifs"])
-        dataset = CoreDataset(
+        motif_seqs, motif_offsets = zip(*md["motifs"])
+        staging = CoreDataset(
             mode="w",
             metadata=DatasetMetadata(
-                allocate_size=len(chunks),
-                max_seq_len=max(c.seq_len for c in chunks),
-                mod_bases=model_metadata["mod_bases"],
-                mod_long_names=model_metadata["mod_long_names"],
+                allocate_size=len(chunk_list),
+                max_seq_len=max(c.seq_len for c in chunk_list),
+                chunk_context=md["chunk_context"],
+                kmer_context_bases=md["kmer_context_bases"],
+                mod_bases=md["mod_bases"],
+                mod_long_names=md["mod_long_names"],
                 motif_sequences=list(motif_seqs),
                 motif_offsets=list(motif_offsets),
-                chunk_context=model_metadata["chunk_context"],
-                kmer_context_bases=model_metadata["kmer_context_bases"],
                 extra_arrays={"read_focus_bases": ("int64", "")},
             ),
             batch_size=batch_size,
-            super_batch_size=len(chunks),
+            super_batch_size=len(chunk_list),
             infinite_iter=False,
         )
-        for chunk in chunks:
-            dataset.write_chunk(chunk)
-        for batch in dataset:
-            self.batches.append(
-                (
-                    batch["signal"],
-                    batch["enc_kmers"],
-                    batch["labels"],
-                    batch["read_focus_bases"],
-                )
+        for chunk in chunk_list:
+            staging.write_chunk(chunk)
+        self.batches = [
+            (
+                batch["signal"],
+                batch["enc_kmers"],
+                batch["labels"],
+                batch["read_focus_bases"],
             )
+            for batch in staging
+        ]
 
     def run_model(self, eval_fn):
         """Call modified bases over prepared batches.
@@ -432,7 +427,7 @@ class RemoraRead:
         Returns:
             (outputs (ncalls, nlab), labels, read positions)
         """
-        read_outputs, read_poss, read_labels = [], [], []
+        per_batch = []
         for sigs, enc_kmers, labels, read_pos in self.batches:
             n = sigs.shape[0]
             bucket = 1 << max(0, (n - 1)).bit_length()
@@ -446,11 +441,10 @@ class RemoraRead:
                 out = np.asarray(eval_fn(pad_s, pad_k))[:n]
             else:
                 out = np.asarray(eval_fn(sigs, enc_kmers))
-            read_outputs.append(out)
-            read_labels.append(labels)
-            read_poss.append(read_pos)
+            per_batch.append((out, labels, read_pos))
+        outs, labs, poss = zip(*per_batch)
         return (
-            np.concatenate(read_outputs, axis=0),
-            np.concatenate(read_labels),
-            np.concatenate(read_poss),
+            np.concatenate(outs, axis=0),
+            np.concatenate(labs),
+            np.concatenate(poss),
         )
