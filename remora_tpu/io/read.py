@@ -8,6 +8,7 @@ and bridges into the data-layer RemoraRead.
 
 from copy import copy, deepcopy
 from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
@@ -19,6 +20,13 @@ from remora_tpu.data.read import RemoraRead
 from remora_tpu.io.refregion import RefRegion
 
 LOGGER = log.get_logger()
+
+
+def _rescaled(values, shift, scale, domain):
+    """(values - shift) / scale, with a clear error when factors are unset."""
+    if shift is None or scale is None:
+        raise RemoraError(f"{domain} scaling factors not set")
+    return (values - shift) / scale
 
 
 @dataclass
@@ -46,108 +54,208 @@ class Read:
     """All scaling parameters follow output = (input - shift) / scale."""
 
     read_id: str
-    dacs: np.ndarray = None
-    seq: str = None
-    stride: int = None
-    mv_table: np.ndarray = None
-    query_to_signal: np.ndarray = None
-    shift_dacs_to_pa: float = None
-    scale_dacs_to_pa: float = None
-    shift_pa_to_norm: float = None
-    scale_pa_to_norm: float = None
-    shift_dacs_to_norm: float = None
-    scale_dacs_to_norm: float = None
-    shift_pa_to_zc_pa: float = None
-    scale_pa_to_zc_pa: float = None
-    ref_seq: str = None
-    ref_reg: RefRegion = None
-    cigar: list = None
-    ref_to_signal: np.ndarray = None
+    dacs: Optional[np.ndarray] = None
+    seq: Optional[str] = None
+    stride: Optional[int] = None
+    mv_table: Optional[np.ndarray] = None
+    query_to_signal: Optional[np.ndarray] = None
+    shift_dacs_to_pa: Optional[float] = None
+    scale_dacs_to_pa: Optional[float] = None
+    shift_pa_to_norm: Optional[float] = None
+    scale_pa_to_norm: Optional[float] = None
+    shift_dacs_to_norm: Optional[float] = None
+    scale_dacs_to_norm: Optional[float] = None
+    shift_pa_to_zc_pa: Optional[float] = None
+    scale_pa_to_zc_pa: Optional[float] = None
+    ref_seq: Optional[str] = None
+    ref_reg: Optional[RefRegion] = None
+    cigar: Optional[list] = None
+    ref_to_signal: Optional[np.ndarray] = None
     full_align: object = None  # BamRecord of the originating alignment
-    _child_read_id: str = None
-    _sig_len: int = None
+    _child_read_id: Optional[str] = None
+    _sig_len: Optional[int] = None
 
     # --- scaling domains ---
     @property
     def pa_signal(self):
-        if self.scale_dacs_to_pa is None or self.shift_dacs_to_pa is None:
-            raise RemoraError("pA scaling factors not set")
-        return (self.dacs - self.shift_dacs_to_pa) / self.scale_dacs_to_pa
-
-    @property
-    def zero_centered_pa_signal(self):
-        return (self.dacs - self.shift_dacs_to_zc_pa) / self.scale_dacs_to_zc_pa
-
-    @property
-    def norm_signal(self):
-        if self.scale_dacs_to_norm is None or self.shift_dacs_to_norm is None:
-            raise RemoraError("Norm scaling factors not set")
-        return (self.dacs - self.shift_dacs_to_norm) / self.scale_dacs_to_norm
-
-    def compute_pa_to_norm_scaling(self, factor=PA_TO_NORM_SCALING_FACTOR):
-        self.shift_pa_to_norm = np.median(self.pa_signal)
-        self.scale_pa_to_norm = max(
-            1.0,
-            np.median(np.abs(self.pa_signal - self.shift_pa_to_norm)) * factor,
+        return _rescaled(
+            self.dacs, self.shift_dacs_to_pa, self.scale_dacs_to_pa, "pA"
         )
 
     @property
-    def sig_len(self):
-        if self._sig_len is None and self.dacs is not None:
-            self._sig_len = self.dacs.size
-        return self._sig_len
+    def zero_centered_pa_signal(self):
+        return _rescaled(
+            self.dacs,
+            self.shift_dacs_to_zc_pa,
+            self.scale_dacs_to_zc_pa,
+            "Zero-centered pA",
+        )
 
     @property
-    def seq_len(self):
-        if self.query_to_signal is None:
-            return None if self.seq is None else len(self.seq)
-        return self.query_to_signal.size - 1
+    def norm_signal(self):
+        return _rescaled(
+            self.dacs, self.shift_dacs_to_norm, self.scale_dacs_to_norm, "Norm"
+        )
 
-    @property
-    def ref_seq_len(self):
-        if self.ref_to_signal is None:
-            return None if self.ref_seq is None else len(self.ref_seq)
-        return self.ref_to_signal.size - 1
-
-    @property
-    def child_read_id(self):
-        return self.read_id if self._child_read_id is None else self._child_read_id
+    def compute_pa_to_norm_scaling(self, factor=PA_TO_NORM_SCALING_FACTOR):
+        """med/MAD normalization parameters from the pA signal."""
+        pa = self.pa_signal
+        self.shift_pa_to_norm = np.median(pa)
+        mad = np.median(np.abs(pa - self.shift_pa_to_norm))
+        self.scale_pa_to_norm = max(1.0, mad * factor)
 
     @property
     def shift_dacs_to_zc_pa(self):
-        if (
-            self.shift_dacs_to_pa is None
-            or self.scale_dacs_to_pa is None
-            or self.shift_pa_to_zc_pa is None
+        if None in (
+            self.shift_dacs_to_pa,
+            self.scale_dacs_to_pa,
+            self.shift_pa_to_zc_pa,
         ):
             raise RemoraError("Zero-centered pA scaling factors not set")
-        return self.shift_dacs_to_pa + (
-            self.scale_dacs_to_pa * self.shift_pa_to_zc_pa
+        return (
+            self.shift_dacs_to_pa
+            + self.scale_dacs_to_pa * self.shift_pa_to_zc_pa
         )
 
     @property
     def scale_dacs_to_zc_pa(self):
-        if self.scale_dacs_to_pa is None or self.scale_pa_to_zc_pa is None:
+        if None in (self.scale_dacs_to_pa, self.scale_pa_to_zc_pa):
             raise RemoraError("Zero-centered pA scaling factors not set")
         return self.scale_dacs_to_pa * self.scale_pa_to_zc_pa
 
+    _SIG_DOMAINS = {
+        "norm": "norm_signal",
+        "pa": "pa_signal",
+        "zc_pa": "zero_centered_pa_signal",
+        "dac": "dacs",
+    }
+
+    def get_sig_type(self, signal_type):
+        try:
+            return getattr(self, self._SIG_DOMAINS[signal_type])
+        except KeyError:
+            raise RemoraError(f"Invalid signal_type: {signal_type}")
+
+    # --- basic geometry ---
+    @property
+    def sig_len(self):
+        if self._sig_len is not None:
+            return self._sig_len
+        if self.dacs is not None:
+            self._sig_len = len(self.dacs)
+        return self._sig_len
+
+    @property
+    def seq_len(self):
+        if self.query_to_signal is not None:
+            return self.query_to_signal.size - 1
+        return None if self.seq is None else len(self.seq)
+
+    @property
+    def ref_seq_len(self):
+        if self.ref_to_signal is not None:
+            return self.ref_to_signal.size - 1
+        return None if self.ref_seq is None else len(self.ref_seq)
+
+    @property
+    def child_read_id(self):
+        return self._child_read_id or self.read_id
+
     def prune(self, drop_mod_tags=True, drop_move_tag=True):
         """Drop large arrays once chunks have been extracted."""
-        drop_tags = set()
+        unwanted_tags = set()
         if drop_mod_tags:
-            drop_tags.update(("MM", "ML"))
+            unwanted_tags |= {"MM", "ML"}
         if drop_move_tag:
-            drop_tags.add("mv")
-        if drop_tags and self.full_align is not None:
-            self.full_align.drop_tags(drop_tags)
+            unwanted_tags.add("mv")
+        if unwanted_tags and self.full_align is not None:
+            self.full_align.drop_tags(unwanted_tags)
         self.sig_len  # cache before dropping
-        self.dacs = None
-        self.mv_table = None
-        self.query_to_signal = None
-        self.ref_to_signal = None
+        for attr in ("dacs", "mv_table", "query_to_signal", "ref_to_signal"):
+            setattr(self, attr, None)
         return self
 
-    # --- alignment ---
+    # --- alignment attachment, decomposed into steps ---
+    def _trim_signal(self, tags, reverse_signal):
+        """Apply split-read (sp) and adapter (ts/ns) signal trims."""
+        dacs = self.dacs[::-1] if reverse_signal else self.dacs
+        dacs = dacs[tags.get("sp", 0) :]
+        dacs = dacs[tags.get("ts", 0) : tags.get("ns", dacs.size)]
+        self.dacs = dacs[::-1] if reverse_signal else dacs
+        self._sig_len = None
+
+    def _check_identity(self, alignment_record, tags):
+        """Verify record/read identity, tracking split-read children."""
+        record_id = alignment_record.query_name
+        parent_id = tags.get("pi")
+        if parent_id is None:
+            if record_id != self.read_id:
+                raise RemoraError("Read IDs mismatch")
+            return
+        if parent_id != self.read_id:
+            raise RemoraError("Split read IDs mismatch")
+        self._child_read_id = record_id
+
+    def _attach_moves(self, tags, reverse_signal):
+        if "mv" not in tags:
+            LOGGER.debug(f"No move table on record {self.child_read_id}")
+            self.stride = None
+            self.mv_table = None
+            self.query_to_signal = None
+            return
+        mv_tag = tags["mv"]
+        self.stride = int(mv_tag[0])
+        self.mv_table = np.asarray(mv_tag[1:])
+        self.query_to_signal = coords.parse_move_table(
+            self.stride,
+            self.mv_table,
+            sig_len=self.sig_len,
+            seq_len=len(self.seq),
+            reverse_signal=reverse_signal,
+        )
+
+    def _attach_norm_scaling(self, tags):
+        try:
+            self.shift_pa_to_norm = tags["sm"]
+            self.scale_pa_to_norm = tags["sd"]
+        except KeyError:
+            self.compute_pa_to_norm_scaling()
+        self.shift_dacs_to_norm = (
+            self.shift_dacs_to_pa
+            + self.scale_dacs_to_pa * self.shift_pa_to_norm
+        )
+        self.scale_dacs_to_norm = self.scale_dacs_to_pa * self.scale_pa_to_norm
+
+    def _attach_reference(self, alignment_record):
+        mapped_reverse = alignment_record.is_reverse
+        self.ref_reg = RefRegion(
+            alignment_record.reference_name,
+            "-" if mapped_reverse else "+",
+            alignment_record.reference_start,
+        )
+        try:
+            self.ref_seq = alignment_record.get_reference_sequence().upper()
+        except (ValueError, KeyError):
+            LOGGER.debug(
+                "Could not extract reference sequence — missing MD tags?"
+            )
+            self.ref_seq = None
+        self.cigar = alignment_record.cigartuples
+        if mapped_reverse:
+            if self.ref_seq is not None:
+                self.ref_seq = sequtil.revcomp(self.ref_seq)
+            self.cigar = self.cigar[::-1]
+        if None in (self.ref_reg.ctg, self.ref_seq) or (
+            self.query_to_signal is None
+        ):
+            return
+        self.ref_to_signal = coords.compute_ref_to_signal(
+            query_to_signal=self.query_to_signal, cigar=self.cigar
+        )
+        if self.ref_to_signal.size != len(self.ref_seq) + 1:
+            raise RemoraError("Discordant ref seq lengths")
+        self.ref_reg.end = self.ref_reg.start + self.ref_seq_len
+
     def add_alignment(
         self,
         alignment_record,
@@ -157,152 +265,81 @@ class Read:
     ):
         """Attach a BamRecord: trims, move table, scaling tags, ref mapping."""
         if pa_scaling is not None:
-            self.shift_pa_to_zc_pa = pa_scaling[0]
-            self.scale_pa_to_zc_pa = pa_scaling[1]
+            self.shift_pa_to_zc_pa, self.scale_pa_to_zc_pa = pa_scaling
         if alignment_record.reference_name is None and alignment_record.is_reverse:
             raise RemoraError("Unmapped reads cannot map to reverse strand.")
         if self.dacs is None:
-            raise RemoraError("Must add signal to io.Read before alignment.")
+            raise RemoraError("Signal must be attached before an alignment")
         self.full_align = alignment_record
 
         tags = alignment_record.tag_dict()
-        if reverse_signal:
-            self.dacs = self.dacs[::-1]
-        # split-read and adapter trims
-        self.dacs = self.dacs[tags.get("sp", 0) :]
-        self.dacs = self.dacs[tags.get("ts", 0) : tags.get("ns", self.dacs.size)]
-        if reverse_signal:
-            self.dacs = self.dacs[::-1]
-        self._sig_len = None
-
-        parent_read_id = tags.get("pi", None)
-        if parent_read_id is None:
-            if alignment_record.query_name != self.read_id:
-                raise RemoraError("Read IDs mismatch")
-        else:
-            if parent_read_id != self.read_id:
-                raise RemoraError("Split read IDs mismatch")
-            self._child_read_id = alignment_record.query_name
-
+        self._trim_signal(tags, reverse_signal)
+        self._check_identity(alignment_record, tags)
         self.seq = alignment_record.query_sequence
         if alignment_record.is_reverse:
             self.seq = sequtil.revcomp(self.seq)
-        if "mv" in tags:
-            mv_tag = tags["mv"]
-            self.stride = int(mv_tag[0])
-            self.mv_table = np.asarray(mv_tag[1:])
-            self.query_to_signal = coords.parse_move_table(
-                self.stride,
-                self.mv_table,
-                sig_len=self.sig_len,
-                seq_len=len(self.seq),
-                reverse_signal=reverse_signal,
-            )
-        else:
-            LOGGER.debug(f"Move table not found for {self.child_read_id}")
-            self.query_to_signal = self.mv_table = self.stride = None
+        self._attach_moves(tags, reverse_signal)
+        self._attach_norm_scaling(tags)
+        if parse_ref_align and not alignment_record.is_unmapped:
+            self._attach_reference(alignment_record)
 
-        if "sm" in tags and "sd" in tags:
-            self.shift_pa_to_norm = tags["sm"]
-            self.scale_pa_to_norm = tags["sd"]
-        else:
-            self.compute_pa_to_norm_scaling()
-        self.shift_dacs_to_norm = self.shift_dacs_to_pa + (
-            self.scale_dacs_to_pa * self.shift_pa_to_norm
+    @classmethod
+    def from_pod5_record(cls, pod5_read, rev_sig=False, **extra):
+        """Build a signal-only Read from a POD5 record.
+
+        remora_tpu Calibration is already in (x - shift) / scale form."""
+        sig = pod5_read.signal
+        return cls(
+            str(pod5_read.read_id),
+            dacs=sig[::-1] if rev_sig else sig,
+            shift_dacs_to_pa=pod5_read.calibration.offset,
+            scale_dacs_to_pa=pod5_read.calibration.scale,
+            **extra,
         )
-        self.scale_dacs_to_norm = self.scale_dacs_to_pa * self.scale_pa_to_norm
-
-        if not parse_ref_align or alignment_record.is_unmapped:
-            return
-
-        self.ref_reg = RefRegion(
-            ctg=alignment_record.reference_name,
-            strand="-" if alignment_record.is_reverse else "+",
-            start=alignment_record.reference_start,
-        )
-        try:
-            self.ref_seq = alignment_record.get_reference_sequence().upper()
-        except (ValueError, KeyError):
-            LOGGER.debug(
-                "Reference sequence requested, but could not be extracted. "
-                "Do reads contain MD tags?"
-            )
-            self.ref_seq = None
-        self.cigar = alignment_record.cigartuples
-        if alignment_record.is_reverse:
-            if self.ref_seq is not None:
-                self.ref_seq = sequtil.revcomp(self.ref_seq)
-            self.cigar = self.cigar[::-1]
-        if (
-            self.ref_reg.ctg is not None
-            and self.ref_seq is not None
-            and self.query_to_signal is not None
-        ):
-            self.ref_to_signal = coords.compute_ref_to_signal(
-                query_to_signal=self.query_to_signal, cigar=self.cigar
-            )
-            if self.ref_to_signal.size != len(self.ref_seq) + 1:
-                raise RemoraError("Discordant ref seq lengths")
-            self.ref_reg.end = self.ref_reg.start + self.ref_to_signal.size - 1
 
     @classmethod
     def from_pod5_and_alignment(
         cls, pod5_read_record, alignment_record, reverse_signal=False,
         pa_scaling=None,
     ):
-        dacs = pod5_read_record.signal
-        if reverse_signal:
-            dacs = dacs[::-1]
-        # remora_tpu Calibration is already in (x - shift) / scale form
-        read = cls(
-            read_id=str(pod5_read_record.read_id),
-            dacs=dacs,
-            shift_dacs_to_pa=pod5_read_record.calibration.offset,
-            scale_dacs_to_pa=pod5_read_record.calibration.scale,
-        )
+        read = cls.from_pod5_record(pod5_read_record, rev_sig=reverse_signal)
         read.add_alignment(
             alignment_record, reverse_signal=reverse_signal, pa_scaling=pa_scaling
         )
         return read
 
+    def _ensure_ref_to_signal(self):
+        if self.ref_to_signal is not None:
+            return
+        if self.cigar is None or self.ref_seq is None:
+            raise RemoraError("Missing reference alignment")
+        self.ref_to_signal = coords.compute_ref_to_signal(
+            self.query_to_signal, self.cigar
+        )
+        if self.ref_to_signal.size != len(self.ref_seq) + 1:
+            raise RemoraError("Discordant ref seq lengths")
+
     def into_remora_read(self, use_reference_anchor):
         """Extract the data-layer RemoraRead (ref- or basecall-anchored)."""
-        if use_reference_anchor:
-            if self.ref_to_signal is None:
-                if self.cigar is None or self.ref_seq is None:
-                    raise RemoraError("Missing reference alignment")
-                self.ref_to_signal = coords.compute_ref_to_signal(
-                    self.query_to_signal, self.cigar
-                )
-                if self.ref_to_signal.size != len(self.ref_seq) + 1:
-                    raise RemoraError("Discordant ref seq lengths")
-            trim_dacs = self.dacs[self.ref_to_signal[0] : self.ref_to_signal[-1]]
-            shift_seq_to_sig = self.ref_to_signal - self.ref_to_signal[0]
-            seq = self.ref_seq
-        else:
+        if not use_reference_anchor:
             if self.query_to_signal is None:
                 raise RemoraError("Missing query_to_signal (move table)")
-            trim_dacs = self.dacs[
-                self.query_to_signal[0] : self.query_to_signal[-1]
-            ]
-            shift_seq_to_sig = self.query_to_signal - self.query_to_signal[0]
-            seq = self.seq
-        if self.shift_pa_to_zc_pa is None or self.scale_pa_to_zc_pa is None:
-            scale_kwargs = {
-                "shift": self.shift_dacs_to_norm,
-                "scale": self.scale_dacs_to_norm,
-            }
+            anchor_map, anchor_seq = self.query_to_signal, self.seq
         else:
-            scale_kwargs = {
-                "shift": self.shift_dacs_to_zc_pa,
-                "scale": self.scale_dacs_to_zc_pa,
-            }
+            self._ensure_ref_to_signal()
+            anchor_map, anchor_seq = self.ref_to_signal, self.ref_seq
+
+        use_zc = (
+            self.shift_pa_to_zc_pa is not None
+            and self.scale_pa_to_zc_pa is not None
+        )
         remora_read = RemoraRead(
-            dacs=trim_dacs,
-            seq_to_sig_map=shift_seq_to_sig,
-            str_seq=seq,
+            dacs=self.dacs[anchor_map[0] : anchor_map[-1]],
+            shift=self.shift_dacs_to_zc_pa if use_zc else self.shift_dacs_to_norm,
+            scale=self.scale_dacs_to_zc_pa if use_zc else self.scale_dacs_to_norm,
+            seq_to_sig_map=anchor_map - anchor_map[0],
+            str_seq=anchor_seq,
             read_id=self.read_id,
-            **scale_kwargs,
         )
         remora_read.check()
         return remora_read
@@ -313,47 +350,34 @@ class Read:
             return
         remora_read = self.into_remora_read(ref_mapping)
         remora_read.refine_signal_mapping(sig_map_refiner)
-        if ref_mapping:
-            if self.ref_to_signal is None:
-                raise RemoraError("Missing ref_to_signal (move table)")
-            self.ref_to_signal = remora_read.seq_to_sig_map + self.ref_to_signal[0]
-        else:
-            if self.query_to_signal is None:
-                raise RemoraError("Missing query_to_signal (move table)")
-            self.query_to_signal = (
-                remora_read.seq_to_sig_map + self.query_to_signal[0]
-            )
+        map_attr = "ref_to_signal" if ref_mapping else "query_to_signal"
+        current_map = getattr(self, map_attr)
+        if current_map is None:
+            raise RemoraError(f"Missing {map_attr} (move table)")
+        setattr(self, map_attr, remora_read.seq_to_sig_map + current_map[0])
+        # fold refined norm params back through the pA domain
         self.shift_dacs_to_norm = remora_read.shift
         self.scale_dacs_to_norm = remora_read.scale
         self.shift_pa_to_norm = (
-            self.shift_dacs_to_norm - self.shift_dacs_to_pa
+            remora_read.shift - self.shift_dacs_to_pa
         ) / self.scale_dacs_to_pa
-        self.scale_pa_to_norm = self.scale_dacs_to_norm / self.scale_dacs_to_pa
+        self.scale_pa_to_norm = remora_read.scale / self.scale_dacs_to_pa
 
     # --- focus position selection ---
     def get_filtered_focus_positions(self, select_focus_positions):
         """Read-relative positions from a (ctg, strand)->set lookup."""
         if self.ref_reg is None or self.ref_seq is None:
             raise RemoraError("Cannot extract focus positions without mapping")
-        ref_reg = self.ref_reg
+        reg = self.ref_reg
         ref_len = len(self.ref_seq)
-        try:
-            cs_focus_pos = select_focus_positions[(ref_reg.ctg, ref_reg.strand)]
-        except KeyError:
+        focus_set = select_focus_positions.get((reg.ctg, reg.strand))
+        if focus_set is None:
             return np.array([], dtype=int)
-        read_focus_ref_reg = np.array(
-            sorted(
-                set(range(ref_reg.start, ref_reg.start + ref_len)).intersection(
-                    cs_focus_pos
-                )
-            ),
-            dtype=int,
-        )
-        return (
-            read_focus_ref_reg - ref_reg.start
-            if ref_reg.strand == "+"
-            else ref_reg.start + ref_len - read_focus_ref_reg[::-1] - 1
-        )
+        within = focus_set.intersection(range(reg.start, reg.start + ref_len))
+        hits = np.array(sorted(within), dtype=int)
+        if reg.strand == "+":
+            return hits - reg.start
+        return reg.start + ref_len - hits[::-1] - 1
 
     def get_basecall_anchored_focus_bases(
         self, motifs, select_focus_reference_positions
@@ -361,34 +385,36 @@ class Read:
         """Basecall positions whose reference mates hit a motif/BED site."""
         if self.cigar is None:
             raise RemoraError("missing alignment")
-        basecall_int_seq = sequtil.seq_to_int(self.seq)
-        reference_int_seq = sequtil.seq_to_int(self.ref_seq)
-        all_bc_focus = sequtil.find_focus_bases(basecall_int_seq, motifs)
-        mapping = coords.make_sequence_coordinate_mapping(self.cigar).astype(int)
-        ref_motif_pos = (
-            sequtil.find_focus_bases(reference_int_seq, motifs)
-            if select_focus_reference_positions is None
-            else self.get_filtered_focus_positions(
+        bc_focus = sequtil.find_focus_bases(sequtil.seq_to_int(self.seq), motifs)
+        if select_focus_reference_positions is None:
+            ref_focus = sequtil.find_focus_bases(
+                sequtil.seq_to_int(self.ref_seq), motifs
+            )
+        else:
+            ref_focus = self.get_filtered_focus_positions(
                 select_focus_reference_positions
             )
-        )
-        ref_supported = mapping[ref_motif_pos]
-        return np.array([fb for fb in all_bc_focus if fb in ref_supported])
+        ref_to_query = coords.make_sequence_coordinate_mapping(
+            self.cigar
+        ).astype(int)
+        supported = ref_to_query[ref_focus]
+        return bc_focus[np.isin(bc_focus, supported)]
 
     def copy(self):
         return deepcopy(self)
 
     # --- region extraction / metrics ---
-    def get_sig_type(self, signal_type):
-        if signal_type == "norm":
-            return self.norm_signal
-        if signal_type == "pa":
-            return self.pa_signal
-        if signal_type == "zc_pa":
-            return self.zero_centered_pa_signal
-        if signal_type == "dac":
-            return self.dacs
-        raise RemoraError(f"Invalid signal_type: {signal_type}")
+    def _strand_window(self, region):
+        """Read-relative (start, end) base coordinates of a ref region."""
+        if self.ref_reg.strand == "+":
+            return (
+                region.start - self.ref_reg.start,
+                region.end - self.ref_reg.start,
+            )
+        return (
+            self.ref_reg.end - region.end,
+            self.ref_reg.end - region.start,
+        )
 
     def extract_basecall_region(self, start_base=None, end_base=None,
                                 signal_type="norm"):
@@ -396,60 +422,77 @@ class Read:
             raise RemoraError("Missing query_to_signal (move table)")
         start_base = start_base or 0
         end_base = end_base or self.seq_len
-        reg_seq_to_sig = self.query_to_signal[start_base : end_base + 1].copy()
-        reg_sig = self.get_sig_type(signal_type)[
-            reg_seq_to_sig[0] : reg_seq_to_sig[-1]
-        ]
-        sig_start = reg_seq_to_sig[0]
-        reg_seq_to_sig -= sig_start
+        reg_map = self.query_to_signal[start_base : end_base + 1].copy()
+        sig_start = reg_map[0]
+        reg_sig = self.get_sig_type(signal_type)[sig_start : reg_map[-1]]
         return ReadBasecallRegion(
-            read_id=self.read_id,
-            norm_signal=reg_sig,
-            seq=self.seq[start_base:end_base],
-            seq_to_sig_map=reg_seq_to_sig,
-            start=start_base,
+            self.read_id,
+            reg_sig,
+            self.seq[start_base:end_base],
+            reg_map - sig_start,
+            start_base,
             sig_start=sig_start,
         )
 
     def extract_ref_reg(self, ref_reg, signal_type="norm"):
         if self.ref_to_signal is None:
             raise RemoraError("Missing ref_to_signal (move table)")
-        if ref_reg.start >= self.ref_reg.start + self.ref_seq_len:
+        read_reg = self.ref_reg
+        if ref_reg.start >= read_reg.start + self.ref_seq_len:
             raise RemoraError("Reference region starts after read ends")
-        if ref_reg.end < self.ref_reg.start:
+        if ref_reg.end < read_reg.start:
             raise RemoraError("Reference region ends before read starts")
 
-        if self.ref_reg.strand == "+":
-            st_within = max(0, ref_reg.start - self.ref_reg.start)
-            en_within = ref_reg.end - self.ref_reg.start
-        else:
-            st_within = max(0, self.ref_reg.end - ref_reg.end)
-            en_within = self.ref_reg.end - ref_reg.start
-        reg_seq_to_sig = self.ref_to_signal[st_within : en_within + 1].copy()
-        reg_sig = self.get_sig_type(signal_type)[
-            reg_seq_to_sig[0] : reg_seq_to_sig[-1]
-        ]
-        reg_seq = self.ref_seq[st_within:en_within]
-        sig_start = reg_seq_to_sig[0]
-        reg_seq_to_sig -= sig_start
-        read_reg_ref_st = max(self.ref_reg.start, ref_reg.start)
-        if self.ref_reg.strand == "-":
-            reg_sig = reg_sig[::-1]
-            reg_seq = reg_seq[::-1]
-            reg_seq_to_sig = reg_seq_to_sig[-1] - reg_seq_to_sig[::-1]
+        win_lo, win_hi = self._strand_window(ref_reg)
+        win_lo = max(win_lo, 0)
+        map_window = self.ref_to_signal[win_lo : win_hi + 1].copy()
+        sig_start = map_window[0]
+        sig_window = self.get_sig_type(signal_type)[sig_start : map_window[-1]]
+        seq_window = self.ref_seq[win_lo:win_hi]
+        map_window -= sig_start
+        if read_reg.strand == "-":
+            # emit in reference orientation
+            sig_window = sig_window[::-1]
+            seq_window = seq_window[::-1]
+            map_window = map_window[-1] - map_window[::-1]
+        out_start = max(read_reg.start, ref_reg.start)
+        out_reg = RefRegion(
+            read_reg.ctg,
+            read_reg.strand,
+            out_start,
+            out_start + len(seq_window),
+        )
         return ReadRefReg(
-            read_id=self.read_id,
-            norm_signal=reg_sig,
-            seq=reg_seq,
-            seq_to_sig_map=reg_seq_to_sig,
-            ref_reg=RefRegion(
-                self.ref_reg.ctg,
-                self.ref_reg.strand,
-                read_reg_ref_st,
-                read_reg_ref_st + len(reg_seq),
-            ),
+            self.read_id,
+            sig_window,
+            seq_window,
+            map_window,
+            out_reg,
             sig_start=sig_start,
         )
+
+    def _region_seq_to_sig(self, region, ref_anchored):
+        """Mapping slice for a region + NaN-pad amounts at the edges."""
+        if not ref_anchored:
+            if self.query_to_signal is None:
+                raise RemoraError("Missing query_to_signal (move table)")
+            if region.start < 0 or region.start > self.seq_len:
+                raise RemoraError("Region does not overlap read.")
+            return self.query_to_signal[region.start : region.end], 0, 0
+        if self.ref_to_signal is None:
+            raise RemoraError("Missing ref_to_signal (move table)")
+        if (
+            self.ref_reg.ctg != region.ctg
+            or self.ref_reg.strand != region.strand
+        ):
+            raise RemoraError("Region contig/strand do not match read")
+        if region.start >= self.ref_reg.end or self.ref_reg.start >= region.end:
+            raise RemoraError("Region does not overlap read.")
+        win_lo, win_hi = self._strand_window(region)
+        pad_lo = max(-win_lo, 0)
+        pad_hi = max(win_hi - self.ref_seq_len, 0)
+        window = self.ref_to_signal[win_lo + pad_lo : win_hi - pad_hi + 1]
+        return window, pad_lo, pad_hi
 
     def compute_per_base_metric(
         self,
@@ -464,55 +507,27 @@ class Read:
             metric_func = METRIC_FUNCS[metric]
         if metric_func is None:
             raise RemoraError("Must provide either metric or metric_func")
-        st_buf = en_buf = 0
         if region is None:
-            seq_to_sig = (
-                self.ref_to_signal if ref_anchored else self.query_to_signal
-            )
+            pad_lo = pad_hi = 0
+            attr = "ref_to_signal" if ref_anchored else "query_to_signal"
+            seq_to_sig = getattr(self, attr)
             if seq_to_sig is None:
                 raise RemoraError("Missing move table")
         else:
-            if ref_anchored:
-                if self.ref_to_signal is None:
-                    raise RemoraError("Missing ref_to_signal (move table)")
-                if (
-                    self.ref_reg.ctg != region.ctg
-                    or self.ref_reg.strand != region.strand
-                ):
-                    raise RemoraError("Region contig/strand do not match read")
-                if (
-                    region.start >= self.ref_reg.end
-                    or self.ref_reg.start >= region.end
-                ):
-                    raise RemoraError("Region does not overlap read.")
-                if self.ref_reg.strand == "+":
-                    st_coord = region.start - self.ref_reg.start
-                    en_coord = region.end - self.ref_reg.start
-                else:
-                    st_coord = self.ref_reg.end - region.end
-                    en_coord = self.ref_reg.end - region.start
-                if st_coord < 0:
-                    st_buf = -st_coord
-                    st_coord = 0
-                if en_coord > self.ref_seq_len:
-                    en_buf = en_coord - self.ref_seq_len
-                    en_coord = self.ref_seq_len
-                seq_to_sig = self.ref_to_signal[st_coord : en_coord + 1]
-            else:
-                if self.query_to_signal is None:
-                    raise RemoraError("Missing query_to_signal (move table)")
-                if region.start < 0 or region.start > self.seq_len:
-                    raise RemoraError("Region does not overlap read.")
-                seq_to_sig = self.query_to_signal[region.start : region.end]
+            seq_to_sig, pad_lo, pad_hi = self._region_seq_to_sig(
+                region, ref_anchored
+            )
         sig = self.get_sig_type(signal_type)
-        metrics_vals = metric_func(sig, seq_to_sig, **kwargs)
-        if max(st_buf, en_buf) > 0:
+        metric_values = metric_func(sig, seq_to_sig, **kwargs)
+        if pad_lo or pad_hi:
+            # NaN-pad metric rows out to the full requested region
             padded = {}
-            for name, vals in metrics_vals.items():
-                padded[name] = np.full(region.len, np.nan)
-                padded[name][st_buf : st_buf + vals.size] = vals
-            metrics_vals = padded
-        return metrics_vals
+            for name, vals in metric_values.items():
+                row = np.full(region.len, np.nan)
+                row[pad_lo : pad_lo + vals.size] = vals
+                padded[name] = row
+            metric_values = padded
+        return metric_values
 
     def with_duplex_alignment(self, duplex_read_alignment, duplex_orientation):
         """Copy re-anchored onto a duplex basecall (see remora_tpu.io.duplex)."""
@@ -520,26 +535,23 @@ class Read:
 
         if self.query_to_signal is None:
             raise RemoraError("requires query_to_signal")
-        if duplex_read_alignment.query_sequence is None:
+        duplex_seq = duplex_read_alignment.query_sequence
+        if duplex_seq is None:
             raise RemoraError("no duplex base call sequence?")
-        if len(duplex_read_alignment.query_sequence) <= 0:
+        if len(duplex_seq) <= 0:
             raise RemoraError("duplex base call sequence is empty string?")
+        if not duplex_orientation:
+            duplex_seq = sequtil.revcomp(duplex_seq)
 
         read = copy(self)
-        duplex_read_sequence = (
-            duplex_read_alignment.query_sequence
-            if duplex_orientation
-            else sequtil.revcomp(duplex_read_alignment.query_sequence)
-        )
         mapping = duplex_mod.map_simplex_to_duplex(
-            simplex_seq=read.seq, duplex_seq=duplex_read_sequence
+            simplex_seq=read.seq, duplex_seq=duplex_seq
         )
-        duplex_to_read_signal = coords.map_ref_to_signal(
+        read.query_to_signal = coords.map_ref_to_signal(
             query_to_signal=read.query_to_signal,
             ref_to_query_knots=mapping.duplex_to_simplex_mapping,
         )
         read.seq = mapping.trimmed_duplex_seq
-        read.query_to_signal = duplex_to_read_signal
         read.ref_seq = None
         read.ref_to_signal = None
         read.ref_reg = None
@@ -559,44 +571,39 @@ def iter_signal(pod5_path, num_reads=None, read_ids=None, rev_sig=False,
     """
     from remora_tpu.io.pod5 import DatasetReader
 
-    pa_kwargs = {}
+    extra = {}
     if pa_scaling is not None:
-        pa_kwargs["shift_pa_to_zc_pa"] = pa_scaling[0]
-        pa_kwargs["scale_pa_to_zc_pa"] = pa_scaling[1]
+        extra = dict(
+            zip(("shift_pa_to_zc_pa", "scale_pa_to_zc_pa"), pa_scaling)
+        )
     with DatasetReader(pod5_path) as pod5_dr:
         for read_num, pod5_read in enumerate(pod5_dr.reads(selection=read_ids)):
             if num_reads is not None and read_num >= num_reads:
-                LOGGER.debug(f"Completed pod5 signal worker, reached {num_reads}.")
+                LOGGER.debug(f"Signal worker hit read limit ({num_reads})")
                 return
-            dacs = pod5_read.signal[::-1] if rev_sig else pod5_read.signal
-            yield Read(
-                read_id=str(pod5_read.read_id),
-                dacs=dacs,
-                shift_dacs_to_pa=pod5_read.calibration.offset,
-                scale_dacs_to_pa=pod5_read.calibration.scale,
-                **pa_kwargs,
-            ), None
+            yield Read.from_pod5_record(pod5_read, rev_sig, **extra), None
     LOGGER.debug("Completed signal worker")
 
 
 def extract_alignments(read_err, bam_idx, rev_sig=False, pa_scaling=None):
     """Join one signal Read against all of its BAM alignments."""
-    io_read, err = read_err
-    if io_read is None:
+    source_read, err = read_err
+    if source_read is None:
         return [read_err]
-    read_alignments = []
+    joined = []
     try:
-        for bam_read in bam_idx.get_alignments(io_read.read_id):
-            align_read = io_read.copy()
+        for bam_read in bam_idx.get_alignments(source_read.read_id):
+            candidate = source_read.copy()
             try:
-                align_read.add_alignment(
+                candidate.add_alignment(
                     bam_read, reverse_signal=rev_sig, pa_scaling=pa_scaling
                 )
-                read_alignments.append((align_read, None))
             except RemoraError as e:
-                LOGGER.debug(f"{io_read.read_id} Extract alignment error: {e}")
-                read_alignments.append((align_read, str(e)))
+                LOGGER.debug(f"{source_read.read_id} alignment attach: {e}")
+                joined.append((candidate, str(e)))
+            else:
+                joined.append((candidate, None))
     except RemoraError as e:
-        LOGGER.debug(f"{io_read.read_id} Extract alignment error: {e}")
-        return [(io_read, str(e))]
-    return read_alignments
+        LOGGER.debug(f"{source_read.read_id} alignment attach: {e}")
+        return [(source_read, str(e))]
+    return joined
