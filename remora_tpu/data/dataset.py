@@ -6,7 +6,9 @@ kept bit-compatible with reference dataset v3: five headerless arrays
 (``signal.npy`` f32 (N,1,W), ``sequence.npy`` i8, ``sequence_to_signal_
 mapping.npy`` i16, ``sequence_lengths.npy`` i16, ``labels.npy`` i64 —
 written via np.memmap, so despite the extension there is no npy header),
-plus ``extra_*.npy`` and ``metadata.jsn`` (+ ``kmer_table.npy``).
+plus ``extra_*.npy`` and ``metadata.jsn`` (+ ``kmer_table.npy``). The
+sampled-block content hash matches the reference digest so dataset
+configs interoperate.
 
 Batches are plain dicts of NumPy arrays; the training loop moves them to
 device and the encoded-kmer featurization runs on device (the host
@@ -18,6 +20,7 @@ import json
 import os
 from dataclasses import dataclass
 from glob import glob
+from typing import Optional
 
 import numpy as np
 
@@ -25,121 +28,148 @@ from remora_tpu import RemoraError, constants, log
 from remora_tpu.core import seq as sequtil
 from remora_tpu.core.util import resolve_path
 from remora_tpu.data import encoded_kmers
-from remora_tpu.data.metadata import DATASET_VERSION, DatasetMetadata
+from remora_tpu.data.metadata import DatasetMetadata
 
 LOGGER = log.get_logger()
+
+CORE_DTYPES = dict(
+    signal=np.float32,
+    sequence=np.int8,
+    sequence_to_signal_mapping=np.int16,
+    sequence_lengths=np.int16,
+    labels=np.int64,
+)
+CORE_ARRAYS = tuple(CORE_DTYPES)
+
+
+def _ragged_values(rows, lens, extra=0):
+    """Flatten the first ``lens[i] + extra`` entries of every row."""
+    col = np.arange(rows.shape[1])
+    return rows[col[None, :] < lens[:, None] + extra]
 
 
 def check_super_batch(super_batch, chunk_width):
     """Sanity-check a loaded super batch (reference ``check_super_batch``)."""
-    if not np.all(super_batch["sequence_lengths"]) > 0:
+    seq_lens = super_batch["sequence_lengths"]
+    if not seq_lens.all():
         raise RemoraError("Sequence lengths must all be positive.")
-    sm_r = np.arange(super_batch["sequence_to_signal_mapping"].shape[1])
-    sm_mask = sm_r < (super_batch["sequence_lengths"][:, None] + 1)
-    sm_m = super_batch["sequence_to_signal_mapping"][sm_mask]
-    if sm_m.max() > chunk_width:
-        raise RemoraError("Signal mapping extend beyond chunk width")
-    if sm_m.min() < 0:
-        raise RemoraError("Signal mapping cannot contain negative values")
-    chunks_r = np.arange(super_batch["sequence_lengths"].size)
-    if not np.all(
-        super_batch["sequence_to_signal_mapping"][
-            chunks_r, super_batch["sequence_lengths"]
-        ]
-        == chunk_width
-    ):
+    maps = super_batch["sequence_to_signal_mapping"]
+    flat_map = _ragged_values(maps, seq_lens, extra=1)
+    if flat_map.max() > chunk_width:
+        raise RemoraError("Signal mapping extends beyond the chunk width")
+    if flat_map.min() < 0:
+        raise RemoraError("Signal mapping contains negative values")
+    row_idx = np.arange(seq_lens.size)
+    if (maps[row_idx, seq_lens] != chunk_width).any():
         raise RemoraError("Chunk does not end at chunk_width")
-    seqlen_cs = np.cumsum(super_batch["sequence_lengths"])
-    sm_diff_mask = np.ones(sm_m.size - 1, dtype=bool)
-    sm_diff_mask[seqlen_cs[:-1] + np.arange(seqlen_cs.size)[:-1]] = 0
-    if np.diff(sm_m)[sm_diff_mask].min() < 0:
+    # monotonic within each row: negative steps allowed only at the
+    # boundaries between consecutive flattened rows
+    steps = np.diff(flat_map)
+    row_break = np.cumsum(seq_lens + 1)[:-1] - 1
+    interior = np.ones(steps.size, dtype=bool)
+    interior[row_break] = False
+    if steps[interior].min() < 0:
         raise RemoraError("Sequence to signal mappings are not monotonic")
-    seq_r = np.arange(super_batch["sequence"].shape[1])
-    seq_mask = seq_r < super_batch["sequence_lengths"][:, None]
-    seq_m = super_batch["sequence"][seq_mask]
-    if seq_m.max() > 3:
-        raise RemoraError("Sequence max must be less than 4")
-    if seq_m.min() < -1:
-        raise RemoraError("Sequence min must greater tha -2")
+    flat_seq = _ragged_values(super_batch["sequence"], seq_lens)
+    if flat_seq.max() > 3 or flat_seq.min() < -1:
+        raise RemoraError("Sequence values must be in [-1, 3]")
 
 
 def trim_sb_chunk_context(stored_cc, cc, total_seq_context, seqs,
                           seq_mappings, seq_lens):
     """In-place ragged trim of seq + mapping rows for a smaller chunk
-    context (reference Cython ``trim_sb_chunk_context_core``), vectorized.
+    context (reference Cython ``trim_sb_chunk_context_core``), fully
+    vectorized (no per-row Python).
 
     Assumes ``seq_mappings`` has already been shifted by the start diff.
     """
     new_width = cc[0] + cc[1]
-    B = seq_lens.shape[0]
-    Sp1 = seq_mappings.shape[1]
-    s_idx = np.arange(Sp1)[None, :]
-    valid = s_idx <= seq_lens[:, None]
-    m = np.where(valid, seq_mappings, np.int32(1 << 30))
-    # first base whose (shifted) end maps beyond 0 is the new first base
-    ends_after_zero = (m[:, 1:] > 0) & valid[:, 1:]
-    new_first = np.argmax(ends_after_zero, axis=1)  # base index
-    # last base whose start is before new_width is the new last base
-    starts_before_w = (m[:, :-1] < new_width) & valid[:, :-1]
-    rev = starts_before_w[:, ::-1]
-    new_last = Sp1 - 2 - np.argmax(rev, axis=1)
-    new_lens = (new_last - new_first + 1).astype(seq_lens.dtype)
+    # native row-trim kernel when available (same semantics, ~20x)
+    from remora_tpu.io.native import trim_chunk_rows
 
-    for b in range(B):
-        nf, nl = int(new_first[b]), int(new_last[b])
-        sl = int(new_lens[b])
-        if nf > 0:
-            seq_mappings[b, : sl + 1] = seq_mappings[b, nf : nf + sl + 1]
-            seqs[b, : sl + total_seq_context] = seqs[
-                b, nf : nf + sl + total_seq_context
-            ]
-        seq_mappings[b, 0] = 0
-        seq_mappings[b, sl] = new_width
-        np.clip(
-            seq_mappings[b, : sl + 1], 0, new_width,
-            out=seq_mappings[b, : sl + 1],
-        )
-        seq_lens[b] = sl
+    if trim_chunk_rows(
+        seq_mappings, seqs, seq_lens, new_width, total_seq_context
+    ):
+        return seqs, seq_mappings, seq_lens
+
+    n_rows, map_w = seq_mappings.shape
+    col = np.arange(map_w)
+    valid = col[None, :] <= seq_lens[:, None]
+    guarded = np.where(valid, seq_mappings, np.int32(1 << 30))
+
+    # first base whose (shifted) end maps beyond 0 becomes base 0
+    ends_after_zero = (guarded[:, 1:] > 0) & valid[:, 1:]
+    first_base = np.argmax(ends_after_zero, axis=1)
+    # last base whose start precedes new_width becomes the final base
+    starts_before_w = (guarded[:, :-1] < new_width) & valid[:, :-1]
+    last_base = map_w - 2 - np.argmax(starts_before_w[:, ::-1], axis=1)
+    new_lens = (last_base - first_base + 1).astype(seq_lens.dtype)
+
+    # left-shift every row by its first_base via a per-row gather
+    map_src = np.minimum(first_base[:, None] + col[None, :], map_w - 1)
+    shifted = np.take_along_axis(seq_mappings, map_src, axis=1)
+    np.clip(shifted, 0, new_width, out=shifted)
+    shifted[:, 0] = 0
+    np.put_along_axis(
+        shifted, new_lens[:, None].astype(np.int64), new_width, axis=1
+    )
+    seq_mappings[:] = shifted
+
+    seq_col = np.arange(seqs.shape[1])
+    seq_src = np.minimum(
+        first_base[:, None] + seq_col[None, :], seqs.shape[1] - 1
+    )
+    seqs[:] = np.take_along_axis(seqs, seq_src, axis=1)
+    seq_lens[:] = new_lens
     return seqs, seq_mappings, seq_lens
+
+
+def _sampled_file_digest(path, block_size=2**18, n_blocks=8):
+    """sha256 of a file, hashing n_blocks evenly spaced blocks for large
+    files (reference-compatible digest)."""
+    digest = hashlib.sha256()
+    with open(path, "rb") as fh:
+        file_size = fh.seek(0, os.SEEK_END)
+        if file_size < block_size * n_blocks:
+            fh.seek(0)
+            for piece in iter(lambda: fh.read(block_size), b""):
+                digest.update(piece)
+        else:
+            starts = np.floor(
+                np.linspace(0, file_size - block_size, n_blocks)
+            ).astype(int)
+            for pos in starts:
+                fh.seek(pos)
+                digest.update(fh.read(block_size))
+    return digest.hexdigest()
 
 
 @dataclass
 class CoreDataset:
     """One on-disk (or in-memory) chunk store with super-batch streaming."""
 
-    data_path: str = None
+    data_path: Optional[str] = None
     mode: str = "r"
-    metadata: DatasetMetadata = None
-    override_metadata: dict = None
+    metadata: Optional[DatasetMetadata] = None
+    override_metadata: Optional[dict] = None
     batch_size: int = constants.DEFAULT_BATCH_SIZE
     super_batch_size: int = constants.DEFAULT_SUPER_BATCH_SIZE
-    super_batch_sample_frac: float = None
+    super_batch_sample_frac: Optional[float] = None
     super_batch_offset: int = 0
     infinite_iter: bool = True
     do_check_super_batches: bool = False
 
-    _core_dtypes = {
-        "signal": np.float32,
-        "sequence": np.int8,
-        "sequence_to_signal_mapping": np.int16,
-        "sequence_lengths": np.int16,
-        "labels": np.int64,
-    }
-    _core_arrays = list(_core_dtypes.keys())
-
     # ------------- paths / hashing -------------
     @staticmethod
     def dataset_paths(data_path):
-        data_path = resolve_path(data_path)
-        paths = [
-            os.path.join(data_path, p)
-            for p in ["metadata.jsn"]
-            + [f"{n}.npy" for n in CoreDataset._core_arrays]
-        ]
-        paths.extend(sorted(glob(os.path.join(data_path, "extra_*.npy"))))
-        if os.path.isfile(os.path.join(data_path, "kmer_table.npy")):
-            paths.append(os.path.join(data_path, "kmer_table.npy"))
-        return paths
+        base = resolve_path(data_path)
+        names = ["metadata.jsn"] + [f"{n}.npy" for n in CORE_ARRAYS]
+        found = [os.path.join(base, name) for name in names]
+        found.extend(sorted(glob(os.path.join(base, "extra_*.npy"))))
+        kmer_table = os.path.join(base, "kmer_table.npy")
+        if os.path.isfile(kmer_table):
+            found.append(kmer_table)
+        return found
 
     @staticmethod
     def check_dataset_dir(data_path):
@@ -150,90 +180,70 @@ class CoreDataset:
     @staticmethod
     def hash(data_path):
         """Sampled sha256 over dataset files (reference-compatible)."""
+        combined = "".join(
+            _sampled_file_digest(part)
+            for part in CoreDataset.dataset_paths(data_path)
+        )
+        return hashlib.sha256(combined.encode("utf-8")).hexdigest()
 
-        def file_digest(fh, _bufsize=2**18, num_buf=8):
-            digest = hashlib.sha256()
-            buf = bytearray(_bufsize)
-            view = memoryview(buf)
-            file_size = fh.seek(0, os.SEEK_END)
-            if file_size < _bufsize * num_buf:
-                fh.seek(0)
-                while True:
-                    size = fh.readinto(buf)
-                    if size == 0:
-                        break
-                    digest.update(view[:size])
-            else:
-                for f_pos in np.floor(
-                    np.linspace(0, file_size - _bufsize, num_buf)
-                ).astype(int):
-                    fh.seek(f_pos)
-                    fh.readinto(buf)
-                    digest.update(view)
-            return digest.hexdigest()
-
-        files_hash = ""
-        for arr_path in CoreDataset.dataset_paths(data_path):
-            with open(arr_path, "rb") as fh:
-                files_hash += file_digest(fh)
-        return hashlib.sha256(files_hash.encode("utf-8")).hexdigest()
+    def _sidecar(self, filename):
+        if self.data_path is None:
+            raise RemoraError("No path available for in-memory dataset")
+        return os.path.join(self.data_path, filename)
 
     @property
     def metadata_path(self):
-        if self.data_path is None:
-            raise RemoraError("No path available for in-memory dataset")
-        return os.path.join(self.data_path, "metadata.jsn")
+        return self._sidecar("metadata.jsn")
 
     @property
     def kmer_table_path(self):
-        if self.data_path is None:
-            raise RemoraError("No path available for in-memory dataset")
-        return os.path.join(self.data_path, "kmer_table.npy")
+        return self._sidecar("kmer_table.npy")
 
     @property
     def size(self):
-        return self.metadata.dataset_end - self.metadata.dataset_start
+        return self.metadata.size
 
     @property
     def array_names(self):
-        return self._core_arrays + self.metadata.extra_array_names
+        return list(CORE_ARRAYS) + self.metadata.extra_array_names
 
     @property
     def arrays_info(self):
         info = [
             (name, dtype, getattr(self.metadata, f"{name}_shape"))
-            for name, dtype in self._core_dtypes.items()
+            for name, dtype in CORE_DTYPES.items()
         ]
         info.extend(self.metadata.extra_array_dtypes_and_shapes)
         return info
 
     @property
     def summary(self):
-        return (
-            f"                data_path : {self.data_path}\n"
-            f"                     size : {self.size:,}\n"
-            f"            dataset_start : {self.metadata.dataset_start:,}\n"
-            f"              dataset_end : {self.metadata.dataset_end:,}\n"
-            f"       label distribution : {self.label_summary}\n"
-            f"     modified_base_labels : {self.metadata.modified_base_labels}\n"
-            f"                mod_bases : {self.metadata.mod_bases}\n"
-            f"           mod_long_names : {self.metadata.mod_long_names}\n"
-            f"       kmer_context_bases : {self.metadata.kmer_context_bases}\n"
-            f"            chunk_context : {self.metadata.chunk_context}\n"
-            f"                   motifs : {self.metadata.motifs}\n"
-            f"           reverse_signal : {self.metadata.reverse_signal}\n"
-            f" chunk_extract_base_start : {self.metadata.base_start_justify}\n"
-            f"     chunk_extract_offset : {self.metadata.offset}\n"
-            f"          sig_map_refiner : {self.metadata.sig_map_refiner}\n"
+        md = self.metadata
+        fields = (
+            ("data_path", self.data_path),
+            ("size", f"{self.size:,}"),
+            ("dataset_start", f"{md.dataset_start:,}"),
+            ("dataset_end", f"{md.dataset_end:,}"),
+            ("label distribution", self.label_summary),
+            ("modified_base_labels", md.modified_base_labels),
+            ("mod_bases", md.mod_bases),
+            ("mod_long_names", md.mod_long_names),
+            ("kmer_context_bases", md.kmer_context_bases),
+            ("chunk_context", md.chunk_context),
+            ("motifs", md.motifs),
+            ("reverse_signal", md.reverse_signal),
+            ("chunk_extract_base_start", md.base_start_justify),
+            ("chunk_extract_offset", md.offset),
+            ("sig_map_refiner", md.sig_map_refiner),
         )
+        return "".join(f"{name:>25} : {val}\n" for name, val in fields)
 
     def get_label_counts(self):
-        ds_labels = self.labels[
-            self.metadata.dataset_start : self.metadata.dataset_end
-        ]
-        if self.label_conv is None:
-            return np.bincount(ds_labels)
-        return np.bincount(self.label_conv[ds_labels])
+        window = slice(self.metadata.dataset_start, self.metadata.dataset_end)
+        ds_labels = self.labels[window]
+        if self.label_conv is not None:
+            ds_labels = self.label_conv[ds_labels]
+        return np.bincount(ds_labels)
 
     @property
     def label_summary(self):
@@ -243,99 +253,90 @@ class CoreDataset:
         )
 
     # ------------- metadata load / override -------------
-    def load_metadata(self):
-        loaded_metadata = DatasetMetadata.load(
-            self.metadata_path, self.kmer_table_path
-        )
-        if self.override_metadata is None:
-            self.metadata = DatasetMetadata(**loaded_metadata)
+    def _shrink_context(self, loaded, key, stored_key, requested):
+        """Shrink-only context override (chunk or k-mer context)."""
+        requested = tuple(requested)
+        stored = loaded[key] = tuple(loaded[key])
+        if requested[0] > stored[0] or requested[1] > stored[1]:
+            raise RemoraError(
+                f"{key} can only shrink (stored:{stored} ; "
+                f"requested:{requested})"
+            )
+        loaded[stored_key] = stored
+        return requested
+
+    def _expand_labels(self, loaded, new_mod_bases):
+        """Label conversion for adding mod classes (shared classes keep
+        their identity; stored classes must all survive)."""
+        stored_mods = list(map(str, loaded["mod_bases"]))
+        if any(mb not in new_mod_bases for mb in stored_mods):
+            raise AssertionError("Cannot remove modified base")
+        if stored_mods == list(new_mod_bases)[: len(stored_mods)]:
             return
-        invalid_keys = []
-        for md_key, md_val in self.override_metadata.items():
-            if md_key == "dataset_start":
-                if md_val < 0:
+        conv = np.zeros(len(stored_mods) + 1, dtype=np.int64)
+        for cls, mod in enumerate(stored_mods, start=1):
+            conv[cls] = list(new_mod_bases).index(mod) + 1
+        self.label_conv = conv
+        LOGGER.debug(
+            f"Setting label conversion: {self.label_conv} {self.data_path}"
+        )
+
+    def load_metadata(self):
+        loaded = DatasetMetadata.load(self.metadata_path, self.kmer_table_path)
+        if self.override_metadata is None:
+            self.metadata = DatasetMetadata(**loaded)
+            return
+        overrides = self.override_metadata
+        rejected = []
+        for key, val in overrides.items():
+            if key == "dataset_start":
+                if val < 0:
                     raise RemoraError("Dataset start must be positive")
-            elif md_key == "dataset_end":
-                if md_val > loaded_metadata["dataset_end"]:
+            elif key == "dataset_end":
+                if val > loaded["dataset_end"]:
                     raise RemoraError("Cannot set dataset end past loaded end")
-            elif md_key == "mod_bases":
-                assert "mod_long_names" in self.override_metadata
-                assert len(self.override_metadata["mod_long_names"]) == len(md_val)
-                stored_mb = list(map(str, loaded_metadata["mod_bases"]))
-                assert all(mb in md_val for mb in stored_mb), (
-                    "Cannot remove modified base"
-                )
-                if stored_mb != list(md_val)[: len(stored_mb)]:
-                    self.label_conv = np.empty(
-                        len(stored_mb) + 1, dtype=np.int64
-                    )
-                    self.label_conv[0] = 0
-                    for in_lab, mod_base in enumerate(stored_mb):
-                        self.label_conv[in_lab + 1] = next(
-                            idx + 1
-                            for idx, mb in enumerate(md_val)
-                            if mb == mod_base
-                        )
-                    LOGGER.debug(
-                        f"Setting label conversion: {self.label_conv} "
-                        f"{self.data_path}"
-                    )
-            elif md_key == "mod_long_names":
-                assert "mod_bases" in self.override_metadata
-            elif md_key == "extra_arrays":
-                missing = set(md_val).difference(
-                    loaded_metadata["extra_arrays"] or {}
-                )
+            elif key == "mod_bases":
+                assert "mod_long_names" in overrides
+                assert len(overrides["mod_long_names"]) == len(val)
+                self._expand_labels(loaded, val)
+            elif key == "mod_long_names":
+                assert "mod_bases" in overrides
+            elif key == "extra_arrays":
+                stored_extras = loaded["extra_arrays"] or {}
+                missing = set(val) - set(stored_extras)
                 if missing:
                     raise RemoraError(
                         f"Cannot load missing arrays: {', '.join(missing)}"
                     )
-                md_val = {
-                    k: loaded_metadata["extra_arrays"][k] for k in md_val
-                }
-            elif md_key == "chunk_context":
-                md_val = tuple(md_val)
-                scc = loaded_metadata["chunk_context"] = tuple(
-                    loaded_metadata["chunk_context"]
+                val = {name: stored_extras[name] for name in val}
+            elif key == "chunk_context":
+                val = self._shrink_context(
+                    loaded, key, "_stored_chunk_context", val
                 )
-                if md_val[0] > scc[0] or md_val[1] > scc[1]:
-                    raise RemoraError(
-                        f"Cannot expand chunk context (stored:{scc} ; "
-                        f"requested:{md_val})"
-                    )
-                loaded_metadata["_stored_chunk_context"] = scc
-            elif md_key == "kmer_context_bases":
-                md_val = tuple(md_val)
-                skcb = loaded_metadata["kmer_context_bases"] = tuple(
-                    loaded_metadata["kmer_context_bases"]
+            elif key == "kmer_context_bases":
+                val = self._shrink_context(
+                    loaded, key, "_stored_kmer_context_bases", val
                 )
-                if md_val[0] > skcb[0] or md_val[1] > skcb[1]:
-                    raise RemoraError(
-                        f"Cannot expand kmer context (stored:{skcb} ; "
-                        f"requested:{md_val})"
-                    )
-                loaded_metadata["_stored_kmer_context_bases"] = skcb
             else:
-                invalid_keys.append(md_key)
+                rejected.append(key)
                 continue
-            if loaded_metadata.get(md_key) != md_val:
+            if loaded.get(key) != val:
                 LOGGER.debug(
-                    f"Overriding {md_key} from "
-                    f"'{loaded_metadata.get(md_key)}' to '{md_val}'"
+                    f"Overriding {key} from '{loaded.get(key)}' to '{val}'"
                 )
-                loaded_metadata[md_key] = md_val
-        if loaded_metadata["dataset_start"] >= loaded_metadata["dataset_end"]:
+                loaded[key] = val
+        if loaded["dataset_start"] >= loaded["dataset_end"]:
             raise RemoraError("Loaded dataset is empty")
-        if invalid_keys:
+        if rejected:
             raise RemoraError(
-                f"Cannot change metadata values: {', '.join(invalid_keys)}"
+                f"Cannot change metadata values: {', '.join(rejected)}"
             )
-        self.metadata = DatasetMetadata(**loaded_metadata)
+        self.metadata = DatasetMetadata(**loaded)
 
     def update_metadata(self, other):
-        md = {
-            k: getattr(other.metadata, k)
-            for k in (
+        inherited = {
+            key: getattr(other.metadata, key)
+            for key in (
                 "mod_bases",
                 "mod_long_names",
                 "extra_arrays",
@@ -343,49 +344,41 @@ class CoreDataset:
                 "chunk_context",
             )
         }
-        md.update(
-            {
-                "dataset_start": self.metadata.dataset_start,
-                "dataset_end": self.metadata.dataset_end,
-            }
-        )
-        self.override_metadata = md
+        inherited["dataset_start"] = self.metadata.dataset_start
+        inherited["dataset_end"] = self.metadata.dataset_end
+        self.override_metadata = inherited
         self.load_metadata()
 
     # ------------- array management -------------
     def get_array_path(self, array_name):
-        if self.data_path is None:
-            raise RemoraError("No path available for in-memory dataset")
-        if array_name in self._core_arrays:
-            return os.path.join(self.data_path, f"{array_name}.npy")
+        if array_name in CORE_ARRAYS:
+            return self._sidecar(f"{array_name}.npy")
         if array_name in (self.metadata.extra_arrays or {}):
-            return os.path.join(self.data_path, f"extra_{array_name}.npy")
+            return self._sidecar(f"extra_{array_name}.npy")
         raise RemoraError(f"Invalid extra array name: {array_name}")
 
     def allocate_arrays(self):
         if self.mode != "w":
             raise RemoraError("Cannot write when mode is not 'w'")
-        if self.data_path is not None:
+        in_memory = self.data_path is None
+        if not in_memory:
             os.makedirs(self.data_path, exist_ok=True)
         for arr_name, arr_dtype, arr_shape in self.arrays_info:
-            if self.data_path is None:
-                setattr(self, arr_name, np.empty(arr_shape, dtype=arr_dtype))
+            if in_memory:
+                arr = np.empty(arr_shape, dtype=arr_dtype)
             else:
-                setattr(
-                    self,
-                    arr_name,
-                    np.memmap(
-                        self.get_array_path(arr_name),
-                        arr_dtype,
-                        mode="w+",
-                        shape=arr_shape,
-                    ),
+                arr = np.memmap(
+                    self.get_array_path(arr_name),
+                    arr_dtype,
+                    mode="w+",
+                    shape=arr_shape,
                 )
+            setattr(self, arr_name, arr)
 
     def refresh_memmaps(self):
         if self.data_path is None:
             return
-        mode = "r" if self.mode == "r" else "r+"
+        file_mode = {"r": "r"}.get(self.mode, "r+")
         for arr_name, arr_dtype, arr_shape in self.arrays_info:
             if hasattr(self, arr_name):
                 delattr(self, arr_name)
@@ -395,7 +388,7 @@ class CoreDataset:
                 np.memmap(
                     self.get_array_path(arr_name),
                     arr_dtype,
-                    mode=mode,
+                    mode=file_mode,
                     shape=arr_shape,
                 ),
             )
@@ -403,109 +396,103 @@ class CoreDataset:
     def close_memmaps(self):
         if self.data_path is None:
             return
-        for arr_name in self._core_arrays:
+        for arr_name in CORE_ARRAYS:
             setattr(self, arr_name, None)
 
     def write_metadata(self):
         self.metadata.write(self.metadata_path, self.kmer_table_path)
 
     def __post_init__(self):
+        self._iter = None
         self.label_conv = None
         assert self.mode in "rw", "mode must be 'r' or 'w'"
         if self.data_path is None:
             assert self.mode == "w", "In-memory dataset must have mode='w'"
             assert isinstance(self.metadata, DatasetMetadata)
             self.allocate_arrays()
-        elif self.mode == "r":
-            self.data_path = resolve_path(self.data_path)
-            self.load_metadata()
         else:
-            assert isinstance(self.metadata, DatasetMetadata)
             self.data_path = resolve_path(self.data_path)
-            self.allocate_arrays()
-            self.write_metadata()
+            if self.mode == "r":
+                self.load_metadata()
+            else:
+                assert isinstance(self.metadata, DatasetMetadata)
+                self.allocate_arrays()
+                self.write_metadata()
         self.refresh_memmaps()
-        self._iter = None
 
     # ------------- writing -------------
     def write_batch(self, arrays):
         if self.mode != "w":
             raise RemoraError("Cannot write when mode is not 'w'")
-        batch_size = next(iter(arrays.values())).shape[0]
-        if any(arr.shape[0] != batch_size for arr in arrays.values()):
+        sizes = {arr.shape[0] for arr in arrays.values()}
+        if len(sizes) != 1:
             raise RemoraError("All arrays in a batch must be the same size")
-        if self.metadata.dataset_end + batch_size > self.metadata.allocate_size:
+        (n_new,) = sizes
+        if self.metadata.dataset_end + n_new > self.metadata.allocate_size:
             self.write_metadata()
             raise RemoraError("Batch write greater than allocated memory")
-        missing = set(self.array_names).difference(arrays.keys())
+        expected = set(self.array_names)
+        missing = expected - set(arrays)
         if missing:
             raise RemoraError(
                 f"Batch write must include all arrays. Missing: "
                 f"{', '.join(missing)}"
             )
-        unspec = set(arrays.keys()).difference(self.array_names)
-        if unspec:
+        surplus = set(arrays) - expected
+        if surplus:
             raise RemoraError(
                 f"Batch write must only include specified arrays. Found: "
-                f"{', '.join(unspec)}"
+                f"{', '.join(surplus)}"
             )
-        en = self.metadata.dataset_end
+        row = self.metadata.dataset_end
         for arr_name, in_array in arrays.items():
-            getattr(self, arr_name)[en : en + batch_size] = in_array
-        self.metadata.dataset_end = en + batch_size
+            getattr(self, arr_name)[row : row + n_new] = in_array
+        self.metadata.dataset_end = row + n_new
 
     def write_chunk(self, chunk):
-        seq_arr = np.empty(
-            (1, self.metadata.sequence_width), dtype=self._core_dtypes["sequence"]
+        """Write one Chunk as a single-row batch (right-padded arrays)."""
+        seq_row = np.empty(
+            (1, self.metadata.sequence_width), dtype=CORE_DTYPES["sequence"]
         )
-        seq_arr[0, : chunk.seq_w_context.size] = chunk.seq_w_context
-        ssm_arr = np.empty(
+        seq_row[0, : chunk.seq_w_context.size] = chunk.seq_w_context
+        map_row = np.empty(
             (1, self.metadata.sequence_to_signal_mapping_width),
-            dtype=self._core_dtypes["sequence_to_signal_mapping"],
+            dtype=CORE_DTYPES["sequence_to_signal_mapping"],
         )
-        ssm_arr[0, : chunk.seq_to_sig_map.size] = chunk.seq_to_sig_map
-        chunk_dict = {
-            "signal": np.expand_dims(chunk.signal, axis=0).astype(
-                self._core_dtypes["signal"]
-            ),
-            "sequence": seq_arr,
-            "sequence_to_signal_mapping": ssm_arr,
+        map_row[0, : chunk.seq_to_sig_map.size] = chunk.seq_to_sig_map
+        one = {
+            "signal": chunk.signal[None].astype(CORE_DTYPES["signal"]),
+            "sequence": seq_row,
+            "sequence_to_signal_mapping": map_row,
             "sequence_lengths": np.array(
-                [chunk.seq_len], dtype=self._core_dtypes["sequence_lengths"]
+                [chunk.seq_len], dtype=CORE_DTYPES["sequence_lengths"]
             ),
-            "labels": np.array([chunk.label], dtype=self._core_dtypes["labels"]),
+            "labels": np.array([chunk.label], dtype=CORE_DTYPES["labels"]),
         }
         extras = self.metadata.extra_arrays or {}
-        if "read_ids" in extras:
-            chunk_dict["read_ids"] = np.array(
-                [chunk.read_id], dtype=extras["read_ids"][0]
-            )
-        if "read_focus_bases" in extras:
-            chunk_dict["read_focus_bases"] = np.array(
-                [chunk.read_focus_base], dtype=extras["read_focus_bases"][0]
-            )
-        self.write_batch(chunk_dict)
+        chunk_extras = {
+            "read_ids": chunk.read_id,
+            "read_focus_bases": chunk.read_focus_base,
+        }
+        for name, value in chunk_extras.items():
+            if name in extras:
+                one[name] = np.array([value], dtype=extras[name][0])
+        self.write_batch(one)
 
     def shuffle(self, batch_size=100_000, show_prog=False):
+        """On-disk permutation applied blockwise to bound memory."""
         if self.mode != "w":
             raise RemoraError("Cannot write when mode is not 'w'")
-        shuf_indices = np.random.permutation(self.size)
-        b_ranges = list(
-            zip(
-                range(0, self.size, batch_size),
-                range(batch_size, self.size + batch_size, batch_size),
-            )
-        )
+        order = np.random.permutation(self.size)
         for array_name in self.array_names:
             LOGGER.debug(f"Shuffling {array_name} array")
-            array = getattr(self, array_name)[
+            live = getattr(self, array_name)[
                 self.metadata.dataset_start : self.metadata.dataset_end
             ]
-            arr_copy = array.copy()
-            for b_st, b_en in b_ranges:
-                array[b_st : min(b_en, self.size)] = arr_copy[
-                    shuf_indices[b_st:b_en]
-                ]
+            snapshot = live.copy()
+            for blk_st in range(0, self.size, batch_size):
+                blk_en = min(blk_st + batch_size, self.size)
+                live[blk_st:blk_en] = snapshot[order[blk_st:blk_en]]
                 if self.data_path is not None:
                     getattr(self, array_name).flush()
 
@@ -518,63 +505,53 @@ class CoreDataset:
 
     # ------------- reading -------------
     def adjust_batch_params(self):
-        if self.super_batch_size > self.size:
-            self.super_batch_size = self.size
-        if self.super_batch_sample_frac is None:
+        """Resolve (chunks per super batch, per-SB random sample count)."""
+        self.super_batch_size = min(self.super_batch_size, self.size)
+        frac = self.super_batch_sample_frac
+        if frac is None:
             return self.super_batch_size, None
-        sb_select = int(
-            np.ceil(
-                self.super_batch_size
-                * self.super_batch_sample_frac
-                / self.batch_size
-            )
-            * self.batch_size
-        )
+        n_batches = np.ceil(self.super_batch_size * frac / self.batch_size)
+        sb_select = int(n_batches) * self.batch_size
         if sb_select > self.super_batch_size:
             sb_select -= self.batch_size
         if sb_select == 0:
-            self.batch_size = int(
-                self.super_batch_size * self.super_batch_sample_frac
-            )
+            self.batch_size = int(self.super_batch_size * frac)
             sb_select = self.batch_size
-        if self.super_batch_sample_frac == 1.0:
+        if frac == 1.0:
             self.super_batch_size = sb_select
         return sb_select, sb_select
 
     def trim_sb_kmer_context_bases(self, super_batch):
         if not self.metadata.kmer_context_bases_adjusted:
             return super_batch
-        seq_diff = (
+        shift = (
             self.metadata.stored_kmer_context_bases[0]
             - self.metadata.kmer_context_bases[0]
         )
-        if seq_diff > 0:
+        if shift > 0:
             seq = super_batch["sequence"]
             if not seq.flags.writeable:
                 seq = super_batch["sequence"] = seq.copy()
-            seq[:, :-seq_diff] = seq[:, seq_diff:]
+            seq[:, :-shift] = seq[:, shift:]
         return super_batch
 
     def trim_sb_chunk_context(self, super_batch):
         if not self.metadata.chunk_context_adjusted:
             return super_batch
-        st_diff = (
-            self.metadata.stored_chunk_context[0] - self.metadata.chunk_context[0]
-        )
-        new_en = (
-            self.metadata.stored_chunk_context[0] + self.metadata.chunk_context[1]
-        )
+        stored_cc = self.metadata.stored_chunk_context
+        cc = self.metadata.chunk_context
+        lead_cut = stored_cc[0] - cc[0]
         super_batch["signal"] = np.ascontiguousarray(
-            super_batch["signal"][:, :, st_diff:new_en]
+            super_batch["signal"][:, :, lead_cut : stored_cc[0] + cc[1]]
         )
         for name in ("sequence_to_signal_mapping", "sequence",
                      "sequence_lengths"):
             if not super_batch[name].flags.writeable:
                 super_batch[name] = super_batch[name].copy()
-        super_batch["sequence_to_signal_mapping"] -= st_diff
+        super_batch["sequence_to_signal_mapping"] -= lead_cut
         trim_sb_chunk_context(
-            self.metadata.stored_chunk_context,
-            self.metadata.chunk_context,
+            stored_cc,
+            cc,
             sum(self.metadata.kmer_context_bases),
             super_batch["sequence"],
             super_batch["sequence_to_signal_mapping"],
@@ -583,53 +560,52 @@ class CoreDataset:
         return super_batch
 
     def load_super_batch(self, offset=0, size=None, select_num_chunks=None):
-        super_batch = {}
+        """Copy a contiguous (wrapping if infinite) slab of chunk rows."""
         if self.infinite_iter:
             offset %= self.size
         elif offset >= self.size:
             return None
-        sb_st = self.metadata.dataset_start + offset
+        origin = self.metadata.dataset_start
         if size is None:
             if self.infinite_iter:
                 raise RemoraError(
                     "Must specify size of super batch for infinite iter dataset"
                 )
-            size = self.metadata.dataset_end - sb_st
+            size = self.metadata.dataset_end - origin - offset
         if size > self.size:
             raise RemoraError("Super batch larger than dataset requested")
-        sb_en = sb_st + size
-        if sb_en <= self.metadata.dataset_end:
+
+        super_batch = {}
+        lo = origin + offset
+        if lo + size <= self.metadata.dataset_end:
+            # in-range slab: copy so context trims never touch the memmap
             for name in self.array_names:
-                super_batch[name] = getattr(self, name)[sb_st:sb_en].copy()
+                super_batch[name] = getattr(self, name)[lo : lo + size].copy()
         elif self.infinite_iter:
-            wrap_en = sb_en - self.size
+            # wraparound handled by one index-arithmetic gather (a copy)
+            rows = origin + (offset + np.arange(size)) % self.size
             for name in self.array_names:
-                super_batch[name] = np.concatenate(
-                    [
-                        getattr(self, name)[sb_st : self.metadata.dataset_end],
-                        getattr(self, name)[
-                            self.metadata.dataset_start : wrap_en
-                        ],
-                    ]
-                )
+                super_batch[name] = getattr(self, name)[rows]
         else:
+            # tail of a finite dataset: a view is fine (read-only mode)
             for name in self.array_names:
                 super_batch[name] = getattr(self, name)[
-                    sb_st : self.metadata.dataset_end
+                    lo : self.metadata.dataset_end
                 ]
+
         if select_num_chunks is not None:
-            sel = np.random.choice(
-                super_batch["labels"].size,
-                min(select_num_chunks, super_batch["labels"].size),
-                replace=False,
+            n_rows = super_batch["labels"].size
+            keep = np.random.choice(
+                n_rows, min(select_num_chunks, n_rows), replace=False
             )
-            for name in self.array_names:
-                super_batch[name] = super_batch[name][sel]
+            super_batch = {
+                name: arr[keep] for name, arr in super_batch.items()
+            }
         if self.label_conv is not None:
-            super_batch["labels"] = self.label_conv[super_batch["labels"]]
+            remapped = self.label_conv[super_batch["labels"]]
+            super_batch["labels"] = remapped
         super_batch = self.trim_sb_kmer_context_bases(super_batch)
-        super_batch = self.trim_sb_chunk_context(super_batch)
-        return super_batch
+        return self.trim_sb_chunk_context(super_batch)
 
     def iter_super_batches(self, select_num_chunks=None):
         sb_num = 0
@@ -643,24 +619,28 @@ class CoreDataset:
             if super_batch is None:
                 break
             if self.do_check_super_batches:
-                check_super_batch(super_batch, self.metadata.chunk_width)
+                check_super_batch(
+                    super_batch, chunk_width=self.metadata.chunk_width
+                )
             sb_num += 1
             yield super_batch
 
     def extract_batch(self, super_batch, batch_st):
+        """One training batch with host-side encoded-kmer features."""
         batch_en = min(
             batch_st + self.batch_size, super_batch["sequence"].shape[0]
         )
+        window = slice(batch_st, batch_en)
         batch = {
             "enc_kmers": encoded_kmers.compute_encoded_kmer_batch(
                 *self.metadata.kmer_context_bases,
-                super_batch["sequence"][batch_st:batch_en],
-                super_batch["sequence_to_signal_mapping"][batch_st:batch_en],
-                super_batch["sequence_lengths"][batch_st:batch_en],
+                super_batch["sequence"][window],
+                super_batch["sequence_to_signal_mapping"][window],
+                super_batch["sequence_lengths"][window],
             )
         }
         for name in ["signal", "labels"] + self.metadata.extra_array_names:
-            batch[name] = super_batch[name][batch_st:batch_en]
+            batch[name] = super_batch[name][window]
         return batch
 
     def iter_batches(self, max_batches=None, raw=False):
@@ -682,7 +662,7 @@ class CoreDataset:
                 else:
                     yield self.extract_batch(super_batch, batch_st)
                 batch_num += 1
-                if max_batches is not None and batch_num >= max_batches:
+                if batch_num == max_batches:
                     return
 
     def __iter__(self):
@@ -700,47 +680,50 @@ class CoreDataset:
 
 
 def parse_dataset_config(config_path, used_configs=None):
-    paths, weights, hashes = [], [], []
+    """Flatten a (possibly nested) dataset config into paths/weights/hashes.
+
+    Configs are JSON lists of [path, weight] or [path, weight, hash];
+    a path may point at another config (cycles detected). Weights are
+    normalized to proportions.
+    """
     config_path = resolve_path(config_path)
     if used_configs is None:
         used_configs = {config_path: config_path}
+    paths, weights, hashes = [], [], []
     with open(config_path) as fh:
-        for ds_info in json.load(fh):
-            if len(ds_info) == 2:
-                ds_path, weight = ds_info
-                ds_hash = None
-            elif len(ds_info) == 3:
-                ds_path, weight, ds_hash = ds_info
-            assert weight > 0, "dataset config weight must be positive"
-            ds_path = resolve_path(ds_path)
-            if not os.path.exists(ds_path):
-                raise RemoraError(f"Core dataset path does not exist. {ds_path}")
-            if os.path.isdir(ds_path):
-                computed = CoreDataset.hash(ds_path)
-                if ds_hash is None:
-                    ds_hash = computed
-                elif ds_hash != computed:
-                    raise RemoraError(
-                        "Dataset hash does not match value from config for "
-                        f"dataset at {ds_path}"
-                    )
-                paths.append(ds_path)
-                weights.append(weight)
-                hashes.append(ds_hash)
-            else:
-                if ds_path in used_configs:
-                    raise RemoraError(
-                        f"Circular or repeated dataset config reference. "
-                        f"{ds_path} found in {config_path}"
-                    )
-                used_configs[ds_path] = config_path
-                sub_paths, sub_weights, sub_hashes = parse_dataset_config(
-                    ds_path, used_configs=used_configs
+        entries = json.load(fh)
+    for entry in entries:
+        ds_path, weight = entry[:2]
+        ds_hash = entry[2] if len(entry) > 2 else None
+        assert weight > 0, "dataset config weight must be positive"
+        ds_path = resolve_path(ds_path)
+        if not os.path.exists(ds_path):
+            raise RemoraError(f"Core dataset path does not exist. {ds_path}")
+        if os.path.isdir(ds_path):
+            computed = CoreDataset.hash(ds_path)
+            if ds_hash is not None and ds_hash != computed:
+                raise RemoraError(
+                    "Dataset hash does not match value from config for "
+                    f"dataset at {ds_path}"
                 )
-                paths.extend(sub_paths)
-                weights.extend(np.asarray(sub_weights) * weight)
-                hashes.extend(sub_hashes)
-    if len(paths) != len(set(paths)):
+            paths.append(ds_path)
+            weights.append(weight)
+            hashes.append(computed if ds_hash is None else ds_hash)
+        else:
+            # nested config file
+            if ds_path in used_configs:
+                raise RemoraError(
+                    f"Circular or repeated dataset config reference. "
+                    f"{ds_path} found in {config_path}"
+                )
+            used_configs[ds_path] = config_path
+            sub_paths, sub_props, sub_hashes = parse_dataset_config(
+                ds_path, used_configs=used_configs
+            )
+            paths.extend(sub_paths)
+            weights.extend(np.asarray(sub_props) * weight)
+            hashes.extend(sub_hashes)
+    if len(set(paths)) != len(paths):
         LOGGER.warning("Core datasets loaded multiple times")
     weights = np.array(weights, dtype=float)
     return paths, weights / weights.sum(), hashes
@@ -749,10 +732,10 @@ def parse_dataset_config(config_path, used_configs=None):
 def load_dataset(ds_path):
     """Parse either a core dataset dir or a dataset config file."""
     ds_path = resolve_path(ds_path)
-    if not os.path.exists(ds_path):
-        raise RemoraError(f"Dataset path does not exist. {ds_path}")
     if os.path.isdir(ds_path):
         return [ds_path], np.ones(1, dtype=float), None
+    if not os.path.exists(ds_path):
+        raise RemoraError(f"Dataset path does not exist. {ds_path}")
     return parse_dataset_config(ds_path)
 
 
@@ -763,12 +746,12 @@ def compute_best_split(total_size, props):
             f"total_size ({total_size}) smaller than number of proportions "
             f"{len(props)}"
         )
-    sizes = np.floor(total_size * np.asarray(props)).astype(int)
-    sizes[sizes == 0] = 1
+    sizes = np.floor(np.asarray(props) * total_size).astype(int)
+    np.maximum(sizes, 1, out=sizes)
     while sizes.sum() > total_size:
-        sizes[np.argmax(sizes)] -= 1
+        sizes[sizes.argmax()] -= 1
     while sizes.sum() < total_size:
-        sizes[np.argmin((sizes / sizes.sum()) - props)] += 1
+        sizes[np.argmin(sizes / sizes.sum() - props)] += 1
     return sizes
 
 
@@ -780,6 +763,16 @@ class ComposedDataset:
     featurization via ``iter_batches(raw=True)``).
     """
 
+    # metadata that every member dataset must share exactly
+    UNIFORM_METADATA = (
+        "modified_base_labels",
+        "base_start_justify",
+        "offset",
+        "reverse_signal",
+        "pa_scaling",
+        "sig_map_refiner",
+    )
+
     def __init__(
         self,
         datasets,
@@ -790,12 +783,12 @@ class ComposedDataset:
         super_batch_sample_frac=None,
         seed=None,
     ):
+        if len(datasets) != len(proportions):
+            raise RemoraError("Dataset and proportions must be same length.")
+        if any(p < 0 or p > 1 for p in proportions):
+            raise RemoraError("Dataset proportions must be between 0 and 1.")
         self.datasets = datasets
         self.props = proportions
-        if not all(0 <= p <= 1 for p in self.props):
-            raise RemoraError("Dataset proportions must be between 0 and 1.")
-        if len(self.datasets) != len(self.props):
-            raise RemoraError("Dataset and proportions must be same length.")
         self._hashes = hashes
         self.set_batch_size(batch_size)
         self.super_batch_size = super_batch_size
@@ -805,12 +798,16 @@ class ComposedDataset:
         self.set_global_metadata()
         for ds in self.datasets:
             ds.update_metadata(self)
-        self.super_batch_offsets = [0 for _ in self.datasets]
+        self.super_batch_offsets = [0] * len(self.datasets)
         self._ds_iters = None
         self._iter = None
         self._all_batches = None
 
     # ---- properties ----
+    @property
+    def size(self):
+        return sum(ds.size for ds in self.datasets)
+
     @property
     def num_datasets(self):
         return len(self.datasets)
@@ -820,49 +817,79 @@ class ComposedDataset:
         return [ds.data_path for ds in self.datasets]
 
     @property
-    def size(self):
-        return sum(ds.size for ds in self.datasets)
-
-    @property
     def hashes(self):
-        if self._hashes is None or any(h is None for h in self._hashes):
+        have_all = self._hashes is not None and None not in self._hashes
+        if not have_all:
             LOGGER.debug("Computing dataset hashes")
             self._hashes = [ds.hash(ds.data_path) for ds in self.datasets]
         return self._hashes
 
     @property
     def summary(self):
-        return (
-            f"                     size : {self.size:,}\n"
-            f"     modified_base_labels : {self.metadata.modified_base_labels}\n"
-            f"                mod_bases : {self.metadata.mod_bases}\n"
-            f"           mod_long_names : {self.metadata.mod_long_names}\n"
-            f"       kmer_context_bases : {self.metadata.kmer_context_bases}\n"
-            f"            chunk_context : {self.metadata.chunk_context}\n"
-            f"                   motifs : {self.metadata.motifs}\n"
-            f"           reverse_signal : {self.metadata.reverse_signal}\n"
-            f" chunk_extract_base_start : {self.metadata.base_start_justify}\n"
-            f"     chunk_extract_offset : {self.metadata.offset}\n"
-            f"               pa_scaling : {self.metadata.pa_scaling}\n"
-            f"          sig_map_refiner : {self.metadata.sig_map_refiner}\n"
+        md = self.metadata
+        fields = (
+            ("size", f"{self.size:,}"),
+            ("modified_base_labels", md.modified_base_labels),
+            ("mod_bases", md.mod_bases),
+            ("mod_long_names", md.mod_long_names),
+            ("kmer_context_bases", md.kmer_context_bases),
+            ("chunk_context", md.chunk_context),
+            ("motifs", md.motifs),
+            ("reverse_signal", md.reverse_signal),
+            ("chunk_extract_base_start", md.base_start_justify),
+            ("chunk_extract_offset", md.offset),
+            ("pa_scaling", md.pa_scaling),
+            ("sig_map_refiner", md.sig_map_refiner),
         )
+        return "".join(f"{name:>25} : {val}\n" for name, val in fields)
 
     @property
     def init_kwargs(self):
-        return {
-            "proportions": self.props,
-            "hashes": self._hashes,
-            "batch_size": self.batch_size,
-            "super_batch_size": self.super_batch_size,
-            "super_batch_sample_frac": self.super_batch_sample_frac,
-            "seed": self.seed,
-        }
+        return dict(
+            proportions=self.props,
+            hashes=self._hashes,
+            batch_size=self.batch_size,
+            super_batch_size=self.super_batch_size,
+            super_batch_sample_frac=self.super_batch_sample_frac,
+            seed=self.seed,
+        )
 
     def set_batch_size(self, batch_size):
         self.batch_size = batch_size
         self.batch_sizes = compute_best_split(self.batch_size, self.props)
 
     # ---- global metadata merge ----
+    def _replace_motifs(self, motifs):
+        merged = sequtil.merge_motifs(motifs)
+        seqs, offs = zip(*[m.to_tuple() for m in merged])
+        self.metadata.motif_sequences = list(seqs)
+        self.metadata.motif_offsets = list(offs)
+        self.metadata.check_motifs()
+
+    def _fold_in_labels(self, member_md):
+        """Union of mod classes, preserving long-name consistency."""
+        known = dict(
+            zip(self.metadata.mod_bases, self.metadata.mod_long_names)
+        )
+        for mb, mln in zip(member_md.mod_bases, member_md.mod_long_names):
+            if mb in known:
+                assert known[mb] == mln, "Mismatched modified bases."
+            else:
+                self.metadata.mod_bases.append(mb)
+                self.metadata.mod_long_names.append(mln)
+
+    def _fold_in_contexts(self, member_md):
+        """Element-wise minimum of both context windows."""
+        for attr in ("kmer_context_bases", "chunk_context"):
+            ours = getattr(self.metadata, attr)
+            theirs = getattr(member_md, attr)
+            if ours != theirs:
+                setattr(
+                    self.metadata,
+                    attr,
+                    (min(ours[0], theirs[0]), min(ours[1], theirs[1])),
+                )
+
     def set_global_metadata(self):
         self.metadata = self.datasets[0].metadata.copy()
         for md_name in (
@@ -872,112 +899,58 @@ class ComposedDataset:
             "dataset_end",
         ):
             setattr(self.metadata, md_name, None)
-        merged = sequtil.merge_motifs(self.metadata.motifs)
-        self.metadata.motif_sequences, self.metadata.motif_offsets = zip(
-            *[m.to_tuple() for m in merged]
-        )
-        self.metadata.motif_sequences = list(self.metadata.motif_sequences)
-        self.metadata.motif_offsets = list(self.metadata.motif_offsets)
-        self.metadata.check_motifs()
+        self._replace_motifs(self.metadata.motifs)
         for ds in self.datasets[1:]:
-            for attr_name in (
-                "modified_base_labels",
-                "base_start_justify",
-                "offset",
-                "reverse_signal",
-                "pa_scaling",
-                "sig_map_refiner",
-            ):
-                if getattr(ds.metadata, attr_name) != getattr(
-                    self.metadata, attr_name
-                ):
+            member_md = ds.metadata
+            for attr in self.UNIFORM_METADATA:
+                if getattr(member_md, attr) != getattr(self.metadata, attr):
                     raise RemoraError(
-                        f"All datasets must have same {attr_name} "
-                        f"{getattr(ds.metadata, attr_name)} != "
-                        f"{getattr(self.metadata, attr_name)}"
+                        f"All datasets must have same {attr} "
+                        f"{getattr(member_md, attr)} != "
+                        f"{getattr(self.metadata, attr)}"
                     )
-            if set(ds.metadata.extra_array_names) != set(
+            if set(member_md.extra_array_names) != set(
                 self.metadata.extra_array_names
             ):
                 raise RemoraError(
-                    f"Extra arrays not equal: {ds.metadata.extra_array_names} "
+                    f"Extra arrays not equal: {member_md.extra_array_names} "
                     f"!= {self.metadata.extra_array_names}"
                 )
-            for mb, mln in zip(ds.metadata.mod_bases, ds.metadata.mod_long_names):
-                if mb in self.metadata.mod_bases:
-                    md_mln = next(
-                        ln
-                        for b, ln in zip(
-                            self.metadata.mod_bases, self.metadata.mod_long_names
-                        )
-                        if mb == b
-                    )
-                    assert mln == md_mln, "Mismatched modified bases."
-                else:
-                    self.metadata.mod_bases.append(mb)
-                    self.metadata.mod_long_names.append(mln)
-            if ds.metadata.kmer_context_bases != self.metadata.kmer_context_bases:
-                self.metadata.kmer_context_bases = (
-                    min(
-                        self.metadata.kmer_context_bases[0],
-                        ds.metadata.kmer_context_bases[0],
-                    ),
-                    min(
-                        self.metadata.kmer_context_bases[1],
-                        ds.metadata.kmer_context_bases[1],
-                    ),
-                )
-            if ds.metadata.chunk_context != self.metadata.chunk_context:
-                self.metadata.chunk_context = (
-                    min(
-                        self.metadata.chunk_context[0],
-                        ds.metadata.chunk_context[0],
-                    ),
-                    min(
-                        self.metadata.chunk_context[1],
-                        ds.metadata.chunk_context[1],
-                    ),
-                )
-            if set(ds.metadata.motifs) != set(self.metadata.motifs):
-                merged = sequtil.merge_motifs(
-                    self.metadata.motifs + ds.metadata.motifs
-                )
-                (
-                    self.metadata.motif_sequences,
-                    self.metadata.motif_offsets,
-                ) = map(list, zip(*[m.to_tuple() for m in merged]))
-                self.metadata.check_motifs()
-        # sort modified bases alphabetically
-        order = sorted(
-            range(len(self.metadata.mod_bases)),
-            key=self.metadata.mod_bases.__getitem__,
+            self._fold_in_labels(member_md)
+            self._fold_in_contexts(member_md)
+            if set(member_md.motifs) != set(self.metadata.motifs):
+                self._replace_motifs(self.metadata.motifs + member_md.motifs)
+        # canonical order: modified bases sorted alphabetically
+        by_base = sorted(
+            zip(self.metadata.mod_bases, self.metadata.mod_long_names)
         )
-        self.metadata.mod_bases = [self.metadata.mod_bases[i] for i in order]
-        self.metadata.mod_long_names = [
-            self.metadata.mod_long_names[i] for i in order
-        ]
+        self.metadata.mod_bases = [mb for mb, _ in by_base]
+        self.metadata.mod_long_names = [mln for _, mln in by_base]
+
+    _UPDATE_GUARD_KEYS = (
+        "modified_base_labels",
+        "offset",
+        "reverse_signal",
+        "pa_scaling",
+        "sig_map_refiner",
+    )
+    _UPDATE_INHERIT_KEYS = (
+        "mod_bases",
+        "mod_long_names",
+        "extra_arrays",
+        "kmer_context_bases",
+        "chunk_context",
+    )
 
     def update_metadata(self, other):
-        for md_key in (
-            "modified_base_labels",
-            "offset",
-            "reverse_signal",
-            "pa_scaling",
-            "sig_map_refiner",
-        ):
+        for md_key in self._UPDATE_GUARD_KEYS:
             if getattr(self.metadata, md_key) != getattr(other.metadata, md_key):
                 raise RemoraError(
                     f"Cannot update metadata with mismatching '{md_key}'."
                 )
         for ds in self.datasets:
             ds.update_metadata(other)
-        for md_key in (
-            "mod_bases",
-            "mod_long_names",
-            "extra_arrays",
-            "kmer_context_bases",
-            "chunk_context",
-        ):
+        for md_key in self._UPDATE_INHERIT_KEYS:
             setattr(self.metadata, md_key, getattr(other.metadata, md_key))
 
     # ---- construction ----
@@ -985,60 +958,55 @@ class ComposedDataset:
     def from_config(cls, config_path, override_metadata=None, ds_kwargs=None,
                     **kwargs):
         paths, props, hashes = parse_dataset_config(config_path)
-        if override_metadata is None:
-            override_metadata = {}
-        if ds_kwargs is None:
-            ds_kwargs = {}
-        datasets = [
+        override_metadata = override_metadata or {}
+        ds_kwargs = ds_kwargs or {}
+        members = [
             CoreDataset(
                 ds_path, override_metadata=override_metadata.copy(), **ds_kwargs
             )
             for ds_path in paths
         ]
-        return cls(datasets, props, hashes, **kwargs)
+        return cls(members, props, hashes, **kwargs)
+
+    def _reopen_slices(self, sizes, override_metadata, *, tail):
+        """Reopen each member restricted to its first ``sizes[i]`` chunks
+        (``tail=False``) or everything after them (``tail=True``)."""
+        out = []
+        for ds, n in zip(self.datasets, sizes):
+            if n >= ds.size:
+                raise RemoraError("Not enough chunks")
+            cut = ds.metadata.dataset_start + n
+            md = dict(override_metadata)
+            if tail:
+                md["dataset_start"] = cut
+                out.append(CoreDataset(ds.data_path, override_metadata=md))
+            else:
+                md["dataset_start"] = ds.metadata.dataset_start
+                md["dataset_end"] = cut
+                out.append(
+                    CoreDataset(
+                        ds.data_path,
+                        infinite_iter=False,
+                        override_metadata=md,
+                    )
+                )
+        return out
 
     def train_test_split(self, num_test_chunks, override_metadata=None):
         test_sizes = compute_best_split(num_test_chunks, self.props)
-        if override_metadata is None:
-            override_metadata = {}
-        train_datasets, test_datasets = [], []
-        for ds, test_size in zip(self.datasets, test_sizes):
-            if test_size >= ds.size:
-                raise RemoraError("Not enough chunks")
-            trn_md = override_metadata.copy()
-            trn_md["dataset_start"] = ds.metadata.dataset_start + test_size
-            train_datasets.append(
-                CoreDataset(ds.data_path, override_metadata=trn_md)
-            )
-            test_md = override_metadata.copy()
-            test_md["dataset_end"] = ds.metadata.dataset_start + test_size
-            test_datasets.append(
-                CoreDataset(
-                    ds.data_path, infinite_iter=False, override_metadata=test_md
-                )
-            )
+        override_metadata = override_metadata or {}
+        trn = self._reopen_slices(test_sizes, override_metadata, tail=True)
+        tst = self._reopen_slices(test_sizes, override_metadata, tail=False)
         return (
-            ComposedDataset(train_datasets, **self.init_kwargs),
-            ComposedDataset(test_datasets, **self.init_kwargs),
+            ComposedDataset(trn, **self.init_kwargs),
+            ComposedDataset(tst, **self.init_kwargs),
         )
 
     def head(self, num_chunks, override_metadata=None):
-        ds_sizes = compute_best_split(num_chunks, self.props)
-        if override_metadata is None:
-            override_metadata = {}
-        head_datasets = []
-        for ds, ds_size in zip(self.datasets, ds_sizes):
-            if ds_size >= ds.size:
-                raise RemoraError("Not enough chunks")
-            head_md = override_metadata.copy()
-            head_md["dataset_start"] = ds.metadata.dataset_start
-            head_md["dataset_end"] = ds.metadata.dataset_start + ds_size
-            head_datasets.append(
-                CoreDataset(
-                    ds.data_path, infinite_iter=False, override_metadata=head_md
-                )
-            )
-        return ComposedDataset(head_datasets, **self.init_kwargs)
+        sizes = compute_best_split(num_chunks, self.props)
+        override_metadata = override_metadata or {}
+        heads = self._reopen_slices(sizes, override_metadata, tail=False)
+        return ComposedDataset(heads, **self.init_kwargs)
 
     # ---- iteration ----
     def _set_sub_ds_iters(self, raw=False):
@@ -1056,12 +1024,12 @@ class ComposedDataset:
         if self._ds_iters is None:
             self._set_sub_ds_iters(raw=raw)
         names = (
-            list(return_arrays)
-            if not raw
-            else list(self.datasets[0].array_names)
+            list(self.datasets[0].array_names)
+            if raw
+            else list(return_arrays)
         )
 
-        def concat(name, arrays):
+        def concat(arrays):
             if raw and arrays[0].ndim == 2:
                 # ragged widths can differ between sub-datasets (different
                 # stored max_seq_len); right-pad to the widest
@@ -1075,11 +1043,11 @@ class ComposedDataset:
 
         while True:
             try:
-                ds_arrays = [next(it) for it in self._ds_iters]
+                member_batches = [next(it) for it in self._ds_iters]
             except StopIteration:
                 break
             yield {
-                name: concat(name, [arrs[name] for arrs in ds_arrays])
+                name: concat([mb[name] for mb in member_batches])
                 for name in names
             }
 
@@ -1087,9 +1055,10 @@ class ComposedDataset:
         if self.infinite_iter:
             raise RemoraError("Cannot save all batches for infinite dataset")
         self._set_sub_ds_iters()
-        self._all_batches = list(self.iter_batches())
+        cached = [*self.iter_batches()]
         for ds in self.datasets:
             ds.close_memmaps()
+        self._all_batches = cached
 
     def __iter__(self):
         if self._all_batches is not None:
@@ -1105,11 +1074,11 @@ class ComposedDataset:
 
     # ---- stats / config ----
     def get_label_counts(self):
-        label_counts = np.zeros(self.metadata.num_labels, dtype=int)
+        totals = np.zeros(self.metadata.num_labels, dtype=int)
         for ds in self.datasets:
-            for idx, count in enumerate(ds.get_label_counts()):
-                label_counts[idx] += count
-        return label_counts
+            counts = ds.get_label_counts()
+            totals[: counts.size] += counts
+        return totals
 
     @property
     def label_summary(self):
@@ -1127,47 +1096,28 @@ class ComposedDataset:
     def epoch_summary(self, batches_per_epoch):
         """Per-dataset draw rates and per-label batch/total counts
         (reference ``RemoraDataset.epoch_summary`` format)."""
-        epoch_totals = [batches_per_epoch * bs for bs in self.batch_sizes]
-        dss_lab_counts = [
-            dict(zip(ds.metadata.labels, ds.get_label_counts()))
-            for ds in self.datasets
-        ]
-        dss_lab_props = []
-        for ds_lab_counts in dss_lab_counts:
-            ds_tot = sum(ds_lab_counts.values())
-            dss_lab_props.append(
-                {lab: cnt / ds_tot for lab, cnt in ds_lab_counts.items()}
+        labels = self.metadata.labels
+        rows = []
+        for ds, ds_bs in zip(self.datasets, self.batch_sizes):
+            per_epoch = batches_per_epoch * ds_bs
+            counts = dict(zip(ds.metadata.labels, ds.get_label_counts()))
+            total = sum(counts.values())
+            batch_col = "\t".join(
+                f"{int(np.ceil(counts.get(lab, 0) / total * ds_bs)):,}"
+                for lab in labels
             )
-        batch_lab_cols = [
-            "\t".join(
-                f"{int(np.ceil(ds_lp.get(lab, 0) * ds_bs)):,}"
-                for lab in self.metadata.labels
+            count_col = "\t".join(f"{counts.get(lab, 0):,}" for lab in labels)
+            rows.append(
+                f"{per_epoch / ds.size:10.4%}\t{batch_col}\t{per_epoch:,}\t"
+                f"{ds.size:,}\t{count_col}\t{ds.data_path}"
             )
-            for ds_lp, ds_bs in zip(dss_lab_props, self.batch_sizes)
-        ]
-        dss_lab_cols = [
-            "\t".join(
-                f"{ds_lc.get(lab, 0):,}" for lab in self.metadata.labels
-            )
-            for ds_lc in dss_lab_counts
-        ]
-        summ_strs = [
-            f"{tot / ds.size:10.4%}\t{b_cols}\t{tot:,}\t{ds.size:,}\t"
-            f"{ds_cols}\t{ds.data_path}"
-            for tot, b_cols, ds, ds_cols in zip(
-                epoch_totals, batch_lab_cols, self.datasets, dss_lab_cols
-            )
-        ]
-        b_header = "\t".join(
-            f"batch_{lab}" for lab in self.metadata.labels
+        batch_hdr = "\t".join(f"batch_{lab}" for lab in labels)
+        ds_hdr = "\t".join(f"dataset_{lab}" for lab in labels)
+        header = (
+            f"percent_of_dataset_per_epoch\t{batch_hdr}\t"
+            f"dataset_chunks_per_epoch\tdataset_size\t{ds_hdr}\tpath\n"
         )
-        ds_header = "\t".join(
-            f"dataset_{lab}" for lab in self.metadata.labels
-        )
-        return (
-            f"percent_of_dataset_per_epoch\t{b_header}\t"
-            f"dataset_chunks_per_epoch\tdataset_size\t{ds_header}\tpath\n"
-        ) + "\n".join(summ_strs)
+        return header + "\n".join(rows)
 
 
 def worker_init(dataset, seed=None, worker_id=0):
