@@ -14,8 +14,10 @@ a double-buffered jit function (see remora_tpu.infer).
 """
 
 import multiprocessing as mp
+import os
 import queue as queue_mod
 import traceback
+from functools import partial
 from threading import Thread
 
 from remora_tpu import log
@@ -31,93 +33,98 @@ DEFAULT_QUEUE_SIZE = 10_000
 # JAX (pure NumPy/IO) and the worker functions tolerate it in practice —
 # set REMORA_TPU_MP_CONTEXT=spawn|forkserver to switch for guarded
 # programs (all stage functions/args in this package are picklable).
-import os as _os
-
-_MP = mp.get_context(_os.environ.get("REMORA_TPU_MP_CONTEXT", "fork"))
+_MP = mp.get_context(os.environ.get("REMORA_TPU_MP_CONTEXT", "fork"))
 
 _STOP = StopIteration
+_POLL_S = 0.1
 
 
-class NamedQueue:
-    """Thread queue with a name and qsize, mirroring the mp variant's API."""
+class StageQueue:
+    """Bounded, named queue; optionally process-shared with a size gauge.
 
-    def __init__(self, maxsize=0, name="queue"):
-        self.maxsize = maxsize
+    The stdlib mp.Queue has no usable qsize on all platforms, so the
+    process-backed variant tracks depth in shared memory (the depth shows
+    up in pipeline debug logs).
+    """
+
+    def __init__(self, maxsize=0, name="queue", cross_process=True):
         self.name = name
-        self.queue = queue_mod.Queue(maxsize=maxsize)
+        self.maxsize = maxsize
+        if cross_process:
+            self.queue = _MP.Queue(maxsize=maxsize)
+            self._gauge = _MP.Value("i", 0)
+        else:
+            self.queue = queue_mod.Queue(maxsize=maxsize)
+            self._gauge = None
+
+    def _bump(self, delta):
+        if self._gauge is not None:
+            with self._gauge.get_lock():
+                self._gauge.value += delta
 
     def put(self, *args, **kwargs):
         self.queue.put(*args, **kwargs)
+        self._bump(1)
 
     def get(self, *args, **kwargs):
-        return self.queue.get(*args, **kwargs)
+        item = self.queue.get(*args, **kwargs)
+        self._bump(-1)
+        return item
 
     def qsize(self):
+        if self._gauge is not None:
+            return self._gauge.value
         return self.queue.qsize()
 
 
-class NamedMPQueue:
-    """mp.Queue with a name and a cross-process size counter."""
-
-    def __init__(self, maxsize=0, name="queue"):
-        self.maxsize = maxsize
-        self.name = name
-        self.queue = _MP.Queue(maxsize=maxsize)
-        self._size = _MP.Value("i", 0)
-
-    def put(self, *args, **kwargs):
-        self.queue.put(*args, **kwargs)
-        with self._size.get_lock():
-            self._size.value += 1
-
-    def get(self, *args, **kwargs):
-        rval = self.queue.get(*args, **kwargs)
-        with self._size.get_lock():
-            self._size.value -= 1
-        return rval
-
-    def qsize(self):
-        return self._size.value
+# thread-only / process-shared aliases (reference NamedQueue analogs)
+NamedQueue = partial(StageQueue, cross_process=False)
+NamedMPQueue = StageQueue
 
 
 def put_item(item, out_q):
-    """Blocking put with periodic timeout so KeyboardInterrupt is handled."""
+    """Blocking put that polls so KeyboardInterrupt stays deliverable."""
     while True:
         try:
-            return out_q.put(item, timeout=0.1)
+            return out_q.put(item, timeout=_POLL_S)
         except queue_mod.Full:
-            continue
+            pass
 
 
 def get_item(in_q):
+    """Blocking get that polls so KeyboardInterrupt stays deliverable."""
     while True:
         try:
-            return in_q.get(timeout=0.1)
+            return in_q.get(timeout=_POLL_S)
         except queue_mod.Empty:
-            continue
+            pass
 
 
 def queue_iter(in_q, num_producers=1):
-    """Iterate a queue until ``num_producers`` sentinels have been seen."""
-    done = 0
-    while done < num_producers:
+    """Iterate a queue until every producer has sent its stop sentinel."""
+    live_producers = num_producers
+    while live_producers > 0:
         item = get_item(in_q)
         if item is _STOP:
-            done += 1
-        else:
-            yield item
+            live_producers -= 1
+            continue
+        yield item
+
+
+def _log_swallowed(tag, name, err, with_tb=True):
+    detail = f"\n{traceback.format_exc()}" if with_tb else ""
+    LOGGER.debug(f"{tag} in {name}: '{err}'{detail}")
 
 
 def _fill_queue(iterator, in_q, num_receivers):
+    """Drain an in-process iterator into a stage's input queue."""
     try:
         for item in iterator:
             put_item(item, in_q)
     except KeyboardInterrupt:
         pass
     except Exception as e:
-        LOGGER.debug(
-            f"PIPELINE_FILLER_ERROR: '{e}'\n{traceback.format_exc()}"
-        )
+        _log_swallowed("PIPELINE_FILLER_ERROR", "filler", e)
     for _ in range(num_receivers):
         put_item(_STOP, in_q)
 
@@ -126,21 +133,20 @@ def _worker_loop(func, in_q, out_q, prep_func, name, args, kwargs):
     LOGGER.debug(f"Starting {name} worker")
     try:
         if prep_func is not None:
-            args, kwargs = prep_func(*args, **kwargs)
+            # per-worker state constructed post-fork (file handles etc.)
+            prepped = prep_func(*args, **kwargs)
+            args, kwargs = prepped
         for item in queue_iter(in_q):
             try:
                 put_item(func(item, *args, **kwargs), out_q)
             except KeyboardInterrupt:
                 break
             except Exception as e:
-                LOGGER.debug(
-                    f"PIPELINE_ITEM_ERROR in {name}: '{e}'\n"
-                    f"{traceback.format_exc()}"
-                )
+                _log_swallowed("PIPELINE_ITEM_ERROR", name, e)
     except KeyboardInterrupt:
         pass
     except Exception as e:
-        LOGGER.debug(f"PIPELINE_WORKER_ERROR in {name}: '{e}'")
+        _log_swallowed("PIPELINE_WORKER_ERROR", name, e, with_tb=False)
     LOGGER.debug(f"Completed {name} worker")
     put_item(_STOP, out_q)
 
@@ -153,12 +159,14 @@ def _producer_loop(func, args, kwargs, out_q, name):
     except KeyboardInterrupt:
         pass
     except Exception as e:
-        LOGGER.debug(
-            f"PIPELINE_PRODUCER_ERROR in {name}: '{e}'\n"
-            f"{traceback.format_exc()}"
-        )
+        _log_swallowed("PIPELINE_PRODUCER_ERROR", name, e)
     LOGGER.debug(f"Completed {name} producer")
     put_item(_STOP, out_q)
+
+
+def _launch(target, target_args, name, use_process):
+    runner_cls = _MP.Process if use_process else Thread
+    runner_cls(target=target, args=target_args, name=name, daemon=True).start()
 
 
 class source_stage:
@@ -170,15 +178,15 @@ class source_stage:
     def __init__(self, func, args=(), kwargs=None, q_maxsize=DEFAULT_QUEUE_SIZE,
                  use_process=False, use_mp_queue=True, name="source"):
         self.name = name
-        q_cls = NamedMPQueue if use_mp_queue else NamedQueue
-        self.out_q = q_cls(maxsize=q_maxsize, name=f"{name}.out")
-        worker_cls = _MP.Process if use_process else Thread
-        worker_cls(
-            target=_producer_loop,
-            args=(func, args, kwargs or {}, self.out_q, name),
-            name=f"{name}_producer",
-            daemon=True,
-        ).start()
+        self.out_q = StageQueue(
+            maxsize=q_maxsize, name=f"{name}.out", cross_process=use_mp_queue
+        )
+        _launch(
+            _producer_loop,
+            (func, args, kwargs or {}, self.out_q, name),
+            f"{name}_producer",
+            use_process,
+        )
 
     def __iter__(self):
         try:
@@ -194,15 +202,18 @@ class map_stage:
     worker for state that must be constructed post-fork (e.g. BAM handles).
     """
 
-    def __init__(self, func, iterator, prep_func=None, num_workers=1,
+    def __init__(self, func, iterator, *, num_workers=1, prep_func=None,
+                 args=(), kwargs=None, name="map",
                  q_maxsize=DEFAULT_QUEUE_SIZE, use_process=False,
-                 use_mp_queue=True, args=(), kwargs=None, name="map"):
+                 use_mp_queue=True):
         self.name = name
         self.num_workers = num_workers
-        q_cls = NamedMPQueue if use_mp_queue else NamedQueue
-        self.out_q = q_cls(maxsize=q_maxsize, name=f"{name}.out")
-        in_q = q_cls(maxsize=q_maxsize, name=f"{name}.in")
-        worker_cls = _MP.Process if use_process else Thread
+        self.out_q = StageQueue(
+            maxsize=q_maxsize, name=f"{name}.out", cross_process=use_mp_queue
+        )
+        in_q = StageQueue(
+            maxsize=q_maxsize, name=f"{name}.in", cross_process=use_mp_queue
+        )
         # the filler is always a thread: it drains an in-process iterator
         # (often a generator or upstream stage) that cannot be pickled
         # into a spawned process
@@ -213,13 +224,13 @@ class map_stage:
             daemon=True,
         ).start()
         for idx in range(num_workers):
-            worker_cls(
-                target=_worker_loop,
-                args=(func, in_q, self.out_q, prep_func, name, list(args),
-                      kwargs or {}),
-                name=f"{name}_{idx}",
-                daemon=True,
-            ).start()
+            _launch(
+                _worker_loop,
+                (func, in_q, self.out_q, prep_func, name, list(args),
+                 kwargs or {}),
+                f"{name}_{idx}",
+                use_process,
+            )
 
     def __iter__(self):
         try:

@@ -6,6 +6,7 @@ coordinates, ML probabilities scaled as floor(p*256) clipped to 255.
 """
 
 import array
+from operator import itemgetter
 
 import numpy as np
 
@@ -34,31 +35,34 @@ def format_mm_ml_tags(seq, poss, probs, mod_bases, can_base, strand="+"):
     Returns:
         (mm_tag string, ml array.array('B'))
     """
-    per_mod = {mb: [] for mb in mod_bases}
-    for pos, mod_probs in sorted(zip(poss, probs), key=lambda x: x[0]):
-        if mod_probs is None:
+    by_mod = {mb: [] for mb in mod_bases}
+    for pos, call_probs in sorted(zip(poss, probs), key=itemgetter(0)):
+        if call_probs is None:
             continue
-        for mod_prob, mod_base in zip(mod_probs, mod_bases):
-            per_mod[mod_base].append((pos, mod_prob))
+        for mod_base, mod_prob in zip(mod_bases, call_probs):
+            by_mod[mod_base].append((pos, mod_prob))
 
-    mm_tag, ml_tag = "", array.array("B")
-    # rank of each position among same-canonical-base positions
-    can_base_ranks = None
-    for mod_base, pos_probs in per_mod.items():
-        if len(pos_probs) == 0:
+    # rank of every sequence position among same-canonical-base positions
+    seq_bytes = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    nth_can_base = np.cumsum(seq_bytes == ord(can_base))
+
+    mm_tag = ""
+    ml_tag = array.array("B")
+    for mod_base in mod_bases:
+        site_calls = by_mod[mod_base]
+        if not site_calls:
             continue
-        mod_poss, mprobs = zip(*sorted(pos_probs))
-        if can_base_ranks is None:
-            can_base_ranks = np.cumsum(
-                np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
-                == ord(can_base)
-            )
-        ranks = can_base_ranks[np.array(mod_poss)] - 1
-        gaps = ",".join(map(str, np.diff(np.insert(ranks, 0, -1)) - 1))
-        mm_tag += f"{can_base}{strand}{mod_base}?,{gaps};"
-        scaled = np.floor(np.array(mprobs) * 256)
-        scaled[scaled == 256] = 255
-        ml_tag.extend(scaled.astype(np.uint8))
+        sites, site_probs = zip(*sorted(site_calls))
+        ranks = nth_can_base[np.array(sites)] - 1
+        # MM delta encoding: canonical bases skipped between calls
+        deltas = np.diff(ranks, prepend=-1) - 1
+        mm_tag += (
+            f"{can_base}{strand}{mod_base}?,"
+            + ",".join(map(str, deltas))
+            + ";"
+        )
+        quantized = np.minimum(np.floor(np.array(site_probs) * 256), 255)
+        ml_tag.extend(quantized.astype(np.uint8))
     return mm_tag, ml_tag
 
 

@@ -25,46 +25,40 @@ def compute_sig_band(bps, levels, bhw=DEFAULT_REFINE_HBW, is_banded=True):
     if is_banded and bhw is None:
         raise RemoraError("Cannot compute band with half width of None.")
     seq_len = levels.size
-    if bps.size - 1 != seq_len:
+    if bps.size != seq_len + 1:
         raise RemoraError("Breakpoints must be one longer than levels.")
-    sig_len = bps[-1] - bps[0]
-    seq_indices = np.repeat(np.arange(seq_len), np.diff(bps))
+    # the base currently assigned to every signal position
+    base_at_sig = np.repeat(np.arange(seq_len), np.diff(bps))
 
-    band = np.empty((2, sig_len), dtype=np.int32)
     if is_banded:
-        band[0, :] = np.maximum(seq_indices - bhw, 0)
-        band[1, :] = np.minimum(seq_indices + bhw + 1, seq_len)
+        lo = np.clip(base_at_sig - bhw, 0, None)
+        hi = np.clip(base_at_sig + bhw + 1, None, seq_len)
     else:
-        band[0, :] = 0
-        band[1, :] = seq_len
+        lo = np.zeros(base_at_sig.size, dtype=np.int64)
+        hi = np.full(base_at_sig.size, seq_len, dtype=np.int64)
 
-    nan_mask = np.isin(seq_indices, np.nonzero(np.isnan(levels))[0])
-    nan_sig_indices = np.where(nan_mask)[0]
-    nan_seq_indices = seq_indices[nan_mask]
-    band[0, nan_sig_indices] = nan_seq_indices
-    band[1, nan_sig_indices] = nan_seq_indices + 1
-    band[0, :] = np.maximum.accumulate(band[0, :])
-    band[1, :] = np.minimum.accumulate(band[1, ::-1])[::-1]
-    return band
+    pinned = np.isnan(levels)[base_at_sig]
+    lo[pinned] = base_at_sig[pinned]
+    hi[pinned] = base_at_sig[pinned] + 1
+    # pinning may have broken monotonicity; restore it in both directions
+    lo = np.maximum.accumulate(lo)
+    hi = np.minimum.accumulate(hi[::-1])[::-1]
+    return np.stack([lo, hi]).astype(np.int32)
 
 
 def convert_to_seq_band(sig_band):
-    """Transpose a per-signal band into per-base signal-coordinate bounds."""
-    sig_len = sig_band.shape[1]
-    seq_len = sig_band[1, -1]
-    seq_band = np.zeros((2, seq_len), dtype=np.int32)
-    seq_band[1, :] = sig_len
+    """Transpose a per-signal band into per-base signal-coordinate bounds.
 
-    lower_sig_pos = np.nonzero(np.ediff1d(sig_band[1, :], to_begin=0))[0]
-    lower_base_pos = sig_band[1, lower_sig_pos - 1]
-    seq_band[0, lower_base_pos] = lower_sig_pos
-    seq_band[0, :] = np.maximum.accumulate(seq_band[0, :])
-
-    upper_sig_pos = np.nonzero(np.ediff1d(sig_band[0, :], to_begin=0))[0]
-    upper_base_pos = sig_band[0, upper_sig_pos]
-    seq_band[1, upper_base_pos - 1] = upper_sig_pos
-    seq_band[1, :] = np.minimum.accumulate(seq_band[1, ::-1])[::-1]
-    return seq_band
+    Base b is inside the band at signal i iff lo[i] <= b < hi[i]; since
+    both bounds are monotone the per-base window is a pair of
+    searchsorted lookups: entry = first i with hi[i] > b, exit = one past
+    the last i with lo[i] <= b.
+    """
+    seq_len = int(sig_band[1, -1])
+    bases = np.arange(seq_len)
+    entries = np.searchsorted(sig_band[1], bases, side="right")
+    exits = np.searchsorted(sig_band[0], bases, side="right")
+    return np.stack([entries, exits]).astype(np.int32)
 
 
 def adjust_seq_band(seq_band, min_step=2):
@@ -120,21 +114,23 @@ def adjust_seq_band(seq_band, min_step=2):
 
 
 def validate_band(band, sig_len=None, seq_len=None, is_sig_band=True):
-    if band[0, 0] != 0:
+    lo, hi = band
+    if lo[0] != 0:
         raise RemoraError("Band does not start with 0 coordinate.")
-    if np.diff(band, axis=0)[0].min() <= 0:
+    if (hi - lo).min() <= 0:
         raise RemoraError("Band contains 0-length region")
-    if np.diff(band[0]).min() < 0:
-        raise RemoraError("Band start positions are not monotonically increasing")
-    if np.diff(band[1]).min() < 0:
-        raise RemoraError("Band end positions are not monotonically increasing")
-    if is_sig_band:
-        if sig_len is not None and band.shape[1] != sig_len:
-            raise RemoraError("Invalid sig_band length")
-        if seq_len is not None and band[1, -1] != seq_len:
-            raise RemoraError("Invalid sig_band end coordinate")
-    else:
-        if sig_len is not None and band[1, -1] != sig_len:
-            raise RemoraError("Invalid seq_band end coordinate")
-        if seq_len is not None and band.shape[1] != seq_len:
-            raise RemoraError("Invalid sig_band length")
+    for bound, which in ((lo, "start"), (hi, "end")):
+        if np.diff(bound).min() < 0:
+            raise RemoraError(
+                f"Band {which} positions are not monotonically increasing"
+            )
+    # a sig band spans sig_len columns ending at seq_len; a seq band the
+    # transpose
+    want_cols, want_end = (
+        (sig_len, seq_len) if is_sig_band else (seq_len, sig_len)
+    )
+    kind = "sig_band" if is_sig_band else "seq_band"
+    if want_cols is not None and band.shape[1] != want_cols:
+        raise RemoraError(f"Invalid {kind} length")
+    if want_end is not None and hi[-1] != want_end:
+        raise RemoraError(f"Invalid {kind} end coordinate")
