@@ -74,56 +74,55 @@ def prepare_reads(read_errs, models_metadata, ref_anchored):
     """
     from remora_tpu.data.chunk_batch import extract_chunks_batch
 
-    out_read_errs = []
-    motifs = {}
-    for md in models_metadata:
-        motifs[md["can_base"]] = [Motif(*mot) for mot in md["motifs"]]
+    motifs = {
+        md["can_base"]: [Motif(*mot) for mot in md["motifs"]]
+        for md in models_metadata
+    }
+    prepped = []
+
+    def emit_failure(io_read, why, log_it=True):
+        if log_it:
+            LOGGER.debug(f"{io_read.child_read_id} {why}")
+        prepped.append((io_read, None, why))
+
     for io_read, err in read_errs:
         if err is not None:
             io_read.prune(drop_move_tag=False)
-            out_read_errs.append((io_read, None, err))
+            prepped.append((io_read, None, err))
             continue
         try:
             remora_read = io_read.into_remora_read(ref_anchored)
         except RemoraError as e:
             io_read.prune(drop_move_tag=False)
-            LOGGER.debug(f"{io_read.child_read_id} Read prep error: {e}")
-            out_read_errs.append((io_read, None, f"Read prep error: {e}"))
+            emit_failure(io_read, f"Read prep error: {e}")
             continue
         except Exception as e:
             io_read.prune(drop_move_tag=False)
-            LOGGER.debug(f"{io_read.child_read_id} Unexpected error: {e}")
-            out_read_errs.append((io_read, None, f"Unexpected error: {e}"))
+            emit_failure(io_read, f"Unexpected error: {e}")
             continue
         io_read.prune(drop_move_tag=False)
-        datasets = {}
+        per_base_arrays = {}
         for md in models_metadata:
+            cb = md["can_base"]
             mdl_read = remora_read.copy()
-            mdl_read.set_motif_focus_bases(motifs[md["can_base"]])
+            mdl_read.set_motif_focus_bases(motifs[cb])
             mdl_read.refine_signal_mapping(md["sig_map_refiner"])
             # per-read padded widths bounded by the chunk width
-            max_seq_len = md["chunk_len"] + 2
             result = extract_chunks_batch(
                 mdl_read,
                 md["chunk_context"],
                 md["kmer_context_bases"],
-                max_seq_len,
+                md["chunk_len"] + 2,
                 base_start_justify=md["base_start_justify"],
                 offset=md["offset"],
-                motifs=motifs[md["can_base"]],
+                motifs=motifs[cb],
             )
             if result is None:
-                LOGGER.debug(
-                    f"{io_read.child_read_id} No {md['can_base']} mod calls"
-                )
-                out_read_errs.append(
-                    (io_read, None, f"No {md['can_base']} mod calls")
-                )
+                emit_failure(io_read, f"No {cb} mod calls")
                 continue
-            arrays, _n_long = result
-            datasets[md["can_base"]] = arrays
-        out_read_errs.append((io_read, datasets, None))
-    return out_read_errs
+            per_base_arrays[cb] = result[0]
+        prepped.append((io_read, per_base_arrays, None))
+    return prepped
 
 
 def prep_nn_input(read_errs, raw=False):
@@ -136,7 +135,7 @@ def prep_nn_input(read_errs, raw=False):
         compute_encoded_kmer_batch as host_enc,
     )
 
-    if len(read_errs) == 0:
+    if not read_errs:
         return [(None, None, "No valid mappings")]
     read_nn_inputs = []
     for io_read, read_arrays, err in read_errs:
@@ -296,50 +295,49 @@ def run_model_batched(batches_q, called_batches_q, eval_fns, batch_size):
     put_item(StopIteration, called_batches_q)
 
 
-def unbatch_reads(curr_read, b_nn_out, b_read_pos, b_reads):
-    comp_reads = []
+def unbatch_reads(carry, b_nn_out, b_read_pos, b_reads):
+    """Reassemble per-read outputs from one batch; ``carry`` holds a read
+    still spanning into the next batch."""
+    finished = []
     for io_read, b_st, b_en, err in b_reads:
         if err is not None:
-            if curr_read is not None:
-                comp_reads.append(curr_read)
-            comp_reads.append((io_read, None, None, err))
-            curr_read = None
-        elif b_st is None:
-            if curr_read is None:
+            if carry is not None:
+                finished.append(carry)
+                carry = None
+            finished.append((io_read, None, None, err))
+            continue
+        if b_st is None:
+            # continuation rows of the carried read
+            if carry is None:
                 raise RemoraError("Unbatching encountered None read")
-            if curr_read[0].read_id != io_read.read_id:
+            carried_read, prev_out, prev_pos, _ = carry
+            if carried_read.read_id != io_read.read_id:
                 raise RemoraError("Unbatching encountered mismatching reads")
-            io_read, r_nn_out, r_read_pos, _ = curr_read
-            curr_read = (
-                io_read,
-                np.concatenate([r_nn_out, b_nn_out[:b_en]], axis=0),
-                np.concatenate([r_read_pos, b_read_pos[:b_en]]),
+            carry = (
+                carried_read,
+                np.concatenate([prev_out, b_nn_out[:b_en]], axis=0),
+                np.concatenate([prev_pos, b_read_pos[:b_en]]),
                 None,
             )
-        else:
-            if curr_read is not None:
-                comp_reads.append(curr_read)
-            curr_read = (
-                io_read,
-                b_nn_out[b_st:b_en],
-                b_read_pos[b_st:b_en],
-                None,
-            )
-    return comp_reads, curr_read
+            continue
+        if carry is not None:
+            finished.append(carry)
+        carry = (io_read, b_nn_out[b_st:b_en], b_read_pos[b_st:b_en], None)
+    return finished, carry
 
 
 def unbatch(called_batches_q, called_reads_q, models_metadata):
     def get_return_read(reads):
-        mod_calls = []
-        r_errs = set()
-        for cb, (io_read, nn_out, r_pos, err) in reads:
-            r_errs.add(err)
-            if err is None:
-                mod_calls.append((cb, nn_out, r_pos))
-        r_err = None if any(e is None for e in r_errs) else ",".join(
-            sorted(r_errs)
-        )
-        return io_read, mod_calls, r_err
+        io_read = reads[-1][1][0]
+        mod_calls = [
+            (cb, nn_out, r_pos)
+            for cb, (_rd, nn_out, r_pos, err) in reads
+            if err is None
+        ]
+        if mod_calls:
+            return io_read, mod_calls, None
+        seen = sorted({err for _cb, (_rd, _o, _p, err) in reads})
+        return io_read, mod_calls, ",".join(seen)
 
     can_bases = [md["can_base"] for md in models_metadata]
     num_can_bases = len(can_bases)
@@ -376,9 +374,10 @@ def post_process_reads(read_mapping, models_metadata, ref_anchored):
     md_dict = {md["can_base"]: md for md in models_metadata}
     mm_tags = []
     ml_arr = array.array("B")
+    seq = io_read.ref_seq if ref_anchored else io_read.seq
     for cb, nn_out, r_poss in mod_calls:
-        r_probs = softmax(nn_out)[:, 1:].astype(np.float64)
-        seq = io_read.ref_seq if ref_anchored else io_read.seq
+        full_probs = softmax(nn_out)
+        r_probs = full_probs[:, 1:].astype(np.float64)
         cb_mm, cb_ml = format_mm_ml_tags(
             seq=seq,
             poss=r_poss,
@@ -427,7 +426,9 @@ def infer_from_pod5_and_bam(
     """
     import sys
 
-    bam_idx = ReadIndexedBam(in_bam_path, skip_non_primary, req_tags={"mv"})
+    bam_idx = ReadIndexedBam(
+        in_bam_path, skip_non_primary=skip_non_primary, req_tags={"mv"}
+    )
     if bam_idx.num_records == 0:
         LOGGER.info("No records found in BAM file.")
         sys.exit()
@@ -463,20 +464,20 @@ def infer_from_pod5_and_bam(
     reads = map_stage(
         extract_alignments,
         signals,
+        name="AddAlignments",
         num_workers=num_extract_alignment_workers,
         args=(bam_idx, reverse_signal),
-        name="AddAlignments",
-        use_process=True,
         q_maxsize=queue_max,
+        use_process=True,
     )
     prepped_reads = map_stage(
         prepare_reads,
         reads,
+        name="PrepReadData",
         num_workers=num_prep_read_workers,
         args=(models_metadata, ref_anchored),
-        name="PrepReadData",
-        use_process=True,
         q_maxsize=100,
+        use_process=True,
     )
     prepped_nn_input = map_stage(
         prep_nn_input,
@@ -521,12 +522,12 @@ def infer_from_pod5_and_bam(
     final_reads = map_stage(
         post_process_reads,
         queue_iter(called_reads_q),
+        name="PostProcess",
         num_workers=num_post_process_workers,
         args=(models_metadata, ref_anchored),
-        name="PostProcess",
+        q_maxsize=queue_max,
         use_process=False,
         use_mp_queue=False,
-        q_maxsize=queue_max,
     )
 
     all_qs = [
@@ -550,13 +551,14 @@ def infer_from_pod5_and_bam(
     t0 = time.monotonic()
     from tqdm import tqdm
 
+    quiet = bool(os.environ.get("LOG_SAFE", False))
     pbar = tqdm(
-        smoothing=0,
-        total=num_reads,
-        dynamic_ncols=True,
-        unit=" Reads",
         desc="Inferring mods",
-        disable=bool(os.environ.get("LOG_SAFE", False)),
+        total=num_reads,
+        unit=" Reads",
+        smoothing=0,
+        dynamic_ncols=True,
+        disable=quiet,
     )
     prev_rid = None
     with BamWriter(out_bam_path, in_bam.header) as out_bam:

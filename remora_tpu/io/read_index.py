@@ -24,13 +24,12 @@ def read_is_primary(read):
 
 
 def strands_match(strand, bam_read):
-    if strand is None:
-        return True
-    return (
-        strand not in "+-"
-        or (strand == "+" and bam_read.is_forward)
-        or (strand == "-" and bam_read.is_reverse)
-    )
+    if strand == "+":
+        return bam_read.is_forward
+    if strand == "-":
+        return bam_read.is_reverse
+    # None or any non-strand marker matches both
+    return True
 
 
 def get_parent_id(bam_read):
@@ -79,6 +78,40 @@ class ReadIndexedBam:
     def close(self):
         self._scanner = None
 
+
+    def _admit(self, child_id, parent_id, has_req_tags, primary, tally):
+        """Shared record filter for both index scans.
+
+        Returns the index key for an accepted record or None after
+        tallying the skip reason."""
+        subset = self.child_read_id_subset
+        if subset is not None and child_id not in subset:
+            tally("Child read ID filtered")
+            return None
+        subset = self.parent_read_id_subset
+        if subset is not None and parent_id not in subset:
+            tally("Parent read ID filtered")
+            return None
+        if self.read_id_converter is not None:
+            parent_id = self.read_id_converter(parent_id)
+        if not has_req_tags:
+            tally("Missing BAM tags")
+            return None
+        if self.skip_non_primary and not primary:
+            tally("Non-primary alignment")
+            return None
+        return parent_id
+
+    def _finish_index(self, bam_idx, skip_reasons, suffix=""):
+        self._bam_idx = bam_idx
+        self.num_records = sum(len(ptrs) for ptrs in bam_idx.values())
+        self.skip_reasons = skip_reasons
+        self.num_reads = len(bam_idx)
+        LOGGER.debug(
+            f"Indexed {self.num_records} records / {self.num_reads} reads "
+            f"from {self.bam_path}{suffix}"
+        )
+
     def compute_read_index(self):
         if self._compute_read_index_native():
             return
@@ -86,46 +119,25 @@ class ReadIndexedBam:
         bam_idx = {}
         skip_reasons = {}
 
-        def skip(reason):
+        def tally(reason):
             skip_reasons[reason] = skip_reasons.get(reason, 0) + 1
 
-        num_records = 0
         for read_ptr, read in self._scanner.iter_with_offsets():
-            if (
-                self.child_read_id_subset is not None
-                and read.query_name not in self.child_read_id_subset
-            ):
-                skip("Child read ID filtered")
-                continue
-            index_read_id = get_parent_id(read)
-            if (
-                self.parent_read_id_subset is not None
-                and index_read_id not in self.parent_read_id_subset
-            ):
-                skip("Parent read ID filtered")
-                continue
-            if self.read_id_converter is not None:
-                index_read_id = self.read_id_converter(index_read_id)
-            if self.req_tags is not None:
-                missing = self.req_tags.difference(
-                    t for t, _tc, _v in read.tags
-                )
-                if missing:
-                    skip("Missing BAM tags")
-                    continue
-            if self.skip_non_primary and not read_is_primary(read):
-                skip("Non-primary alignment")
-                continue
-            num_records += 1
-            bam_idx.setdefault(index_read_id, []).append(read_ptr)
-        self._bam_idx = bam_idx
-        self.num_records = num_records
-        self.skip_reasons = skip_reasons
-        self.num_reads = len(bam_idx)
-        LOGGER.debug(
-            f"Indexed {num_records} records / {self.num_reads} reads "
-            f"from {self.bam_path}"
-        )
+            if self.req_tags is None:
+                has_req = True
+            else:
+                present = {t for t, _tc, _v in read.tags}
+                has_req = self.req_tags <= present
+            key = self._admit(
+                read.query_name,
+                get_parent_id(read),
+                has_req,
+                read_is_primary(read),
+                tally,
+            )
+            if key is not None:
+                bam_idx.setdefault(key, []).append(read_ptr)
+        self._finish_index(bam_idx, skip_reasons)
 
     def fetch(self, ctg, start, end, strand=None):
         """Region query (reference ``ReadIndexedBam.fetch`` analog)."""
@@ -163,44 +175,22 @@ class ReadIndexedBam:
         bam_idx = {}
         skip_reasons = {}
 
-        def skip(reason):
+        def tally(reason):
             skip_reasons[reason] = skip_reasons.get(reason, 0) + 1
 
-        num_records = 0
         for off, flag, name, pi, hr in zip(
             offsets, flags, names, pis, has_req
         ):
-            if (
-                self.child_read_id_subset is not None
-                and name not in self.child_read_id_subset
-            ):
-                skip("Child read ID filtered")
-                continue
-            index_read_id = pi if pi is not None else name
-            if (
-                self.parent_read_id_subset is not None
-                and index_read_id not in self.parent_read_id_subset
-            ):
-                skip("Parent read ID filtered")
-                continue
-            if self.read_id_converter is not None:
-                index_read_id = self.read_id_converter(index_read_id)
-            if self.req_tags and not hr:
-                skip("Missing BAM tags")
-                continue
-            if self.skip_non_primary and (flag & 0x900):
-                skip("Non-primary alignment")
-                continue
-            num_records += 1
-            bam_idx.setdefault(index_read_id, []).append(int(off))
-        self._bam_idx = bam_idx
-        self.num_records = num_records
-        self.skip_reasons = skip_reasons
-        self.num_reads = len(bam_idx)
-        LOGGER.debug(
-            f"Indexed {num_records} records / {self.num_reads} reads "
-            f"from {self.bam_path} (native scan)"
-        )
+            key = self._admit(
+                name,
+                name if pi is None else pi,
+                bool(hr) or not self.req_tags,
+                not flag & 0x900,
+                tally,
+            )
+            if key is not None:
+                bam_idx.setdefault(key, []).append(int(off))
+        self._finish_index(bam_idx, skip_reasons, suffix=" (native scan)")
         return True
 
     def get_alignments(self, read_id):
@@ -235,18 +225,15 @@ class ReadIndexedBam:
 def get_read_ids(bam_idx, pod5_dr, num_reads, return_num_bam_reads=False):
     """Read ids present in both the BAM index and the POD5 file."""
     LOGGER.info("Extracting read IDs from POD5")
-    pod5_read_ids = set(pod5_dr.read_ids)
-    both_read_ids = list(pod5_read_ids.intersection(bam_idx.read_ids))
-    num_both = sum(len(bam_idx[rid]) for rid in both_read_ids)
+    shared = set(pod5_dr.read_ids) & set(bam_idx.read_ids)
+    shared = list(shared)
+    n_shared_records = sum(len(bam_idx[rid]) for rid in shared)
     if bam_idx.num_records:
+        pct = n_shared_records / bam_idx.num_records
         LOGGER.info(
             f"Found {bam_idx.num_records:,} valid BAM records. Found signal "
-            f"in POD5 for {num_both / bam_idx.num_records:.2%} of BAM records."
+            f"in POD5 for {pct:.2%} of BAM records."
         )
-    if not return_num_bam_reads:
-        num_both = len(both_read_ids)
-    if num_reads is None:
-        num_reads = num_both
-    else:
-        num_reads = min(num_reads, num_both)
-    return both_read_ids, num_reads
+    available = n_shared_records if return_num_bam_reads else len(shared)
+    num_reads = available if num_reads is None else min(num_reads, available)
+    return shared, num_reads
