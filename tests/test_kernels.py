@@ -9,6 +9,7 @@ from remora_tpu.data.encoded_kmers import (
 from remora_tpu.kernels.encoded_kmers import (
     compute_encoded_kmer_batch as dev_enc,
 )
+from remora_tpu.kernels.pallas_dp import refine_batch_pallas
 from remora_tpu.kernels.refine_dp import refine_batch
 from remora_tpu.refine import dp as host_dp
 from remora_tpu.refine.band import (
@@ -61,3 +62,30 @@ def test_device_enc_kmers_matches_host():
         h = host_enc(bb, ab, seqs, maps, seq_lens)
         d = np.asarray(dev_enc(bb, ab, seqs, maps, seq_lens, W))
         assert np.array_equal(h, d)
+
+
+@pytest.mark.parametrize("algo", ["Viterbi", "dwell_penalty"])
+def test_pallas_dp_matches_host(algo):
+    """Pallas single-launch DP kernels, path-exact vs the oracle
+    (interpret mode on CPU; the real-TPU run is exercised by
+    benchmarks/bench_dp.py --pallas)."""
+    rng = np.random.default_rng(11)
+    sdp = compute_dwell_pen_array(4, 3, 0.5)
+    reads, host_paths = [], []
+    for _ in range(4):
+        seq_len = int(rng.integers(8, 30))
+        spb = rng.integers(1, 8, seq_len)
+        bps = np.concatenate([[0], np.cumsum(spb)]).astype(np.int64)
+        levels = rng.normal(size=seq_len).astype(np.float32)
+        signal = rng.normal(size=int(bps[-1])).astype(np.float32)
+        sig_band = compute_sig_band(bps, levels, bhw=3)
+        seq_band = convert_to_seq_band(sig_band)
+        adjust_seq_band(seq_band)
+        reads.append((signal, levels, seq_band))
+        _s, p, _t, _o = host_dp.seq_banded_dp(
+            signal, levels, seq_band, sdp, algo
+        )
+        host_paths.append(p)
+    dev_paths = refine_batch_pallas(reads, sdp, algo=algo, interpret=True)
+    for hp, dp_ in zip(host_paths, dev_paths):
+        assert np.array_equal(hp, dp_)
