@@ -158,6 +158,11 @@ class CoreDataset:
     super_batch_offset: int = 0
     infinite_iter: bool = True
     do_check_super_batches: bool = False
+    # multihost data parallelism: this process streams super batches
+    # shard_index, shard_index + num_shards, ... (disjoint across hosts
+    # while the stream stays within one wrap of the dataset)
+    shard_index: int = 0
+    num_shards: int = 1
 
     # ------------- paths / hashing -------------
     @staticmethod
@@ -611,8 +616,9 @@ class CoreDataset:
         sb_num = 0
         while True:
             self.refresh_memmaps()
+            stripe = self.shard_index + sb_num * self.num_shards
             super_batch = self.load_super_batch(
-                self.super_batch_offset + sb_num * self.super_batch_size,
+                self.super_batch_offset + stripe * self.super_batch_size,
                 self.super_batch_size,
                 select_num_chunks=select_num_chunks,
             )
@@ -1118,6 +1124,15 @@ class ComposedDataset:
             f"dataset_chunks_per_epoch\tdataset_size\t{ds_hdr}\tpath\n"
         )
         return header + "\n".join(rows)
+
+
+def shard_for_process(dataset, shard_index, num_shards):
+    """Restrict a ComposedDataset to one host's disjoint super-batch
+    stripe (SURVEY §2.3: per-host dataset shards for multihost DP)."""
+    for sub_ds in dataset.datasets:
+        sub_ds.shard_index = shard_index
+        sub_ds.num_shards = num_shards
+    return dataset
 
 
 def worker_init(dataset, seed=None, worker_id=0):

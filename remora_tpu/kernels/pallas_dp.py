@@ -192,8 +192,8 @@ def _dwell_core(prev, prev_g, prev_valid, prev_last, base, Binc, bsd, w,
     return curr, tb
 
 
-def _forward_kernel(sdp_ref, base_ref, st_ref, wd_ref, tb_ref, prev_ref,
-                    meta_ref, *, K, W, L, dwell):
+def _forward_kernel(sdp_ref, base_ref, binc_ref, st_ref, wd_ref, tb_ref,
+                    prev_ref, meta_ref, *, K, W, L, dwell):
     """One (read-tile, base-chunk) grid step of the forward DP.
 
     Scratch: prev_ref (W, LANES) f32 carried scores; meta_ref
@@ -213,6 +213,9 @@ def _forward_kernel(sdp_ref, base_ref, st_ref, wd_ref, tb_ref, prev_ref,
 
     def body(k, _):
         base = base_ref[k]
+        # band cumsum precomputed outside with XLA's cumsum so float
+        # rounding matches the NumPy oracle bit-for-bit
+        Binc = binc_ref[k]
         st = st_ref[k, :][None, :]
         w = wd_ref[k, :][None, :]
         prev = prev_ref[:]
@@ -220,7 +223,6 @@ def _forward_kernel(sdp_ref, base_ref, st_ref, wd_ref, tb_ref, prev_ref,
         prev_valid = meta_ref[1, :][None, :]
         bsd = st - prev_start
 
-        Binc = _cumsum_rows(base)
         prev_last = _select_row(prev, prev_valid - 1)
         prev_g = _band_align(prev, bsd)
         if dwell:
@@ -329,6 +331,7 @@ def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
     diffs = all_bands - levels_p.T[:, None, :]
     in_band_all = wvec[None] < band_widths.T[:, None, :]
     all_base = jnp.where(in_band_all, diffs * diffs, 0.0).astype(jnp.float32)
+    all_binc = jnp.cumsum(all_base, axis=1, dtype=jnp.float32)
 
     starts_T = band_starts.T.astype(jnp.int32)
     widths_T = band_widths.T.astype(jnp.int32)
@@ -341,6 +344,8 @@ def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
         in_specs=[
             pl.BlockSpec((1, L), lambda r, c: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, W, LANES), lambda r, c: (c, 0, r),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((K, W, LANES), lambda r, c: (c, 0, r),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, LANES), lambda r, c: (c, r),
@@ -356,7 +361,7 @@ def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
             pltpu.VMEM((8, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(sdp_2d, all_base, starts_T, widths_T)
+    )(sdp_2d, all_base, all_binc, starts_T, widths_T)
 
     # per-read signal end = start + width of the final real base
     last_idx = (seq_lens_p - 1)[:, None]

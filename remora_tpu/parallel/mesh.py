@@ -48,6 +48,21 @@ def replicate(mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def host_shard_to_global(mesh, local_arrays, axis_name=DEFAULT_MESH_AXIS):
+    """Assemble per-process local batch shards into global sharded arrays.
+
+    Every process passes its own disjoint slice of the global batch;
+    ``jax.make_array_from_process_local_data`` places each shard on the
+    local devices of the 1-D mesh so the jitted DP step sees one global
+    batch without any host gather.
+    """
+    sh = data_sharding(mesh, axis_name)
+    return {
+        name: jax.make_array_from_process_local_data(sh, arr)
+        for name, arr in local_arrays.items()
+    }
+
+
 def init_multihost(coordinator_address=None, num_processes=None,
                    process_id=None):
     """Initialize cross-host collectives (no-op when single-host)."""

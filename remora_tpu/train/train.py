@@ -375,6 +375,7 @@ def train_model(
 
     use_grad_clip = gradient_clip_num_mads is not None
     batch_sharding = None
+    multihost = False
     if mesh is not None:
         # data-parallel: replicate state over the mesh, shard batches on
         # the leading axis; XLA inserts the gradient psum over ICI
@@ -388,6 +389,26 @@ def train_model(
             f"Data-parallel training over {np.prod(mesh.devices.shape)} "
             "devices"
         )
+        multihost = jax.process_count() > 1
+        if multihost:
+            # per-host input sharding (SURVEY §2.3): every process streams
+            # a disjoint super-batch stripe and contributes its slice of
+            # the global batch via make_array_from_process_local_data
+            from remora_tpu.data.dataset import shard_for_process
+
+            n_proc = jax.process_count()
+            if batch_size % n_proc:
+                raise RemoraError(
+                    f"batch size ({batch_size}) must divide evenly over "
+                    f"{n_proc} processes"
+                )
+            shard_for_process(trn_ds, jax.process_index(), n_proc)
+            trn_ds.set_batch_size(batch_size // n_proc)
+            LOGGER.info(
+                f"Process {jax.process_index()}/{n_proc} streams "
+                f"{batch_size // n_proc} chunks per global batch "
+                f"from its dataset stripe"
+            )
     compute_dtype = jnp.bfloat16 if bf16_compute else None
     if bf16_compute:
         LOGGER.info("Training compute in bfloat16 (f32 master weights)")
@@ -478,7 +499,14 @@ def train_model(
                 )
             else:
                 names = ("signal", "enc_kmers", "labels")
-            if batch_sharding is not None:
+            if multihost:
+                from remora_tpu.parallel.mesh import host_shard_to_global
+
+                global_batch = host_shard_to_global(
+                    mesh, {n: batch[n] for n in names}
+                )
+                step_inputs = tuple(global_batch[n] for n in names)
+            elif batch_sharding is not None:
                 step_inputs = tuple(
                     jax.device_put(batch[n], batch_sharding) for n in names
                 )
@@ -491,7 +519,9 @@ def train_model(
                 *step_inputs,
                 *((grad_threshs,) if use_grad_clip else ()),
             )
-            n_chunks += batch["labels"].shape[0]
+            n_chunks += batch["labels"].shape[0] * (
+                jax.process_count() if multihost else 1
+            )
             if use_grad_clip:
                 maxs = [float(g) for g in jax.tree_util.tree_leaves(grad_maxs)]
                 threshs = rolling_mads.update(maxs)

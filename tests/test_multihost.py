@@ -55,3 +55,121 @@ def test_two_process_data_parallel_training():
     assert set(results) == {0, 1}, outs
     # both processes hold the same replicated state after 3 psum'd steps
     assert results[0] == results[1], results
+
+
+def test_sharded_input_matches_single_process(can_chunks):
+    """Distinct-shard DP training across 2 processes equals single-process
+    training on the concatenated per-shard batches (the multihost input
+    pipeline correctness contract, SURVEY §2.3)."""
+    port = _free_port()
+    worker = os.path.join(
+        os.path.dirname(__file__), "_dist_shard_worker.py"
+    )
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        JAX_NUM_CPU_DEVICES="4",
+    )
+    nsteps = 4
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(port), str(can_chunks),
+             str(nsteps)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    dist_checksums = {}
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-2000:]
+        for line in out.splitlines():
+            if line.startswith("DIST_RESULT"):
+                kv = dict(f.split("=") for f in line.split()[1:])
+                dist_checksums[int(kv["pid"])] = float(kv["checksum"])
+    assert set(dist_checksums) == {0, 1}
+    assert dist_checksums[0] == dist_checksums[1]
+
+    # single-process reference: same shards drawn in-process, batches
+    # concatenated in process order, trained on the 8-device virtual mesh
+    import numpy as np
+    import optax
+
+    import jax
+
+    from remora_tpu.data.dataset import (
+        ComposedDataset,
+        CoreDataset,
+        shard_for_process,
+    )
+    from remora_tpu.models.registry import get_model
+    from remora_tpu.parallel import mesh as M
+
+    shards = []
+    for shard_idx in range(2):
+        ds = ComposedDataset(
+            [
+                CoreDataset(
+                    str(can_chunks),
+                    override_metadata={"chunk_context": (50, 50)},
+                )
+            ],
+            np.ones(1),
+            batch_size=16,
+            super_batch_size=64,
+        )
+        shard_for_process(ds, shard_idx, 2)
+        shards.append(ds.iter_batches())
+
+    model = get_model("Conv_w_ref")
+    ds_meta = ComposedDataset(
+        [
+            CoreDataset(
+                str(can_chunks),
+                override_metadata={"chunk_context": (50, 50)},
+            )
+        ],
+        np.ones(1),
+    ).metadata
+    params, bn = model.init(
+        jax.random.PRNGKey(0), size=8, kmer_len=ds_meta.kmer_len,
+        num_out=ds_meta.num_labels,
+    )
+    tx = optax.adamw(1e-3)
+    opt = tx.init(params)
+    mesh = M.make_mesh()
+    step = M.make_dp_train_step(model, tx, mesh)
+    params = M.replicate(mesh, params)
+    bn = M.replicate(mesh, bn)
+    opt = M.replicate(mesh, opt)
+    dsh = M.data_sharding(mesh)
+    for _ in range(nsteps):
+        halves = [next(it) for it in shards]
+        sigs = np.concatenate([h["signal"] for h in halves]).astype(
+            np.float32
+        )
+        kmers = np.concatenate([h["enc_kmers"] for h in halves]).astype(
+            np.float32
+        )
+        labels = np.concatenate([h["labels"] for h in halves])
+        params, bn, opt, loss, _nf, _gm = step(
+            params,
+            bn,
+            opt,
+            jax.device_put(sigs, dsh),
+            jax.device_put(kmers, dsh),
+            jax.device_put(labels, dsh),
+        )
+    single_checksum = float(
+        sum(
+            np.abs(np.asarray(x)).sum()
+            for x in jax.tree_util.tree_leaves(params)
+        )
+    )
+    assert abs(single_checksum - dist_checksums[0]) < 1e-4 * max(
+        1.0, abs(single_checksum)
+    ), (single_checksum, dist_checksums)
