@@ -18,13 +18,15 @@ import time
 import numpy as np
 
 
-def _throughput(fwd, args, device, iters, warmup=1):
+def _throughput(fwd, args, device, iters, warmup=1, repeats=1):
     """Time `iters` chained forward passes inside ONE jitted fori_loop.
 
     The loop carries a scalar data dependency between iterations, so the
     device must execute them sequentially, and the single dispatch + single
     block is immune to the remote-dispatch async-timing artifacts of
-    tunneled TPU backends.
+    tunneled TPU backends. With ``repeats`` > 1 returns a list of
+    per-block throughputs (variance control: the driver-captured number
+    is the median of >= 5 timed blocks).
     """
     import jax
     import jax.numpy as jnp
@@ -51,11 +53,14 @@ def _throughput(fwd, args, device, iters, warmup=1):
     # warmup result; fetching the scalar value is the completion fence
     float(fn(params, bn_state, sigs, seqs, maps, seq_lens,
              jnp.float32(0), n=iters))
-    t0 = time.perf_counter()
-    float(fn(params, bn_state, sigs, seqs, maps, seq_lens,
-             jnp.float32(1), n=iters))
-    dt = time.perf_counter() - t0
-    return iters * sigs.shape[0] / dt
+    samples = []
+    for rep in range(repeats):
+        t0 = time.perf_counter()
+        float(fn(params, bn_state, sigs, seqs, maps, seq_lens,
+                 jnp.float32(rep + 1), n=iters))
+        dt = time.perf_counter() - t0
+        samples.append(iters * sigs.shape[0] / dt)
+    return samples if repeats > 1 else samples[0]
 
 
 def main():
@@ -93,7 +98,13 @@ def main():
 
     main_dev = jax.devices()[0]
     on_accel = main_dev.platform != "cpu"
-    dev_tp = _throughput(fwd, args, main_dev, iters=20 if on_accel else 3)
+    # variance control: 5 timed blocks, report the median + spread
+    dev_samples = _throughput(
+        fwd, args, main_dev, iters=20 if on_accel else 3,
+        repeats=5 if on_accel else 2,
+    )
+    dev_tp = float(np.median(dev_samples))
+    spread = (max(dev_samples) - min(dev_samples)) / dev_tp
 
     try:
         cpu_dev = jax.devices("cpu")[0]
@@ -114,6 +125,8 @@ def main():
                 "value": round(dev_tp, 1),
                 "unit": "chunks/s",
                 "vs_baseline": round(vs_baseline, 3),
+                "spread_frac": round(spread, 3),
+                "samples": [round(x, 1) for x in dev_samples],
             }
         )
     )

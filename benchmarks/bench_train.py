@@ -17,6 +17,8 @@ def main():
     parser.add_argument("--size", type=int, default=64)
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--model", default="ConvLSTM_w_ref")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute with f32 master weights")
     args = parser.parse_args()
 
     from remora_tpu.jax_setup import ensure_compilation_cache
@@ -55,6 +57,7 @@ def main():
     bb = K // 2
     step = make_train_step_raw(
         M, tx, (bb, K - 1 - bb), W,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
 
     # chain the steps inside one jitted fori_loop: a single dispatch +
