@@ -215,11 +215,11 @@ class Read:
         )
 
     def _attach_norm_scaling(self, tags):
-        try:
-            self.shift_pa_to_norm = tags["sm"]
-            self.scale_pa_to_norm = tags["sd"]
-        except KeyError:
+        sm, sd = tags.get("sm"), tags.get("sd")
+        if sm is None or sd is None:
             self.compute_pa_to_norm_scaling()
+        else:
+            self.shift_pa_to_norm, self.scale_pa_to_norm = sm, sd
         self.shift_dacs_to_norm = (
             self.shift_dacs_to_pa
             + self.scale_dacs_to_pa * self.shift_pa_to_norm
@@ -323,7 +323,7 @@ class Read:
         """Extract the data-layer RemoraRead (ref- or basecall-anchored)."""
         if not use_reference_anchor:
             if self.query_to_signal is None:
-                raise RemoraError("Missing query_to_signal (move table)")
+                raise RemoraError("No query_to_signal mapping (mv tag missing?)")
             anchor_map, anchor_seq = self.query_to_signal, self.seq
         else:
             self._ensure_ref_to_signal()
@@ -367,7 +367,9 @@ class Read:
     def get_filtered_focus_positions(self, select_focus_positions):
         """Read-relative positions from a (ctg, strand)->set lookup."""
         if self.ref_reg is None or self.ref_seq is None:
-            raise RemoraError("Cannot extract focus positions without mapping")
+            raise RemoraError(
+                "Focus position selection requires a reference mapping"
+            )
         reg = self.ref_reg
         ref_len = len(self.ref_seq)
         focus_set = select_focus_positions.get((reg.ctg, reg.strand))
@@ -419,7 +421,7 @@ class Read:
     def extract_basecall_region(self, start_base=None, end_base=None,
                                 signal_type="norm"):
         if self.query_to_signal is None:
-            raise RemoraError("Missing query_to_signal (move table)")
+            raise RemoraError("No query_to_signal mapping (mv tag missing?)")
         start_base = start_base or 0
         end_base = end_base or self.seq_len
         reg_map = self.query_to_signal[start_base : end_base + 1].copy()
@@ -436,7 +438,7 @@ class Read:
 
     def extract_ref_reg(self, ref_reg, signal_type="norm"):
         if self.ref_to_signal is None:
-            raise RemoraError("Missing ref_to_signal (move table)")
+            raise RemoraError("No ref_to_signal mapping (unaligned read?)")
         read_reg = self.ref_reg
         if ref_reg.start >= read_reg.start + self.ref_seq_len:
             raise RemoraError("Reference region starts after read ends")
@@ -475,12 +477,12 @@ class Read:
         """Mapping slice for a region + NaN-pad amounts at the edges."""
         if not ref_anchored:
             if self.query_to_signal is None:
-                raise RemoraError("Missing query_to_signal (move table)")
+                raise RemoraError("No query_to_signal mapping (mv tag missing?)")
             if region.start < 0 or region.start > self.seq_len:
                 raise RemoraError("Region does not overlap read.")
             return self.query_to_signal[region.start : region.end], 0, 0
         if self.ref_to_signal is None:
-            raise RemoraError("Missing ref_to_signal (move table)")
+            raise RemoraError("No ref_to_signal mapping (unaligned read?)")
         if (
             self.ref_reg.ctg != region.ctg
             or self.ref_reg.strand != region.strand
@@ -498,8 +500,8 @@ class Read:
         self,
         metric=None,
         metric_func=None,
-        ref_anchored=True,
         region=None,
+        ref_anchored=True,
         signal_type="norm",
         **kwargs,
     ):
