@@ -72,28 +72,72 @@ def main():
         )
 
     if args.pallas:
-        from remora_tpu.kernels.pallas_dp import refine_batch_pallas
+        import jax
+        import jax.numpy as jnp
+
+        from remora_tpu.kernels.pallas_dp import (
+            banded_dp_batch_pallas,
+            refine_batch_pallas,
+        )
+        from remora_tpu.kernels.refine_dp import pad_reads_for_dp
 
         t0 = time.time()
         pl_paths = refine_batch_pallas(reads2, sdp, algo="dwell_penalty")
         print(f"pallas DP compile+run: {time.time() - t0:.1f}s")
+        # end-to-end on a fresh batch: pack + h2d transfer + kernels +
+        # path d2h (on a tunneled backend this is transfer-dominated)
         reads3 = _make_reads(rng, args.reads, args.seq_len)
         t0 = time.time()
         refine_batch_pallas(reads3, sdp, algo="dwell_penalty")
         dt = time.time() - t0
         print(
-            f"pallas DP: {dt * 1000:.0f}ms/batch -> "
+            f"pallas DP end-to-end: {dt * 1000:.0f}ms/batch -> "
             f"{args.reads * args.seq_len / dt:,.0f} bases/s"
         )
-        # correctness vs the host native path on the timed batch
+        # compute-only: device-resident inputs, sync on device output
+        from remora_tpu.kernels.pallas_dp import compute_chunk_seg
+
+        packed = pad_reads_for_dp(reads3, w_max=None)
+        W = -(-max(packed["w_max"], 8) // 8) * 8
+        seg = compute_chunk_seg(
+            packed["band_starts"], packed["band_widths"],
+            packed["seq_lens"], 16, W,
+        )
+        dev = {
+            k: jax.block_until_ready(jnp.asarray(packed[k]))
+            for k in (
+                "signal", "levels", "band_starts", "band_widths",
+                "seq_lens",
+            )
+        }
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            out = banded_dp_batch_pallas(
+                dev["signal"], dev["levels"], dev["band_starts"],
+                dev["band_widths"], dev["seq_lens"], sdp,
+                algo="dwell_penalty", w_max=packed["w_max"], seg=seg,
+            )
+            jax.block_until_ready(out[0])
+            best = min(best, time.time() - t0)
+        print(
+            f"pallas DP compute: {best * 1000:.0f}ms/batch -> "
+            f"{args.reads * args.seq_len / best:,.0f} bases/s"
+        )
+        # correctness vs the host native path (near-tie DP decisions can
+        # flip under the TPU float environment; count positions)
         from remora_tpu.io.native import banded_dp_path
 
-        n_bad = 0
+        n_bad = n_tot = 0
         for (sig, lv, band), pp in zip(reads2, pl_paths):
             hp = banded_dp_path(sig, lv, band, sdp, "dwell_penalty")
-            if hp is not None and not np.array_equal(hp, pp):
-                n_bad += 1
-        print(f"pallas vs native mismatches: {n_bad}/{len(reads2)}")
+            if hp is not None:
+                n_bad += int((hp != pp).sum())
+                n_tot += len(hp)
+        print(
+            f"pallas vs native mismatched positions: {n_bad}/{n_tot}"
+            f" ({n_bad / max(n_tot, 1):.3%})"
+        )
 
 
 if __name__ == "__main__":

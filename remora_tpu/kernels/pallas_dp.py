@@ -192,12 +192,53 @@ def _dwell_core(prev, prev_g, prev_valid, prev_last, base, Binc, bsd, w,
     return curr, tb
 
 
-def _forward_kernel(sdp_ref, base_ref, binc_ref, st_ref, wd_ref, tb_ref,
-                    prev_ref, meta_ref, *, K, W, L, dwell):
+def _exact_cumsum_rows(base, b_ref, W):
+    """Inclusive cumsum along rows as a strict left fold (bitwise
+    np.cumsum rounding, unlike log-tree scans), grouped 8 rows per
+    loop iteration."""
+    G = 8
+    b_ref[:] = base
+
+    def group(b, acc):
+        blk = b_ref[pl.ds(b * G, G)]
+        for g in range(G):
+            acc = acc + blk[g : g + 1]
+            b_ref[pl.ds(b * G + g, 1)] = acc
+        return acc
+
+    jax.lax.fori_loop(
+        0, W // G, group, jnp.zeros((1, LANES), jnp.float32)
+    )
+    return b_ref[:]
+
+
+def _extract_band(stage_cols, offs, W, nbits):
+    """band[j, r] = stage_cols[offs[r] + j, r] via per-lane binary-
+    decomposition sublane shifts."""
+    cur = stage_cols
+    for b in range(nbits):
+        amt = 1 << b
+        if amt >= stage_cols.shape[0]:
+            break
+        shifted = _shift_up(cur, amt, np.float32(0))
+        cur = jnp.where((offs & amt) != 0, shifted, cur)
+    return cur[:W]
+
+
+def _forward_kernel(sdp_ref, stage_ref, seglo_ref, st_ref, wd_ref,
+                    lv_ref, tb_ref, prev_ref, meta_ref, b_ref, *, K, W, L,
+                    SEG, NBITS, dwell):
     """One (read-tile, base-chunk) grid step of the forward DP.
 
-    Scratch: prev_ref (W, LANES) f32 carried scores; meta_ref
-    (8, LANES) i32 rows 0/1 = prev band start / prev band width.
+    Band costs are built INSIDE the kernel from a per-chunk staged
+    signal window (SEG, LANES): the per-base band is extracted with
+    per-lane binary sublane shifts and the band cumsum is a strict left
+    fold — both bit-identical to the NumPy oracle — so no (N, W, R)
+    cost tensors ever exist in HBM.
+
+    Scratch: prev (W, LANES) carried scores; meta (8, LANES) i32 rows
+    0/1 = prev band start / prev band width; b_ref (W, LANES) cumsum
+    workspace.
     """
     chunk = pl.program_id(1)
 
@@ -209,19 +250,24 @@ def _forward_kernel(sdp_ref, base_ref, binc_ref, st_ref, wd_ref, tb_ref,
         meta_ref[0, :] = st_ref[0, :] - 1
         meta_ref[1, :] = wd_ref[0, :]
 
+    stage_cols = stage_ref[0]
+    seg_lo = seglo_ref[0, 0, :][None, :]
     sdp_vals = [sdp_ref[0, d] for d in range(L)] if dwell else []
+    band_rows = _rows((W, LANES))
 
     def body(k, _):
-        base = base_ref[k]
-        # band cumsum precomputed outside with XLA's cumsum so float
-        # rounding matches the NumPy oracle bit-for-bit
-        Binc = binc_ref[k]
         st = st_ref[k, :][None, :]
         w = wd_ref[k, :][None, :]
+        level = lv_ref[k, :][None, :]
         prev = prev_ref[:]
         prev_start = meta_ref[0, :][None, :]
         prev_valid = meta_ref[1, :][None, :]
         bsd = st - prev_start
+
+        band_sig = _extract_band(stage_cols, st - seg_lo, W, NBITS)
+        diff = band_sig - level
+        base = jnp.where(band_rows < w, diff * diff, np.float32(0))
+        Binc = _exact_cumsum_rows(base, b_ref, W)
 
         prev_last = _select_row(prev, prev_valid - 1)
         prev_g = _band_align(prev, bsd)
@@ -285,21 +331,13 @@ def _pad_to(x, size, axis, fill):
 
 @partial(
     jax.jit,
-    static_argnames=("algo", "w_max", "chunk_bases", "interpret"),
+    static_argnames=("algo", "w_max", "K", "SEG", "interpret"),
 )
-def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
-                           seq_lens, sdp, algo="dwell_penalty", w_max=16,
-                           chunk_bases=32, interpret=False):
-    """Forward + traceback for a batch of reads, one launch each.
-
-    Same contract as refine_dp.banded_dp_batch: returns
-    (path (R, N+1), traceback (N, W, R), final_scores placeholder).
-    """
+def _dp_jit(signal, levels, band_starts, band_widths, seq_lens, sdp,
+            algo, w_max, K, SEG, interpret):
     R0, N0 = levels.shape
     W = int(np.ceil(max(w_max, 8) / 8)) * 8
-    # bound VMEM: base-cost block + tb block, double buffered
-    K = int(min(chunk_bases, (2 << 20) // (W * LANES * 4)))
-    K = max(8, (K // 8) * 8)  # 2D blocks need sublane-aligned rows
+    NBITS = max(1, int(np.ceil(np.log2(SEG))))
     dwell = algo == "dwell_penalty"
     L = int(sdp.shape[0])
 
@@ -308,45 +346,48 @@ def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
     NC = int(np.ceil(N0 / K))
     N = NC * K
     last_start = band_starts[:, -1:]
-    band_starts = _pad_to(
-        _pad_to(band_starts, R, 0, 0), N, 1, 0
-    )
+    band_starts = _pad_to(_pad_to(band_starts, R, 0, 0), N, 1, 0)
     if N > N0:
         # padding bases keep a width-1 band anchored at the read end
         band_starts = band_starts.at[:R0, N0:].set(last_start)
     band_widths = _pad_to(_pad_to(band_widths, R, 0, 1), N, 1, 1)
     levels_p = _pad_to(_pad_to(levels, R, 0, 0.0), N, 1, 0.0)
-    signal_p = _pad_to(signal, R, 0, 0.0)
+    signal_p = _pad_to(_pad_to(signal, R, 0, 0.0),
+                       signal.shape[1] + SEG, 1, 0.0)
     seq_lens_p = _pad_to(jnp.maximum(seq_lens, 1), R, 0, 1)
-
-    # band cost tensor (N, W, R): one batched gather outside the kernel
-    signal_T = signal_p.T
-    wvec = jnp.arange(W)[:, None]
-
-    def gather_band(st):
-        idx = jnp.clip(st[None, :] + wvec, 0, signal_T.shape[0] - 1)
-        return jnp.take_along_axis(signal_T, idx, axis=0)
-
-    all_bands = jax.vmap(gather_band)(band_starts.T)
-    diffs = all_bands - levels_p.T[:, None, :]
-    in_band_all = wvec[None] < band_widths.T[:, None, :]
-    all_base = jnp.where(in_band_all, diffs * diffs, 0.0).astype(jnp.float32)
-    all_binc = jnp.cumsum(all_base, axis=1, dtype=jnp.float32)
 
     starts_T = band_starts.T.astype(jnp.int32)
     widths_T = band_widths.T.astype(jnp.int32)
+    levels_T = levels_p.T.astype(jnp.float32)
     sdp_2d = jnp.asarray(sdp, jnp.float32)[None, :]
+
+    # stage per-(chunk, read) signal windows: a (NC, SEG, R) gather —
+    # ~7x smaller than gathering per-base (N, W, R) band tensors; the
+    # kernel slices bands out of these windows with sublane shifts
+    seg_lo_rows = starts_T[::K]  # (NC, R): per-chunk window base
+    signal_T = signal_p.T
+    qvec = jnp.arange(SEG)[:, None]
+
+    def window(lo):
+        idx = jnp.clip(lo[None, :] + qvec, 0, signal_T.shape[0] - 1)
+        return jnp.take_along_axis(signal_T, idx, axis=0)
+
+    stage = jax.vmap(window)(seg_lo_rows)  # (NC, SEG, R)
+    seg_lo = seg_lo_rows[:, None, :]  # (NC, 1, R) for the kernel
 
     grid = (R // LANES, NC)
     tb = pl.pallas_call(
-        partial(_forward_kernel, K=K, W=W, L=L, dwell=dwell),
+        partial(_forward_kernel, K=K, W=W, L=L, SEG=SEG, NBITS=NBITS,
+                dwell=dwell),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, L), lambda r, c: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((K, W, LANES), lambda r, c: (c, 0, r),
+            pl.BlockSpec((1, SEG, LANES), lambda r, c: (c, 0, r),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, W, LANES), lambda r, c: (c, 0, r),
+            pl.BlockSpec((1, 1, LANES), lambda r, c: (c, 0, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, LANES), lambda r, c: (c, r),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, LANES), lambda r, c: (c, r),
                          memory_space=pltpu.VMEM),
@@ -359,9 +400,10 @@ def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
         scratch_shapes=[
             pltpu.VMEM((W, LANES), jnp.float32),
             pltpu.VMEM((8, LANES), jnp.int32),
+            pltpu.VMEM((W, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(sdp_2d, all_base, all_binc, starts_T, widths_T)
+    )(sdp_2d, stage, seg_lo, starts_T, widths_T, levels_T)
 
     # per-read signal end = start + width of the final real base
     last_idx = (seq_lens_p - 1)[:, None]
@@ -404,6 +446,89 @@ def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
     return path[:R0], tb[:N0, :, :R0], None
 
 
+def compute_chunk_seg(band_starts, band_widths, seq_lens, K, w_pad):
+    """Static per-call signal staging width: the max signal span any
+    (read, K-base chunk) touches, rounded up to full lanes."""
+    starts = np.asarray(band_starts)
+    widths = np.asarray(band_widths)
+    R, N = starts.shape
+    NC = int(np.ceil(N / K))
+    span = 0
+    for c in range(NC):
+        lo = starts[:, c * K]
+        hi_idx = min((c + 1) * K, N) - 1
+        hi = starts[:, hi_idx] + widths[:, hi_idx]
+        span = max(span, int((hi - lo).max()))
+    span = max(span, w_pad + 8)
+    return int(np.ceil(span / 8)) * 8
+
+
+def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
+                           seq_lens, sdp, algo="dwell_penalty", w_max=16,
+                           chunk_bases=16, interpret=False, seg=None):
+    """Forward + traceback for a batch of reads, one launch each.
+
+    Same contract as refine_dp.banded_dp_batch: returns
+    (path (R, N+1), traceback (N, W, R), final_scores placeholder).
+    Host-side wrapper computing the static staging geometry. Pass
+    ``seg`` (max per-chunk signal span, from compute_chunk_seg) to skip
+    the host scan over the band arrays, e.g. when they already live on
+    device.
+    """
+    # quantize the static geometry (W to 8 sublanes, SEG to 128) so
+    # consecutive batches with slightly different band shapes reuse the
+    # same compiled executable instead of recompiling per batch
+    W = int(np.ceil(max(w_max, 8) / 8)) * 8
+    K = max(8, (int(chunk_bases) // 8) * 8)
+    if seg is None:
+        seg = compute_chunk_seg(band_starts, band_widths, seq_lens, K, W)
+        while seg > 4096 and K > 8:
+            K -= 8
+            seg = compute_chunk_seg(
+                band_starts, band_widths, seq_lens, K, W
+            )
+    SEG = int(np.ceil(max(int(seg), W + 8) / 128)) * 128
+
+    # bucket the traced shapes too (bases to 256, signal to 4096 cols)
+    # so batch-to-batch length jitter stays inside one executable;
+    # device-side pads so device-resident inputs never round-trip
+    band_starts = jnp.asarray(band_starts)
+    band_widths = jnp.asarray(band_widths)
+    levels = jnp.asarray(levels)
+    signal = jnp.asarray(signal)
+    N0 = levels.shape[1]
+    NB = int(np.ceil(N0 / 256)) * 256
+    if NB > N0:
+        last = band_starts[:, -1:]
+        band_starts = jnp.concatenate(
+            [band_starts, jnp.repeat(last, NB - N0, 1)], 1
+        )
+        band_widths = _pad_to(band_widths, NB, 1, 1)
+        levels = _pad_to(levels, NB, 1, 0.0)
+    SB = int(np.ceil(signal.shape[1] / 4096)) * 4096
+    signal = _pad_to(signal, SB, 1, 0.0)
+    path, tb, scores = _dp_jit(
+        signal,
+        levels,
+        band_starts,
+        band_widths,
+        jnp.asarray(seq_lens),
+        jnp.asarray(sdp, jnp.float32),
+        algo,
+        W,
+        K,
+        SEG,
+        interpret,
+    )
+    if NB > N0:
+        # trim the base-axis bucketing back off; path[seq_len] already
+        # carries the per-read signal end so column N0 is only needed
+        # for reads of exactly N0 bases, which the slice keeps
+        path = path[:, : N0 + 1]
+        tb = tb[:N0]
+    return path, tb, scores
+
+
 def refine_batch_pallas(reads, sdp, algo="dwell_penalty", w_max=None,
                         interpret=False):
     """Host API: list of (norm_signal, levels, seq_band) -> list of
@@ -412,11 +537,11 @@ def refine_batch_pallas(reads, sdp, algo="dwell_penalty", w_max=None,
 
     packed = pad_reads_for_dp(reads, w_max=w_max)
     path, _tb, _ = banded_dp_batch_pallas(
-        jnp.asarray(packed["signal"]),
-        jnp.asarray(packed["levels"]),
-        jnp.asarray(packed["band_starts"]),
-        jnp.asarray(packed["band_widths"]),
-        jnp.asarray(packed["seq_lens"]),
+        packed["signal"],
+        packed["levels"],
+        packed["band_starts"],
+        packed["band_widths"],
+        packed["seq_lens"],
         jnp.asarray(sdp, jnp.float32),
         algo=algo,
         w_max=packed["w_max"],
