@@ -62,14 +62,14 @@ class StageQueue:
             with self._gauge.get_lock():
                 self._gauge.value += delta
 
-    def put(self, *args, **kwargs):
-        self.queue.put(*args, **kwargs)
-        self._bump(1)
+    def put(self, item, **kwargs):
+        self.queue.put(item, **kwargs)
+        self._bump(+1)
 
-    def get(self, *args, **kwargs):
-        item = self.queue.get(*args, **kwargs)
+    def get(self, **kwargs):
+        got = self.queue.get(**kwargs)
         self._bump(-1)
-        return item
+        return got
 
     def qsize(self):
         if self._gauge is not None:
@@ -86,18 +86,20 @@ def put_item(item, out_q):
     """Blocking put that polls so KeyboardInterrupt stays deliverable."""
     while True:
         try:
-            return out_q.put(item, timeout=_POLL_S)
+            out_q.put(item, timeout=_POLL_S)
         except queue_mod.Full:
-            pass
+            continue
+        return
 
 
 def get_item(in_q):
     """Blocking get that polls so KeyboardInterrupt stays deliverable."""
     while True:
         try:
-            return in_q.get(timeout=_POLL_S)
+            got = in_q.get(timeout=_POLL_S)
         except queue_mod.Empty:
-            pass
+            continue
+        return got
 
 
 def queue_iter(in_q, num_producers=1):
@@ -116,51 +118,60 @@ def _log_swallowed(tag, name, err, with_tb=True):
     LOGGER.debug(f"{tag} in {name}: '{err}'{detail}")
 
 
-def _fill_queue(iterator, in_q, num_receivers):
-    """Drain an in-process iterator into a stage's input queue."""
+def _run_guarded(tag, name, fn, with_tb=True):
+    """Run ``fn``, swallowing (but logging) everything except SIGINT."""
     try:
-        for item in iterator:
-            put_item(item, in_q)
+        fn()
     except KeyboardInterrupt:
         pass
     except Exception as e:
-        _log_swallowed("PIPELINE_FILLER_ERROR", "filler", e)
+        _log_swallowed(tag, name, e, with_tb=with_tb)
+
+
+def _pump(items, sink):
+    """Forward every item into ``sink``; True on clean exhaustion."""
+    for item in items:
+        put_item(item, sink)
+    return True
+
+
+def _fill_queue(iterator, in_q, num_receivers):
+    """Drain an in-process iterator into a stage's input queue."""
+    _run_guarded(
+        "PIPELINE_FILLER_ERROR", "filler", lambda: _pump(iterator, in_q)
+    )
     for _ in range(num_receivers):
         put_item(_STOP, in_q)
 
 
-def _worker_loop(func, in_q, out_q, prep_func, name, args, kwargs):
-    LOGGER.debug(f"Starting {name} worker")
-    try:
+def _worker_loop(name, func, prep_func, in_q, out_q, args, kwargs):
+    LOGGER.debug(f"{name}: worker up")
+
+    def run():
+        nonlocal args, kwargs
         if prep_func is not None:
             # per-worker state constructed post-fork (file handles etc.)
-            prepped = prep_func(*args, **kwargs)
-            args, kwargs = prepped
+            args, kwargs = prep_func(*args, **kwargs)
         for item in queue_iter(in_q):
-            try:
-                put_item(func(item, *args, **kwargs), out_q)
-            except KeyboardInterrupt:
-                break
-            except Exception as e:
-                _log_swallowed("PIPELINE_ITEM_ERROR", name, e)
-    except KeyboardInterrupt:
-        pass
-    except Exception as e:
-        _log_swallowed("PIPELINE_WORKER_ERROR", name, e, with_tb=False)
-    LOGGER.debug(f"Completed {name} worker")
+            _run_guarded(
+                "PIPELINE_ITEM_ERROR",
+                name,
+                lambda: put_item(func(item, *args, **kwargs), out_q),
+            )
+
+    _run_guarded("PIPELINE_WORKER_ERROR", name, run, with_tb=False)
+    LOGGER.debug(f"{name}: worker done")
     put_item(_STOP, out_q)
 
 
-def _producer_loop(func, args, kwargs, out_q, name):
-    LOGGER.debug(f"Starting {name} producer")
-    try:
-        for item in func(*args, **kwargs):
-            put_item(item, out_q)
-    except KeyboardInterrupt:
-        pass
-    except Exception as e:
-        _log_swallowed("PIPELINE_PRODUCER_ERROR", name, e)
-    LOGGER.debug(f"Completed {name} producer")
+def _producer_loop(name, func, out_q, args, kwargs):
+    LOGGER.debug(f"{name}: producer up")
+    _run_guarded(
+        "PIPELINE_PRODUCER_ERROR",
+        name,
+        lambda: _pump(func(*args, **kwargs), out_q),
+    )
+    LOGGER.debug(f"{name}: producer done")
     put_item(_STOP, out_q)
 
 
@@ -169,33 +180,42 @@ def _launch(target, target_args, name, use_process):
     runner_cls(target=target, args=target_args, name=name, daemon=True).start()
 
 
-class source_stage:
+class _Stage:
+    """Common consumer side: iterate to drain the stage's output queue."""
+
+    name = "stage"
+    out_q = None
+    _n_senders = 1
+
+    def __iter__(self):
+        try:
+            yield from queue_iter(self.out_q, self._n_senders)
+        except KeyboardInterrupt:
+            LOGGER.debug(f"{self.name}: consumer interrupted")
+
+
+class source_stage(_Stage):
     """Run a generator function in a background thread/process.
 
     Iterate this object to consume its output queue.
     """
 
-    def __init__(self, func, args=(), kwargs=None, q_maxsize=DEFAULT_QUEUE_SIZE,
-                 use_process=False, use_mp_queue=True, name="source"):
+    def __init__(self, func, args=(), kwargs=None, *, name="source",
+                 q_maxsize=DEFAULT_QUEUE_SIZE, use_mp_queue=True,
+                 use_process=False):
         self.name = name
         self.out_q = StageQueue(
-            maxsize=q_maxsize, name=f"{name}.out", cross_process=use_mp_queue
+            q_maxsize, name + ":out", cross_process=use_mp_queue
         )
         _launch(
             _producer_loop,
-            (func, args, kwargs or {}, self.out_q, name),
+            (name, func, self.out_q, args, kwargs or {}),
             f"{name}_producer",
             use_process,
         )
 
-    def __iter__(self):
-        try:
-            yield from queue_iter(self.out_q)
-        except KeyboardInterrupt:
-            LOGGER.debug(f"source_stage {self.name} interrupted")
 
-
-class map_stage:
+class map_stage(_Stage):
     """Map ``func`` over an upstream iterable with N worker tasks.
 
     ``prep_func(*args, **kwargs) -> (args, kwargs)`` runs once inside each
@@ -204,36 +224,28 @@ class map_stage:
 
     def __init__(self, func, iterator, *, num_workers=1, prep_func=None,
                  args=(), kwargs=None, name="map",
-                 q_maxsize=DEFAULT_QUEUE_SIZE, use_process=False,
-                 use_mp_queue=True):
+                 q_maxsize=DEFAULT_QUEUE_SIZE, use_mp_queue=True,
+                 use_process=False):
         self.name = name
-        self.num_workers = num_workers
-        self.out_q = StageQueue(
-            maxsize=q_maxsize, name=f"{name}.out", cross_process=use_mp_queue
-        )
-        in_q = StageQueue(
-            maxsize=q_maxsize, name=f"{name}.in", cross_process=use_mp_queue
-        )
+        self._n_senders = self.num_workers = num_workers
+        make_q = partial(StageQueue, q_maxsize, cross_process=use_mp_queue)
+        self.out_q = make_q(name=name + ":out")
+        in_q = make_q(name=name + ":in")
         # the filler is always a thread: it drains an in-process iterator
         # (often a generator or upstream stage) that cannot be pickled
         # into a spawned process
-        Thread(
+        filler = Thread(
             target=_fill_queue,
             args=(iterator, in_q, num_workers),
             name=f"{name}_filler",
             daemon=True,
-        ).start()
+        )
+        filler.start()
         for idx in range(num_workers):
             _launch(
                 _worker_loop,
-                (func, in_q, self.out_q, prep_func, name, list(args),
+                (name, func, prep_func, in_q, self.out_q, list(args),
                  kwargs or {}),
                 f"{name}_{idx}",
                 use_process,
             )
-
-    def __iter__(self):
-        try:
-            yield from queue_iter(self.out_q, self.num_workers)
-        except KeyboardInterrupt:
-            LOGGER.debug(f"map_stage {self.name} interrupted")

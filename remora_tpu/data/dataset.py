@@ -16,6 +16,7 @@ fallback here is used for small/CPU paths).
 """
 
 import hashlib
+import itertools
 import json
 import os
 from dataclasses import dataclass
@@ -25,6 +26,7 @@ from typing import Optional
 import numpy as np
 
 from remora_tpu import RemoraError, constants, log
+from remora_tpu.constants import DEFAULT_BATCH_SIZE, DEFAULT_SUPER_BATCH_SIZE
 from remora_tpu.core import seq as sequtil
 from remora_tpu.core.util import resolve_path
 from remora_tpu.data import encoded_kmers
@@ -144,6 +146,12 @@ def _sampled_file_digest(path, block_size=2**18, n_blocks=8):
     return digest.hexdigest()
 
 
+def _format_label_summary(labels, counts):
+    return "; ".join(
+        f"{lab}:{n:,}" for lab, n in zip(labels, counts)
+    )
+
+
 @dataclass
 class CoreDataset:
     """One on-disk (or in-memory) chunk store with super-batch streaming."""
@@ -152,8 +160,8 @@ class CoreDataset:
     mode: str = "r"
     metadata: Optional[DatasetMetadata] = None
     override_metadata: Optional[dict] = None
-    batch_size: int = constants.DEFAULT_BATCH_SIZE
-    super_batch_size: int = constants.DEFAULT_SUPER_BATCH_SIZE
+    batch_size: int = DEFAULT_BATCH_SIZE
+    super_batch_size: int = DEFAULT_SUPER_BATCH_SIZE
     super_batch_sample_frac: Optional[float] = None
     super_batch_offset: int = 0
     infinite_iter: bool = True
@@ -192,9 +200,10 @@ class CoreDataset:
         return hashlib.sha256(combined.encode("utf-8")).hexdigest()
 
     def _sidecar(self, filename):
-        if self.data_path is None:
-            raise RemoraError("No path available for in-memory dataset")
-        return os.path.join(self.data_path, filename)
+        root = self.data_path
+        if root is None:
+            raise RemoraError("in-memory dataset has no backing files")
+        return os.path.join(root, filename)
 
     @property
     def metadata_path(self):
@@ -214,11 +223,12 @@ class CoreDataset:
 
     @property
     def arrays_info(self):
+        md = self.metadata
         info = [
-            (name, dtype, getattr(self.metadata, f"{name}_shape"))
+            (name, dtype, getattr(md, name + "_shape"))
             for name, dtype in CORE_DTYPES.items()
         ]
-        info.extend(self.metadata.extra_array_dtypes_and_shapes)
+        info.extend(md.extra_array_dtypes_and_shapes)
         return info
 
     @property
@@ -252,9 +262,8 @@ class CoreDataset:
 
     @property
     def label_summary(self):
-        return "; ".join(
-            f"{self.metadata.labels[i]}:{c:,}"
-            for i, c in enumerate(self.get_label_counts())
+        return _format_label_summary(
+            self.metadata.labels, self.get_label_counts()
         )
 
     # ------------- metadata load / override -------------
@@ -357,14 +366,17 @@ class CoreDataset:
     # ------------- array management -------------
     def get_array_path(self, array_name):
         if array_name in CORE_ARRAYS:
-            return self._sidecar(f"{array_name}.npy")
+            return self._sidecar(array_name + ".npy")
         if array_name in (self.metadata.extra_arrays or {}):
-            return self._sidecar(f"extra_{array_name}.npy")
-        raise RemoraError(f"Invalid extra array name: {array_name}")
+            return self._sidecar("extra_" + array_name + ".npy")
+        raise RemoraError(f"unknown array: {array_name}")
+
+    def _require_write_mode(self):
+        if self.mode != "w":
+            raise RemoraError("dataset opened read-only")
 
     def allocate_arrays(self):
-        if self.mode != "w":
-            raise RemoraError("Cannot write when mode is not 'w'")
+        self._require_write_mode()
         in_memory = self.data_path is None
         if not in_memory:
             os.makedirs(self.data_path, exist_ok=True)
@@ -374,68 +386,62 @@ class CoreDataset:
             else:
                 arr = np.memmap(
                     self.get_array_path(arr_name),
-                    arr_dtype,
-                    mode="w+",
                     shape=arr_shape,
+                    dtype=arr_dtype,
+                    mode="w+",
                 )
             setattr(self, arr_name, arr)
 
     def refresh_memmaps(self):
         if self.data_path is None:
             return
-        file_mode = {"r": "r"}.get(self.mode, "r+")
+        file_mode = "r" if self.mode == "r" else "r+"
         for arr_name, arr_dtype, arr_shape in self.arrays_info:
-            if hasattr(self, arr_name):
-                delattr(self, arr_name)
-            setattr(
-                self,
-                arr_name,
-                np.memmap(
-                    self.get_array_path(arr_name),
-                    arr_dtype,
-                    mode=file_mode,
-                    shape=arr_shape,
-                ),
+            self.__dict__.pop(arr_name, None)
+            mapped = np.memmap(
+                self.get_array_path(arr_name),
+                shape=arr_shape,
+                dtype=arr_dtype,
+                mode=file_mode,
             )
-
-    def close_memmaps(self):
-        if self.data_path is None:
-            return
-        for arr_name in CORE_ARRAYS:
-            setattr(self, arr_name, None)
+            setattr(self, arr_name, mapped)
 
     def write_metadata(self):
         self.metadata.write(self.metadata_path, self.kmer_table_path)
 
+    def close_memmaps(self):
+        if self.data_path is not None:
+            for arr_name in CORE_ARRAYS:
+                setattr(self, arr_name, None)
+
     def __post_init__(self):
-        self._iter = None
-        self.label_conv = None
+        self._iter = self.label_conv = None
         assert self.mode in "rw", "mode must be 'r' or 'w'"
+        writing = self.mode == "w"
         if self.data_path is None:
-            assert self.mode == "w", "In-memory dataset must have mode='w'"
+            assert writing, "In-memory dataset must have mode='w'"
             assert isinstance(self.metadata, DatasetMetadata)
             self.allocate_arrays()
         else:
             self.data_path = resolve_path(self.data_path)
-            if self.mode == "r":
-                self.load_metadata()
-            else:
+            if writing:
                 assert isinstance(self.metadata, DatasetMetadata)
                 self.allocate_arrays()
                 self.write_metadata()
+            else:
+                self.load_metadata()
         self.refresh_memmaps()
 
     # ------------- writing -------------
     def write_batch(self, arrays):
-        if self.mode != "w":
-            raise RemoraError("Cannot write when mode is not 'w'")
+        self._require_write_mode()
         sizes = {arr.shape[0] for arr in arrays.values()}
         if len(sizes) != 1:
-            raise RemoraError("All arrays in a batch must be the same size")
+            raise RemoraError("ragged batch: arrays differ in row count")
         (n_new,) = sizes
         if self.metadata.dataset_end + n_new > self.metadata.allocate_size:
             self.write_metadata()
-            raise RemoraError("Batch write greater than allocated memory")
+            raise RemoraError("batch overruns the allocated store")
         expected = set(self.array_names)
         missing = expected - set(arrays)
         if missing:
@@ -454,25 +460,31 @@ class CoreDataset:
             getattr(self, arr_name)[row : row + n_new] = in_array
         self.metadata.dataset_end = row + n_new
 
+    @staticmethod
+    def _padded_row(width, values, dtype):
+        row = np.empty((1, width), dtype=dtype)
+        row[0, : values.size] = values
+        return row
+
     def write_chunk(self, chunk):
         """Write one Chunk as a single-row batch (right-padded arrays)."""
-        seq_row = np.empty(
-            (1, self.metadata.sequence_width), dtype=CORE_DTYPES["sequence"]
-        )
-        seq_row[0, : chunk.seq_w_context.size] = chunk.seq_w_context
-        map_row = np.empty(
-            (1, self.metadata.sequence_to_signal_mapping_width),
-            dtype=CORE_DTYPES["sequence_to_signal_mapping"],
-        )
-        map_row[0, : chunk.seq_to_sig_map.size] = chunk.seq_to_sig_map
+        md = self.metadata
         one = {
             "signal": chunk.signal[None].astype(CORE_DTYPES["signal"]),
-            "sequence": seq_row,
-            "sequence_to_signal_mapping": map_row,
-            "sequence_lengths": np.array(
-                [chunk.seq_len], dtype=CORE_DTYPES["sequence_lengths"]
+            "sequence": self._padded_row(
+                md.sequence_width,
+                chunk.seq_w_context,
+                CORE_DTYPES["sequence"],
             ),
-            "labels": np.array([chunk.label], dtype=CORE_DTYPES["labels"]),
+            "sequence_to_signal_mapping": self._padded_row(
+                md.sequence_to_signal_mapping_width,
+                chunk.seq_to_sig_map,
+                CORE_DTYPES["sequence_to_signal_mapping"],
+            ),
+            "sequence_lengths": np.array(
+                [chunk.seq_len], CORE_DTYPES["sequence_lengths"]
+            ),
+            "labels": np.array([chunk.label], CORE_DTYPES["labels"]),
         }
         extras = self.metadata.extra_arrays or {}
         chunk_extras = {
@@ -486,14 +498,12 @@ class CoreDataset:
 
     def shuffle(self, batch_size=100_000, show_prog=False):
         """On-disk permutation applied blockwise to bound memory."""
-        if self.mode != "w":
-            raise RemoraError("Cannot write when mode is not 'w'")
+        self._require_write_mode()
         order = np.random.permutation(self.size)
+        lo, hi = self.metadata.dataset_start, self.metadata.dataset_end
         for array_name in self.array_names:
             LOGGER.debug(f"Shuffling {array_name} array")
-            live = getattr(self, array_name)[
-                self.metadata.dataset_start : self.metadata.dataset_end
-            ]
+            live = getattr(self, array_name)[lo:hi]
             snapshot = live.copy()
             for blk_st in range(0, self.size, batch_size):
                 blk_en = min(blk_st + batch_size, self.size)
@@ -502,11 +512,11 @@ class CoreDataset:
                     getattr(self, array_name).flush()
 
     def flush(self):
-        if self.data_path is None:
-            return
-        for arr_name in self.array_names:
-            getattr(self, arr_name).flush()
-        self.refresh_memmaps()
+        if self.data_path is not None:
+            for arr_name in self.array_names:
+                getattr(self, arr_name).flush()
+            # reopen so readers observe the flushed rows
+            self.refresh_memmaps()
 
     # ------------- reading -------------
     def adjust_batch_params(self):
@@ -526,13 +536,11 @@ class CoreDataset:
             self.super_batch_size = sb_select
         return sb_select, sb_select
 
-    def trim_sb_kmer_context_bases(self, super_batch):
+    def _trim_kmer_context_sb(self, super_batch):
         if not self.metadata.kmer_context_bases_adjusted:
             return super_batch
-        shift = (
-            self.metadata.stored_kmer_context_bases[0]
-            - self.metadata.kmer_context_bases[0]
-        )
+        stored_kb = self.metadata.stored_kmer_context_bases[0]
+        shift = stored_kb - self.metadata.kmer_context_bases[0]
         if shift > 0:
             seq = super_batch["sequence"]
             if not seq.flags.writeable:
@@ -540,7 +548,7 @@ class CoreDataset:
             seq[:, :-shift] = seq[:, shift:]
         return super_batch
 
-    def trim_sb_chunk_context(self, super_batch):
+    def _trim_chunk_context_sb(self, super_batch):
         if not self.metadata.chunk_context_adjusted:
             return super_batch
         stored_cc = self.metadata.stored_chunk_context
@@ -553,13 +561,14 @@ class CoreDataset:
                      "sequence_lengths"):
             if not super_batch[name].flags.writeable:
                 super_batch[name] = super_batch[name].copy()
-        super_batch["sequence_to_signal_mapping"] -= lead_cut
+        smap = super_batch["sequence_to_signal_mapping"]
+        smap -= lead_cut
         trim_sb_chunk_context(
             stored_cc,
             cc,
             sum(self.metadata.kmer_context_bases),
             super_batch["sequence"],
-            super_batch["sequence_to_signal_mapping"],
+            smap,
             super_batch["sequence_lengths"],
         )
         return super_batch
@@ -574,11 +583,12 @@ class CoreDataset:
         if size is None:
             if self.infinite_iter:
                 raise RemoraError(
-                    "Must specify size of super batch for infinite iter dataset"
+                    "an infinite-iteration stream needs an explicit "
+                    "super-batch size"
                 )
             size = self.metadata.dataset_end - origin - offset
         if size > self.size:
-            raise RemoraError("Super batch larger than dataset requested")
+            raise RemoraError("super batch exceeds the dataset")
 
         super_batch = {}
         lo = origin + offset
@@ -609,26 +619,25 @@ class CoreDataset:
         if self.label_conv is not None:
             remapped = self.label_conv[super_batch["labels"]]
             super_batch["labels"] = remapped
-        super_batch = self.trim_sb_kmer_context_bases(super_batch)
-        return self.trim_sb_chunk_context(super_batch)
+        super_batch = self._trim_kmer_context_sb(super_batch)
+        return self._trim_chunk_context_sb(super_batch)
 
     def iter_super_batches(self, select_num_chunks=None):
-        sb_num = 0
-        while True:
+        for sb_num in itertools.count():
             self.refresh_memmaps()
             stripe = self.shard_index + sb_num * self.num_shards
+            sb_at = self.super_batch_offset + stripe * self.super_batch_size
             super_batch = self.load_super_batch(
-                self.super_batch_offset + stripe * self.super_batch_size,
+                sb_at,
                 self.super_batch_size,
                 select_num_chunks=select_num_chunks,
             )
             if super_batch is None:
-                break
+                return
             if self.do_check_super_batches:
                 check_super_batch(
                     super_batch, chunk_width=self.metadata.chunk_width
                 )
-            sb_num += 1
             yield super_batch
 
     def extract_batch(self, super_batch, batch_st):
@@ -637,9 +646,11 @@ class CoreDataset:
             batch_st + self.batch_size, super_batch["sequence"].shape[0]
         )
         window = slice(batch_st, batch_en)
+        kb, ka = self.metadata.kmer_context_bases
         batch = {
             "enc_kmers": encoded_kmers.compute_encoded_kmer_batch(
-                *self.metadata.kmer_context_bases,
+                kb,
+                ka,
                 super_batch["sequence"][window],
                 super_batch["sequence_to_signal_mapping"][window],
                 super_batch["sequence_lengths"][window],
@@ -649,35 +660,39 @@ class CoreDataset:
             batch[name] = super_batch[name][window]
         return batch
 
+    def _iter_batches_inner(self, raw):
+        chunks_per_sb, sb_select = self.adjust_batch_params()
+        for super_batch in self.iter_super_batches(sb_select):
+            for batch_st in range(0, chunks_per_sb, self.batch_size):
+                if not raw:
+                    yield self.extract_batch(super_batch, batch_st)
+                    continue
+                batch_en = min(
+                    batch_st + self.batch_size,
+                    super_batch["sequence"].shape[0],
+                )
+                yield {
+                    name: super_batch[name][batch_st:batch_en]
+                    for name in self.array_names
+                }
+
     def iter_batches(self, max_batches=None, raw=False):
         """Yield batches; ``raw=True`` skips host enc-kmer computation and
         yields the ragged arrays for on-device featurization."""
-        chunks_per_sb, sb_select = self.adjust_batch_params()
-        batch_num = 0
-        for super_batch in self.iter_super_batches(sb_select):
-            for batch_st in range(0, chunks_per_sb, self.batch_size):
-                if raw:
-                    batch_en = min(
-                        batch_st + self.batch_size,
-                        super_batch["sequence"].shape[0],
-                    )
-                    yield {
-                        name: super_batch[name][batch_st:batch_en]
-                        for name in self.array_names
-                    }
-                else:
-                    yield self.extract_batch(super_batch, batch_st)
-                batch_num += 1
-                if batch_num == max_batches:
-                    return
+        stream = self._iter_batches_inner(raw)
+        if max_batches is None:
+            return stream
+        return itertools.islice(stream, max_batches)
 
     def __iter__(self):
-        if self._iter is None or not self.infinite_iter:
-            self._iter = self.iter_batches()
+        fresh = self._iter is None or not self.infinite_iter
+        if fresh:
+            self._iter = iter(self.iter_batches())
         return self._iter
 
     def __next__(self):
-        return next(self._iter)
+        live = self._iter
+        return next(live)
 
 
 # ----------------------------------------------------------------------
@@ -693,8 +708,9 @@ def parse_dataset_config(config_path, used_configs=None):
     normalized to proportions.
     """
     config_path = resolve_path(config_path)
-    if used_configs is None:
-        used_configs = {config_path: config_path}
+    used_configs = (
+        {config_path: config_path} if used_configs is None else used_configs
+    )
     paths, weights, hashes = [], [], []
     with open(config_path) as fh:
         entries = json.load(fh)
@@ -704,7 +720,7 @@ def parse_dataset_config(config_path, used_configs=None):
         assert weight > 0, "dataset config weight must be positive"
         ds_path = resolve_path(ds_path)
         if not os.path.exists(ds_path):
-            raise RemoraError(f"Core dataset path does not exist. {ds_path}")
+            raise RemoraError(f"no dataset at {ds_path}")
         if os.path.isdir(ds_path):
             computed = CoreDataset.hash(ds_path)
             if ds_hash is not None and ds_hash != computed:
@@ -713,8 +729,8 @@ def parse_dataset_config(config_path, used_configs=None):
                     f"dataset at {ds_path}"
                 )
             paths.append(ds_path)
-            weights.append(weight)
             hashes.append(computed if ds_hash is None else ds_hash)
+            weights.append(weight)
         else:
             # nested config file
             if ds_path in used_configs:
@@ -726,9 +742,9 @@ def parse_dataset_config(config_path, used_configs=None):
             sub_paths, sub_props, sub_hashes = parse_dataset_config(
                 ds_path, used_configs=used_configs
             )
-            paths.extend(sub_paths)
+            paths += sub_paths
+            hashes += sub_hashes
             weights.extend(np.asarray(sub_props) * weight)
-            hashes.extend(sub_hashes)
     if len(set(paths)) != len(paths):
         LOGGER.warning("Core datasets loaded multiple times")
     weights = np.array(weights, dtype=float)
@@ -739,25 +755,26 @@ def load_dataset(ds_path):
     """Parse either a core dataset dir or a dataset config file."""
     ds_path = resolve_path(ds_path)
     if os.path.isdir(ds_path):
-        return [ds_path], np.ones(1, dtype=float), None
+        return [ds_path], np.array([1.0]), None
     if not os.path.exists(ds_path):
-        raise RemoraError(f"Dataset path does not exist. {ds_path}")
+        raise RemoraError(f"no dataset at {ds_path}")
     return parse_dataset_config(ds_path)
 
 
 def compute_best_split(total_size, props):
     """Integer split of total_size approximately proportional to props."""
-    if total_size < len(props):
+    if len(props) > total_size:
         raise RemoraError(
-            f"total_size ({total_size}) smaller than number of proportions "
-            f"{len(props)}"
+            f"cannot split {total_size} items {len(props)} ways "
+            "(need at least one each)"
         )
     sizes = np.floor(np.asarray(props) * total_size).astype(int)
     np.maximum(sizes, 1, out=sizes)
     while sizes.sum() > total_size:
         sizes[sizes.argmax()] -= 1
     while sizes.sum() < total_size:
-        sizes[np.argmin(sizes / sizes.sum() - props)] += 1
+        shortfall = np.asarray(props) - sizes / sizes.sum()
+        sizes[shortfall.argmax()] += 1
     return sizes
 
 
@@ -784,35 +801,33 @@ class ComposedDataset:
         datasets,
         proportions,
         hashes=None,
-        batch_size=constants.DEFAULT_BATCH_SIZE,
-        super_batch_size=constants.DEFAULT_SUPER_BATCH_SIZE,
+        batch_size=DEFAULT_BATCH_SIZE,
+        super_batch_size=DEFAULT_SUPER_BATCH_SIZE,
         super_batch_sample_frac=None,
         seed=None,
     ):
         if len(datasets) != len(proportions):
-            raise RemoraError("Dataset and proportions must be same length.")
-        if any(p < 0 or p > 1 for p in proportions):
-            raise RemoraError("Dataset proportions must be between 0 and 1.")
+            raise RemoraError("need exactly one proportion per dataset")
+        if not all(0 <= p <= 1 for p in proportions):
+            raise RemoraError("proportions must lie in [0, 1]")
         self.datasets = datasets
         self.props = proportions
         self._hashes = hashes
-        self.set_batch_size(batch_size)
+        self.seed = seed
         self.super_batch_size = super_batch_size
         self.super_batch_sample_frac = super_batch_sample_frac
-        self.seed = seed
-        self.infinite_iter = all(ds.infinite_iter for ds in self.datasets)
+        self.set_batch_size(batch_size)
+        self.infinite_iter = all(ds.infinite_iter for ds in datasets)
         self.set_global_metadata()
-        for ds in self.datasets:
+        for ds in datasets:
             ds.update_metadata(self)
-        self.super_batch_offsets = [0] * len(self.datasets)
-        self._ds_iters = None
-        self._iter = None
-        self._all_batches = None
+        self.super_batch_offsets = [0] * len(datasets)
+        self._ds_iters = self._iter = self._all_batches = None
 
     # ---- properties ----
     @property
     def size(self):
-        return sum(ds.size for ds in self.datasets)
+        return sum(member.size for member in self.datasets)
 
     @property
     def num_datasets(self):
@@ -820,15 +835,17 @@ class ComposedDataset:
 
     @property
     def paths(self):
-        return [ds.data_path for ds in self.datasets]
+        return [member.data_path for member in self.datasets]
 
     @property
     def hashes(self):
-        have_all = self._hashes is not None and None not in self._hashes
-        if not have_all:
+        known = self._hashes
+        if known is None or None in known:
             LOGGER.debug("Computing dataset hashes")
-            self._hashes = [ds.hash(ds.data_path) for ds in self.datasets]
-        return self._hashes
+            known = self._hashes = [
+                member.hash(member.data_path) for member in self.datasets
+            ]
+        return known
 
     @property
     def summary(self):
@@ -861,8 +878,8 @@ class ComposedDataset:
         )
 
     def set_batch_size(self, batch_size):
-        self.batch_size = batch_size
-        self.batch_sizes = compute_best_split(self.batch_size, self.props)
+        self.batch_size = int(batch_size)
+        self.batch_sizes = compute_best_split(batch_size, self.props)
 
     # ---- global metadata merge ----
     def _replace_motifs(self, motifs):
@@ -877,12 +894,13 @@ class ComposedDataset:
         known = dict(
             zip(self.metadata.mod_bases, self.metadata.mod_long_names)
         )
+        md = self.metadata
         for mb, mln in zip(member_md.mod_bases, member_md.mod_long_names):
-            if mb in known:
-                assert known[mb] == mln, "Mismatched modified bases."
+            if mb not in known:
+                md.mod_bases.append(mb)
+                md.mod_long_names.append(mln)
             else:
-                self.metadata.mod_bases.append(mb)
-                self.metadata.mod_long_names.append(mln)
+                assert known[mb] == mln, "Mismatched modified bases."
 
     def _fold_in_contexts(self, member_md):
         """Element-wise minimum of both context windows."""
@@ -896,14 +914,15 @@ class ComposedDataset:
                     (min(ours[0], theirs[0]), min(ours[1], theirs[1])),
                 )
 
+    _PER_STORE_MD = (
+        "allocate_size", "max_seq_len", "dataset_start", "dataset_end",
+    )
+
     def set_global_metadata(self):
-        self.metadata = self.datasets[0].metadata.copy()
-        for md_name in (
-            "allocate_size",
-            "max_seq_len",
-            "dataset_start",
-            "dataset_end",
-        ):
+        merged = self.datasets[0].metadata.copy()
+        self.metadata = merged
+        # these describe one on-disk store, not the mixture
+        for md_name in self._PER_STORE_MD:
             setattr(self.metadata, md_name, None)
         self._replace_motifs(self.metadata.motifs)
         for ds in self.datasets[1:]:
@@ -915,12 +934,12 @@ class ComposedDataset:
                         f"{getattr(member_md, attr)} != "
                         f"{getattr(self.metadata, attr)}"
                     )
-            if set(member_md.extra_array_names) != set(
-                self.metadata.extra_array_names
-            ):
+            ours = set(self.metadata.extra_array_names)
+            theirs = set(member_md.extra_array_names)
+            if ours != theirs:
                 raise RemoraError(
-                    f"Extra arrays not equal: {member_md.extra_array_names} "
-                    f"!= {self.metadata.extra_array_names}"
+                    f"extra arrays differ between members: "
+                    f"{sorted(theirs)} vs {sorted(ours)}"
                 )
             self._fold_in_labels(member_md)
             self._fold_in_contexts(member_md)
@@ -949,15 +968,16 @@ class ComposedDataset:
     )
 
     def update_metadata(self, other):
+        theirs = other.metadata
         for md_key in self._UPDATE_GUARD_KEYS:
-            if getattr(self.metadata, md_key) != getattr(other.metadata, md_key):
+            if getattr(theirs, md_key) != getattr(self.metadata, md_key):
                 raise RemoraError(
                     f"Cannot update metadata with mismatching '{md_key}'."
                 )
-        for ds in self.datasets:
-            ds.update_metadata(other)
+        for member in self.datasets:
+            member.update_metadata(other)
         for md_key in self._UPDATE_INHERIT_KEYS:
-            setattr(self.metadata, md_key, getattr(other.metadata, md_key))
+            setattr(self.metadata, md_key, getattr(theirs, md_key))
 
     # ---- construction ----
     @classmethod
@@ -999,8 +1019,8 @@ class ComposedDataset:
         return out
 
     def train_test_split(self, num_test_chunks, override_metadata=None):
-        test_sizes = compute_best_split(num_test_chunks, self.props)
         override_metadata = override_metadata or {}
+        test_sizes = compute_best_split(num_test_chunks, self.props)
         trn = self._reopen_slices(test_sizes, override_metadata, tail=True)
         tst = self._reopen_slices(test_sizes, override_metadata, tail=False)
         return (
@@ -1016,14 +1036,15 @@ class ComposedDataset:
 
     # ---- iteration ----
     def _set_sub_ds_iters(self, raw=False):
-        for ds, bs, sb_off in zip(
-            self.datasets, self.batch_sizes, self.super_batch_offsets
+        members = self.datasets
+        for member, bs, sb_off in zip(
+            members, self.batch_sizes, self.super_batch_offsets
         ):
-            ds.batch_size = int(bs)
-            ds.super_batch_offset = sb_off
-            ds.super_batch_size = self.super_batch_size
-            ds.super_batch_sample_frac = self.super_batch_sample_frac
-        self._ds_iters = [ds.iter_batches(raw=raw) for ds in self.datasets]
+            member.batch_size = int(bs)
+            member.super_batch_offset = sb_off
+            member.super_batch_size = self.super_batch_size
+            member.super_batch_sample_frac = self.super_batch_sample_frac
+        self._ds_iters = [m.iter_batches(raw=raw) for m in members]
 
     def iter_batches(self, return_arrays=("enc_kmers", "signal", "labels"),
                      raw=False):
@@ -1059,44 +1080,48 @@ class ComposedDataset:
 
     def load_all_batches(self):
         if self.infinite_iter:
-            raise RemoraError("Cannot save all batches for infinite dataset")
+            raise RemoraError(
+                "caching every batch needs a finite iteration order"
+            )
         self._set_sub_ds_iters()
         cached = [*self.iter_batches()]
-        for ds in self.datasets:
-            ds.close_memmaps()
+        for member in self.datasets:
+            member.close_memmaps()
         self._all_batches = cached
 
     def __iter__(self):
-        if self._all_batches is not None:
-            self._iter = iter(self._all_batches)
+        cached = self._all_batches
+        if cached is not None:
+            self._iter = iter(cached)
             return self._iter
-        if self._iter is None or not self.infinite_iter:
+        stale = self._iter is None or not self.infinite_iter
+        if stale:
             self._set_sub_ds_iters()
-            self._iter = self.iter_batches()
+            self._iter = iter(self.iter_batches())
         return self._iter
 
     def __next__(self):
-        return next(self._iter)
+        live = self._iter
+        return next(live)
 
     # ---- stats / config ----
     def get_label_counts(self):
-        totals = np.zeros(self.metadata.num_labels, dtype=int)
-        for ds in self.datasets:
-            counts = ds.get_label_counts()
+        totals = np.zeros(int(self.metadata.num_labels), int)
+        for member in self.datasets:
+            counts = member.get_label_counts()
             totals[: counts.size] += counts
         return totals
 
     @property
     def label_summary(self):
-        return "; ".join(
-            f"{self.metadata.labels[i]}:{c:,}"
-            for i, c in enumerate(self.get_label_counts())
+        return _format_label_summary(
+            self.metadata.labels, self.get_label_counts()
         )
 
     def get_config(self):
+        rows = zip(self.paths, self.props, self.hashes)
         return [
-            (p, w) if h is None else (p, w, h)
-            for p, w, h in zip(self.paths, self.props, self.hashes)
+            (p, w) if h is None else (p, w, h) for p, w, h in rows
         ]
 
     def epoch_summary(self, batches_per_epoch):
@@ -1106,7 +1131,8 @@ class ComposedDataset:
         rows = []
         for ds, ds_bs in zip(self.datasets, self.batch_sizes):
             per_epoch = batches_per_epoch * ds_bs
-            counts = dict(zip(ds.metadata.labels, ds.get_label_counts()))
+            pairs = zip(ds.metadata.labels, ds.get_label_counts())
+            counts = dict(pairs)
             total = sum(counts.values())
             batch_col = "\t".join(
                 f"{int(np.ceil(counts.get(lab, 0) / total * ds_bs)):,}"
@@ -1141,5 +1167,6 @@ def worker_init(dataset, seed=None, worker_id=0):
     if seed is not None:
         np.random.seed(seed + worker_id)
     dataset.super_batch_offsets = [
-        np.random.randint(0, sub_ds.size) for sub_ds in dataset.datasets
+        int(np.random.randint(member.size))
+        for member in dataset.datasets
     ]

@@ -54,8 +54,8 @@ class Chunk:
     chunk_sig_focus_idx: int
     chunk_focus_base: int
     read_focus_base: int
-    read_id: Optional[str] = None
     label: Optional[int] = None
+    read_id: Optional[str] = None
 
     def mask_focus_base(self):
         focus_idx = self.chunk_focus_base + self.kmer_context_bases[0]
@@ -74,28 +74,30 @@ class Chunk:
     @property
     def seq(self):
         lo = self.kmer_context_bases[0]
-        return self.seq_w_context[lo : lo + self.seq_len]
+        hi = lo + self.seq_len
+        return self.seq_w_context[lo:hi]
 
     @property
     def base_sig_lens(self):
         return np.diff(self.seq_to_sig_map)
 
     def check(self):
-        if self.signal.size <= 0:
-            raise RemoraError("No signal for chunk")
+        if not self.signal.size:
+            raise RemoraError("chunk has no signal")
         if np.isnan(self.signal).any():
-            raise RemoraError("Signal contains NaN")
-        if self.seq_len != self.seq_to_sig_map.size - 1:
-            raise RemoraError("Invalid sig to seq map length")
-        if np.any(self.base_sig_lens < 0):
+            raise RemoraError("chunk signal contains NaN")
+        smap = self.seq_to_sig_map
+        if smap.size != self.seq_len + 1:
+            raise RemoraError("chunk mapping length != seq length + 1")
+        if (self.base_sig_lens < 0).any():
             LOGGER.debug(
                 f"FAILED_CHUNK: non-monotonic map in {self.read_id} "
-                f"{self.seq_to_sig_map}"
+                f"{smap}"
             )
-        if self.seq_to_sig_map[0] < 0:
-            raise RemoraError("Seq to sig map starts before 0")
-        if self.seq_to_sig_map[-1] > self.signal.size:
-            raise RemoraError("Seq to sig map ends after signal")
+        if smap[0] < 0:
+            raise RemoraError("chunk mapping enters negative signal")
+        if smap[-1] > self.signal.size:
+            raise RemoraError("chunk mapping runs past the signal")
 
 
 @dataclass
@@ -118,8 +120,8 @@ class RemoraRead:
     seq_to_sig_map: np.ndarray
     int_seq: Optional[np.ndarray] = None
     str_seq: Optional[str] = None
-    read_id: Optional[str] = None
     labels: Optional[np.ndarray] = None
+    read_id: Optional[str] = None
     focus_bases: Optional[np.ndarray] = None
     batches: Optional[list] = None
 
@@ -142,19 +144,20 @@ class RemoraRead:
         """Uniform spoof read (reference test double, data_chunks.py:179)."""
         n_sig = nbases * signal_per_base
         return cls(
-            np.zeros(n_sig),
-            0.0,
-            1.0,
-            np.arange(0, n_sig + 1, signal_per_base),
-            np.arange(nbases) % 4,
-            read_id="test_read",
+            dacs=np.zeros(n_sig),
+            shift=0.0,
+            scale=1.0,
+            seq_to_sig_map=np.arange(0, n_sig + 1, signal_per_base),
+            int_seq=np.arange(nbases) % 4,
             labels=np.zeros(nbases, dtype=np.int64),
+            read_id="test_read",
         )
 
     # --- lazily derived signal views (cleared by _reset_cache) ---
     @cached_property
     def sig(self):
-        return ((self.dacs - self.shift) / self.scale).astype(np.float32)
+        norm = (self.dacs - self.shift) / self.scale
+        return norm.astype(np.float32)
 
     @cached_property
     def sig_cumsum(self):
@@ -168,38 +171,39 @@ class RemoraRead:
 
     @cached_property
     def base_levels(self):
+        sums_per_base = np.diff(self.sig_cumsum[self.seq_to_sig_map])
         with np.errstate(invalid="ignore"):
-            return np.diff(self.sig_cumsum[self.seq_to_sig_map]) / self.dwells
+            return sums_per_base / self.dwells
 
     def check(self):
-        if self.seq_to_sig_map.size != self.int_seq.size + 1:
+        smap, nbases = self.seq_to_sig_map, self.int_seq.size
+        if smap.size != nbases + 1:
             raise RemoraError(
-                f"Invalid read: mapping size ({self.seq_to_sig_map.size}) "
-                f"must be sequence size ({self.int_seq.size}) + 1"
+                f"Invalid read: mapping size ({smap.size}) "
+                f"must be sequence size ({nbases}) + 1"
             )
-        if self.seq_to_sig_map[0] != 0:
+        if smap[0] != 0:
             raise RemoraError("Invalid read: mapping start")
-        if self.seq_to_sig_map[-1] != self.sig.size:
+        if smap[-1] != self.sig.size:
             raise RemoraError("Invalid read: mapping end")
-        if self.int_seq.size:
-            if self.int_seq.max() > 3 or self.int_seq.min() < -1:
-                raise RemoraError("Invalid read: Invalid base")
+        if nbases and not (-1 <= self.int_seq.min()
+                           and self.int_seq.max() <= 3):
+            raise RemoraError("Invalid read: Invalid base")
 
     def copy(self):
         def dup(arr):
             return None if arr is None else arr.copy()
 
-        return RemoraRead(
-            self.dacs.copy(),
-            self.shift,
-            self.scale,
-            self.seq_to_sig_map,
+        fields = dict(
+            seq_to_sig_map=self.seq_to_sig_map,
+            dacs=self.dacs.copy(),
             int_seq=dup(self.int_seq),
             str_seq=self.str_seq,
             labels=dup(self.labels),
             focus_bases=dup(self.focus_bases),
             read_id=self.read_id,
         )
+        return RemoraRead(shift=self.shift, scale=self.scale, **fields)
 
     def refine_signal_mapping(self, sig_map_refiner, check_read=False):
         """Apply rough rescale and/or banded-DP mapping refinement."""
@@ -207,30 +211,31 @@ class RemoraRead:
             return
         if sig_map_refiner.do_rough_rescale:
             self.shift, self.scale = sig_map_refiner.rough_rescale(
+                dacs=self.dacs,
+                int_seq=self.int_seq,
+                seq_to_sig_map=self.seq_to_sig_map,
                 shift=self.shift,
                 scale=self.scale,
-                seq_to_sig_map=self.seq_to_sig_map,
-                int_seq=self.int_seq,
-                dacs=self.dacs,
             )
             self._reset_cache()
         if sig_map_refiner.scale_iters >= 0:
-            prev = (self.shift, self.scale)
+            before = f"shift={self.shift} scale={self.scale}"
             try:
                 refined = sig_map_refiner.refine_sig_map(
+                    dacs=self.dacs,
+                    int_seq=self.int_seq,
+                    seq_to_sig_map=self.seq_to_sig_map,
                     shift=self.shift,
                     scale=self.scale,
-                    seq_to_sig_map=self.seq_to_sig_map,
-                    int_seq=self.int_seq,
-                    dacs=self.dacs,
                 )
                 self.seq_to_sig_map, self.shift, self.scale = refined
             except IndexError as e:
-                LOGGER.debug(f"refine_error {self.read_id} {e}")
+                LOGGER.debug(f"DP refinement IndexError "
+                             f"({self.read_id}): {e}")
             self._reset_cache()
             LOGGER.debug(
-                f"Refined scaling: shift {prev[0]} -> {self.shift}, "
-                f"scale {prev[1]} -> {self.scale}"
+                f"DP-refined scaling: {before} -> "
+                f"shift={self.shift} scale={self.scale}"
             )
         if check_read:
             self.check()
@@ -239,15 +244,14 @@ class RemoraRead:
         self.focus_bases = sequtil.find_focus_bases(self.int_seq, motifs)
 
     def downsample_focus_bases(self, max_sites):
-        if self.focus_bases is None or self.focus_bases.size <= max_sites:
+        sites = self.focus_bases
+        if sites is None or sites.size <= max_sites:
             return
         LOGGER.debug(
-            f"downsampling focus bases {self.focus_bases.size} -> "
-            f"{max_sites} in read {self.read_id}"
+            f"{self.read_id}: keeping {max_sites} of "
+            f"{sites.size} focus bases"
         )
-        self.focus_bases = np.random.choice(
-            self.focus_bases, size=max_sites, replace=False
-        )
+        self.focus_bases = np.random.choice(sites, max_sites, False)
 
     def _chunk_signal(self, sig_lo, sig_hi, signal_padding):
         """Chunk signal window with zero (or mirrored) edge padding."""
@@ -282,10 +286,11 @@ class RemoraRead:
         focus_sig_idx,
         chunk_context,
         kmer_context_bases,
-        label=-1,
-        read_focus_base=-1,
-        check_chunk=False,
+        *,
         signal_padding=False,
+        check_chunk=False,
+        read_focus_base=-1,
+        label=-1,
     ):
         """Extract one fixed-width chunk centered at a signal position."""
         chunk_len = sum(chunk_context)
@@ -306,18 +311,17 @@ class RemoraRead:
         chunk_map[-1] = chunk_len
         chunk_map = chunk_map.astype(np.int32)
 
+        seq_ctx = self._chunk_sequence(seq_lo, seq_hi, kmer_context_bases)
         chunk = Chunk(
             signal=chunk_sig,
-            seq_w_context=self._chunk_sequence(
-                seq_lo, seq_hi, kmer_context_bases
-            ),
+            seq_w_context=seq_ctx,
             seq_to_sig_map=chunk_map,
             kmer_context_bases=kmer_context_bases,
             chunk_sig_focus_idx=focus_sig_idx - clipped_lo,
             chunk_focus_base=read_focus_base - seq_lo,
             read_focus_base=read_focus_base,
-            read_id=self.read_id,
             label=label,
+            read_id=self.read_id,
         )
         if check_chunk:
             chunk.check()
@@ -330,6 +334,25 @@ class RemoraRead:
             return span_lo
         return (span_lo + self.seq_to_sig_map[focus_base + 1]) // 2
 
+    def _chunk_at(self, focus_base, chunk_context, kmer_context_bases,
+                  base_start_justify, check_chunks, label):
+        """One chunk at a focus base, or None if extraction fails."""
+        anchor = self._anchor_signal_index(focus_base, base_start_justify)
+        try:
+            return self.extract_chunk(
+                anchor,
+                chunk_context,
+                kmer_context_bases,
+                check_chunk=check_chunks,
+                read_focus_base=focus_base,
+                label=label,
+            )
+        except RemoraError as e:
+            LOGGER.debug(f"chunk failed validation: {e}")
+        except Exception as e:
+            LOGGER.debug(f"chunk extraction raised: {e}")
+        return None
+
     def iter_chunks(
         self,
         chunk_context,
@@ -339,30 +362,24 @@ class RemoraRead:
         check_chunks=False,
         motifs=None,
     ):
+        last_mapped = self.seq_to_sig_map.size - 2
         for focus_base in self.focus_bases:
-            if motifs is not None and not any(
-                mot.match(self.int_seq, focus_base) for mot in motifs
-            ):
-                LOGGER.debug("FAILED_MOTIF_CHECK")
-                continue
+            if motifs is not None:
+                hit = any(
+                    m.match(self.int_seq, focus_base) for m in motifs
+                )
+                if not hit:
+                    LOGGER.debug("FAILED_MOTIF_CHECK")
+                    continue
             label = -1 if self.labels is None else self.labels[focus_base]
             # shift by requested offset, clamped to mapped bases
-            focus_base = min(focus_base + offset, self.seq_to_sig_map.size - 2)
-            focus_base = max(focus_base, 0)
-            anchor = self._anchor_signal_index(focus_base, base_start_justify)
-            try:
-                yield self.extract_chunk(
-                    anchor,
-                    chunk_context,
-                    kmer_context_bases,
-                    check_chunk=check_chunks,
-                    read_focus_base=focus_base,
-                    label=label,
-                )
-            except RemoraError as e:
-                LOGGER.debug(f"FAILED_CHUNK_CHECK {e}")
-            except Exception as e:
-                LOGGER.debug(f"FAILED_CHUNK_EXTRACT {e}")
+            focus_base = int(np.clip(focus_base + offset, 0, last_mapped))
+            chunk = self._chunk_at(
+                focus_base, chunk_context, kmer_context_bases,
+                base_start_justify, check_chunks, label,
+            )
+            if chunk is not None:
+                yield chunk
 
     def prepare_batches(self, model_metadata, batch_size):
         """Prepare device-ready batches of this read's chunks.
@@ -387,33 +404,30 @@ class RemoraRead:
         if not chunk_list:
             return
         motif_seqs, motif_offsets = zip(*md["motifs"])
+        widest = max(c.seq_len for c in chunk_list)
+        staging_meta = DatasetMetadata(
+            allocate_size=len(chunk_list),
+            mod_bases=md["mod_bases"],
+            mod_long_names=md["mod_long_names"],
+            max_seq_len=widest,
+            kmer_context_bases=md["kmer_context_bases"],
+            chunk_context=md["chunk_context"],
+            motif_sequences=list(motif_seqs),
+            motif_offsets=list(motif_offsets),
+            extra_arrays={"read_focus_bases": ("int64", "")},
+        )
         staging = CoreDataset(
             mode="w",
-            metadata=DatasetMetadata(
-                allocate_size=len(chunk_list),
-                max_seq_len=max(c.seq_len for c in chunk_list),
-                chunk_context=md["chunk_context"],
-                kmer_context_bases=md["kmer_context_bases"],
-                mod_bases=md["mod_bases"],
-                mod_long_names=md["mod_long_names"],
-                motif_sequences=list(motif_seqs),
-                motif_offsets=list(motif_offsets),
-                extra_arrays={"read_focus_bases": ("int64", "")},
-            ),
+            metadata=staging_meta,
             batch_size=batch_size,
             super_batch_size=len(chunk_list),
             infinite_iter=False,
         )
         for chunk in chunk_list:
             staging.write_chunk(chunk)
+        cols = ("signal", "enc_kmers", "labels", "read_focus_bases")
         self.batches = [
-            (
-                batch["signal"],
-                batch["enc_kmers"],
-                batch["labels"],
-                batch["read_focus_bases"],
-            )
-            for batch in staging
+            tuple(batch[c] for c in cols) for batch in staging
         ]
 
     def run_model(self, eval_fn):
@@ -428,7 +442,7 @@ class RemoraRead:
             (outputs (ncalls, nlab), labels, read positions)
         """
         per_batch = []
-        for sigs, enc_kmers, labels, read_pos in self.batches:
+        for sigs, enc_kmers, labels, positions in self.batches:
             n = sigs.shape[0]
             bucket = 1 << max(0, (n - 1)).bit_length()
             if bucket != n:
@@ -441,7 +455,7 @@ class RemoraRead:
                 out = np.asarray(eval_fn(pad_s, pad_k))[:n]
             else:
                 out = np.asarray(eval_fn(sigs, enc_kmers))
-            per_batch.append((out, labels, read_pos))
+            per_batch.append((out, labels, positions))
         outs, labs, poss = zip(*per_batch)
         return (
             np.concatenate(outs, axis=0),

@@ -104,24 +104,26 @@ class Read:
         mad = np.median(np.abs(pa - self.shift_pa_to_norm))
         self.scale_pa_to_norm = max(1.0, mad * factor)
 
-    @property
-    def shift_dacs_to_zc_pa(self):
-        if None in (
+    def _zc_factors(self):
+        triple = (
             self.shift_dacs_to_pa,
             self.scale_dacs_to_pa,
             self.shift_pa_to_zc_pa,
-        ):
-            raise RemoraError("Zero-centered pA scaling factors not set")
-        return (
-            self.shift_dacs_to_pa
-            + self.scale_dacs_to_pa * self.shift_pa_to_zc_pa
+            self.scale_pa_to_zc_pa,
         )
+        if any(v is None for v in triple):
+            raise RemoraError("Zero-centered pA scaling factors not set")
+        return triple
+
+    @property
+    def shift_dacs_to_zc_pa(self):
+        d2p_shift, d2p_scale, zc_shift, _ = self._zc_factors()
+        return d2p_shift + d2p_scale * zc_shift
 
     @property
     def scale_dacs_to_zc_pa(self):
-        if None in (self.scale_dacs_to_pa, self.scale_pa_to_zc_pa):
-            raise RemoraError("Zero-centered pA scaling factors not set")
-        return self.scale_dacs_to_pa * self.scale_pa_to_zc_pa
+        _, d2p_scale, _, zc_scale = self._zc_factors()
+        return d2p_scale * zc_scale
 
     _SIG_DOMAINS = {
         "norm": "norm_signal",
@@ -139,23 +141,24 @@ class Read:
     # --- basic geometry ---
     @property
     def sig_len(self):
-        if self._sig_len is not None:
-            return self._sig_len
-        if self.dacs is not None:
-            self._sig_len = len(self.dacs)
-        return self._sig_len
+        cached = self._sig_len
+        if cached is None and self.dacs is not None:
+            cached = self._sig_len = self.dacs.size
+        return cached
+
+    @staticmethod
+    def _anchor_len(mapping, sequence):
+        if mapping is not None:
+            return mapping.size - 1
+        return None if sequence is None else len(sequence)
 
     @property
     def seq_len(self):
-        if self.query_to_signal is not None:
-            return self.query_to_signal.size - 1
-        return None if self.seq is None else len(self.seq)
+        return self._anchor_len(self.query_to_signal, self.seq)
 
     @property
     def ref_seq_len(self):
-        if self.ref_to_signal is not None:
-            return self.ref_to_signal.size - 1
-        return None if self.ref_seq is None else len(self.ref_seq)
+        return self._anchor_len(self.ref_to_signal, self.ref_seq)
 
     @property
     def child_read_id(self):
@@ -178,23 +181,23 @@ class Read:
     # --- alignment attachment, decomposed into steps ---
     def _trim_signal(self, tags, reverse_signal):
         """Apply split-read (sp) and adapter (ts/ns) signal trims."""
-        dacs = self.dacs[::-1] if reverse_signal else self.dacs
-        dacs = dacs[tags.get("sp", 0) :]
-        dacs = dacs[tags.get("ts", 0) : tags.get("ns", dacs.size)]
-        self.dacs = dacs[::-1] if reverse_signal else dacs
+        sig = self.dacs if not reverse_signal else self.dacs[::-1]
+        sig = sig[tags.get("sp", 0) :]
+        lo, hi = tags.get("ts", 0), tags.get("ns", sig.size)
+        sig = sig[lo:hi]
+        self.dacs = sig if not reverse_signal else sig[::-1]
         self._sig_len = None
 
     def _check_identity(self, alignment_record, tags):
         """Verify record/read identity, tracking split-read children."""
         record_id = alignment_record.query_name
         parent_id = tags.get("pi")
-        if parent_id is None:
-            if record_id != self.read_id:
-                raise RemoraError("Read IDs mismatch")
-            return
-        if parent_id != self.read_id:
-            raise RemoraError("Split read IDs mismatch")
-        self._child_read_id = record_id
+        expect = record_id if parent_id is None else parent_id
+        if expect != self.read_id:
+            kind = "Record" if parent_id is None else "Split-read parent"
+            raise RemoraError(f"{kind} ID does not match signal read ID")
+        if parent_id is not None:
+            self._child_read_id = record_id
 
     def _attach_moves(self, tags, reverse_signal):
         if "mv" not in tags:
@@ -206,12 +209,13 @@ class Read:
         mv_tag = tags["mv"]
         self.stride = int(mv_tag[0])
         self.mv_table = np.asarray(mv_tag[1:])
+        nbases = len(self.seq)
         self.query_to_signal = coords.parse_move_table(
             self.stride,
             self.mv_table,
-            sig_len=self.sig_len,
-            seq_len=len(self.seq),
+            seq_len=nbases,
             reverse_signal=reverse_signal,
+            sig_len=self.sig_len,
         )
 
     def _attach_norm_scaling(self, tags):
@@ -220,41 +224,43 @@ class Read:
             self.compute_pa_to_norm_scaling()
         else:
             self.shift_pa_to_norm, self.scale_pa_to_norm = sm, sd
+        d2p_shift, d2p_scale = self.shift_dacs_to_pa, self.scale_dacs_to_pa
         self.shift_dacs_to_norm = (
-            self.shift_dacs_to_pa
-            + self.scale_dacs_to_pa * self.shift_pa_to_norm
+            d2p_shift + d2p_scale * self.shift_pa_to_norm
         )
-        self.scale_dacs_to_norm = self.scale_dacs_to_pa * self.scale_pa_to_norm
+        self.scale_dacs_to_norm = d2p_scale * self.scale_pa_to_norm
 
     def _attach_reference(self, alignment_record):
         mapped_reverse = alignment_record.is_reverse
+        strand = "-" if mapped_reverse else "+"
         self.ref_reg = RefRegion(
             alignment_record.reference_name,
-            "-" if mapped_reverse else "+",
+            strand,
             alignment_record.reference_start,
         )
         try:
-            self.ref_seq = alignment_record.get_reference_sequence().upper()
+            md_seq = alignment_record.get_reference_sequence()
         except (ValueError, KeyError):
             LOGGER.debug(
                 "Could not extract reference sequence — missing MD tags?"
             )
-            self.ref_seq = None
-        self.cigar = alignment_record.cigartuples
+            md_seq = None
+        self.ref_seq = md_seq.upper() if md_seq is not None else None
+        cig = alignment_record.cigartuples
         if mapped_reverse:
+            cig = cig[::-1]
             if self.ref_seq is not None:
                 self.ref_seq = sequtil.revcomp(self.ref_seq)
-            self.cigar = self.cigar[::-1]
-        if None in (self.ref_reg.ctg, self.ref_seq) or (
-            self.query_to_signal is None
-        ):
+        self.cigar = cig
+        needed = (self.ref_reg.ctg, self.ref_seq, self.query_to_signal)
+        if any(v is None for v in needed):
             return
         self.ref_to_signal = coords.compute_ref_to_signal(
-            query_to_signal=self.query_to_signal, cigar=self.cigar
+            cigar=self.cigar, query_to_signal=self.query_to_signal
         )
-        if self.ref_to_signal.size != len(self.ref_seq) + 1:
-            raise RemoraError("Discordant ref seq lengths")
-        self.ref_reg.end = self.ref_reg.start + self.ref_seq_len
+        self._check_ref_map_len()
+        reg = self.ref_reg
+        reg.end = reg.start + self.ref_seq_len
 
     def add_alignment(
         self,
@@ -266,8 +272,10 @@ class Read:
         """Attach a BamRecord: trims, move table, scaling tags, ref mapping."""
         if pa_scaling is not None:
             self.shift_pa_to_zc_pa, self.scale_pa_to_zc_pa = pa_scaling
-        if alignment_record.reference_name is None and alignment_record.is_reverse:
-            raise RemoraError("Unmapped reads cannot map to reverse strand.")
+        if alignment_record.is_reverse and (
+            alignment_record.reference_name is None
+        ):
+            raise RemoraError("Reverse-strand record with no mapping")
         if self.dacs is None:
             raise RemoraError("Signal must be attached before an alignment")
         self.full_align = alignment_record
@@ -275,9 +283,12 @@ class Read:
         tags = alignment_record.tag_dict()
         self._trim_signal(tags, reverse_signal)
         self._check_identity(alignment_record, tags)
-        self.seq = alignment_record.query_sequence
-        if alignment_record.is_reverse:
-            self.seq = sequtil.revcomp(self.seq)
+        basecalls = alignment_record.query_sequence
+        self.seq = (
+            sequtil.revcomp(basecalls)
+            if alignment_record.is_reverse
+            else basecalls
+        )
         self._attach_moves(tags, reverse_signal)
         self._attach_norm_scaling(tags)
         if parse_ref_align and not alignment_record.is_unmapped:
@@ -289,11 +300,12 @@ class Read:
 
         remora_tpu Calibration is already in (x - shift) / scale form."""
         sig = pod5_read.signal
+        cal = pod5_read.calibration
         return cls(
             str(pod5_read.read_id),
-            dacs=sig[::-1] if rev_sig else sig,
-            shift_dacs_to_pa=pod5_read.calibration.offset,
-            scale_dacs_to_pa=pod5_read.calibration.scale,
+            dacs=sig if not rev_sig else sig[::-1],
+            shift_dacs_to_pa=cal.offset,
+            scale_dacs_to_pa=cal.scale,
             **extra,
         )
 
@@ -304,20 +316,26 @@ class Read:
     ):
         read = cls.from_pod5_record(pod5_read_record, rev_sig=reverse_signal)
         read.add_alignment(
-            alignment_record, reverse_signal=reverse_signal, pa_scaling=pa_scaling
+            alignment_record,
+            pa_scaling=pa_scaling,
+            reverse_signal=reverse_signal,
         )
         return read
+
+    def _check_ref_map_len(self):
+        want = len(self.ref_seq) + 1
+        if self.ref_to_signal.size != want:
+            raise RemoraError("ref mapping length disagrees with ref seq")
 
     def _ensure_ref_to_signal(self):
         if self.ref_to_signal is not None:
             return
-        if self.cigar is None or self.ref_seq is None:
+        if None in (self.cigar, self.ref_seq):
             raise RemoraError("Missing reference alignment")
         self.ref_to_signal = coords.compute_ref_to_signal(
             self.query_to_signal, self.cigar
         )
-        if self.ref_to_signal.size != len(self.ref_seq) + 1:
-            raise RemoraError("Discordant ref seq lengths")
+        self._check_ref_map_len()
 
     def into_remora_read(self, use_reference_anchor):
         """Extract the data-layer RemoraRead (ref- or basecall-anchored)."""
@@ -329,52 +347,52 @@ class Read:
             self._ensure_ref_to_signal()
             anchor_map, anchor_seq = self.ref_to_signal, self.ref_seq
 
-        use_zc = (
-            self.shift_pa_to_zc_pa is not None
-            and self.scale_pa_to_zc_pa is not None
-        )
-        remora_read = RemoraRead(
-            dacs=self.dacs[anchor_map[0] : anchor_map[-1]],
-            shift=self.shift_dacs_to_zc_pa if use_zc else self.shift_dacs_to_norm,
-            scale=self.scale_dacs_to_zc_pa if use_zc else self.scale_dacs_to_norm,
-            seq_to_sig_map=anchor_map - anchor_map[0],
+        if None in (self.shift_pa_to_zc_pa, self.scale_pa_to_zc_pa):
+            shift, scale = self.shift_dacs_to_norm, self.scale_dacs_to_norm
+        else:
+            shift, scale = self.shift_dacs_to_zc_pa, self.scale_dacs_to_zc_pa
+        lo = anchor_map[0]
+        bridged = RemoraRead(
+            dacs=self.dacs[lo : anchor_map[-1]],
+            shift=shift,
+            scale=scale,
+            seq_to_sig_map=anchor_map - lo,
             str_seq=anchor_seq,
             read_id=self.read_id,
         )
-        remora_read.check()
-        return remora_read
+        bridged.check()
+        return bridged
 
     def set_refine_signal_mapping(self, sig_map_refiner, ref_mapping=False):
         """Refine the basecall- or reference-anchored signal mapping in place."""
         if sig_map_refiner is None:
             return
-        remora_read = self.into_remora_read(ref_mapping)
-        remora_read.refine_signal_mapping(sig_map_refiner)
+        bridged = self.into_remora_read(ref_mapping)
+        bridged.refine_signal_mapping(sig_map_refiner)
         map_attr = "ref_to_signal" if ref_mapping else "query_to_signal"
         current_map = getattr(self, map_attr)
         if current_map is None:
             raise RemoraError(f"Missing {map_attr} (move table)")
-        setattr(self, map_attr, remora_read.seq_to_sig_map + current_map[0])
+        setattr(self, map_attr, bridged.seq_to_sig_map + current_map[0])
         # fold refined norm params back through the pA domain
-        self.shift_dacs_to_norm = remora_read.shift
-        self.scale_dacs_to_norm = remora_read.scale
-        self.shift_pa_to_norm = (
-            remora_read.shift - self.shift_dacs_to_pa
-        ) / self.scale_dacs_to_pa
-        self.scale_pa_to_norm = remora_read.scale / self.scale_dacs_to_pa
+        d2p_shift, d2p_scale = self.shift_dacs_to_pa, self.scale_dacs_to_pa
+        self.shift_dacs_to_norm = bridged.shift
+        self.scale_dacs_to_norm = bridged.scale
+        self.shift_pa_to_norm = (bridged.shift - d2p_shift) / d2p_scale
+        self.scale_pa_to_norm = bridged.scale / d2p_scale
 
     # --- focus position selection ---
     def get_filtered_focus_positions(self, select_focus_positions):
         """Read-relative positions from a (ctg, strand)->set lookup."""
-        if self.ref_reg is None or self.ref_seq is None:
+        reg = self.ref_reg
+        if reg is None or self.ref_seq is None:
             raise RemoraError(
                 "Focus position selection requires a reference mapping"
             )
-        reg = self.ref_reg
         ref_len = len(self.ref_seq)
         focus_set = select_focus_positions.get((reg.ctg, reg.strand))
         if focus_set is None:
-            return np.array([], dtype=int)
+            return np.empty(0, dtype=int)
         within = focus_set.intersection(range(reg.start, reg.start + ref_len))
         hits = np.array(sorted(within), dtype=int)
         if reg.strand == "+":
@@ -386,8 +404,10 @@ class Read:
     ):
         """Basecall positions whose reference mates hit a motif/BED site."""
         if self.cigar is None:
-            raise RemoraError("missing alignment")
-        bc_focus = sequtil.find_focus_bases(sequtil.seq_to_int(self.seq), motifs)
+            raise RemoraError("no alignment attached")
+        bc_focus = sequtil.find_focus_bases(
+            sequtil.seq_to_int(self.seq), motifs
+        )
         if select_focus_reference_positions is None:
             ref_focus = sequtil.find_focus_bases(
                 sequtil.seq_to_int(self.ref_seq), motifs
@@ -422,17 +442,17 @@ class Read:
                                 signal_type="norm"):
         if self.query_to_signal is None:
             raise RemoraError("No query_to_signal mapping (mv tag missing?)")
-        start_base = start_base or 0
-        end_base = end_base or self.seq_len
-        reg_map = self.query_to_signal[start_base : end_base + 1].copy()
+        lo = start_base or 0
+        hi = end_base or self.seq_len
+        reg_map = np.array(self.query_to_signal[lo : hi + 1])
         sig_start = reg_map[0]
         reg_sig = self.get_sig_type(signal_type)[sig_start : reg_map[-1]]
         return ReadBasecallRegion(
             self.read_id,
             reg_sig,
-            self.seq[start_base:end_base],
+            self.seq[lo:hi],
             reg_map - sig_start,
-            start_base,
+            lo,
             sig_start=sig_start,
         )
 
@@ -440,10 +460,9 @@ class Read:
         if self.ref_to_signal is None:
             raise RemoraError("No ref_to_signal mapping (unaligned read?)")
         read_reg = self.ref_reg
-        if ref_reg.start >= read_reg.start + self.ref_seq_len:
-            raise RemoraError("Reference region starts after read ends")
-        if ref_reg.end < read_reg.start:
-            raise RemoraError("Reference region ends before read starts")
+        read_hi = read_reg.start + self.ref_seq_len
+        if not (read_reg.start <= ref_reg.end and ref_reg.start < read_hi):
+            raise RemoraError("requested region misses the read span")
 
         win_lo, win_hi = self._strand_window(ref_reg)
         win_lo = max(win_lo, 0)
@@ -477,19 +496,23 @@ class Read:
         """Mapping slice for a region + NaN-pad amounts at the edges."""
         if not ref_anchored:
             if self.query_to_signal is None:
-                raise RemoraError("No query_to_signal mapping (mv tag missing?)")
-            if region.start < 0 or region.start > self.seq_len:
-                raise RemoraError("Region does not overlap read.")
+                raise RemoraError(
+                    "No query_to_signal mapping (mv tag missing?)"
+                )
+            if not 0 <= region.start <= self.seq_len:
+                raise RemoraError("region outside basecalls")
             return self.query_to_signal[region.start : region.end], 0, 0
         if self.ref_to_signal is None:
             raise RemoraError("No ref_to_signal mapping (unaligned read?)")
-        if (
-            self.ref_reg.ctg != region.ctg
-            or self.ref_reg.strand != region.strand
-        ):
-            raise RemoraError("Region contig/strand do not match read")
-        if region.start >= self.ref_reg.end or self.ref_reg.start >= region.end:
-            raise RemoraError("Region does not overlap read.")
+        mine = (self.ref_reg.ctg, self.ref_reg.strand)
+        if mine != (region.ctg, region.strand):
+            raise RemoraError("region contig/strand differ from the read")
+        overlaps = (
+            region.start < self.ref_reg.end
+            and self.ref_reg.start < region.end
+        )
+        if not overlaps:
+            raise RemoraError("region misses the read span")
         win_lo, win_hi = self._strand_window(region)
         pad_lo = max(-win_lo, 0)
         pad_hi = max(win_hi - self.ref_seq_len, 0)
@@ -505,20 +528,20 @@ class Read:
         signal_type="norm",
         **kwargs,
     ):
+        if metric is None and metric_func is None:
+            raise RemoraError("need a metric name or a metric_func")
         if metric is not None:
             metric_func = METRIC_FUNCS[metric]
-        if metric_func is None:
-            raise RemoraError("Must provide either metric or metric_func")
-        if region is None:
+        if region is not None:
+            seq_to_sig, pad_lo, pad_hi = self._region_seq_to_sig(
+                region, ref_anchored
+            )
+        else:
             pad_lo = pad_hi = 0
             attr = "ref_to_signal" if ref_anchored else "query_to_signal"
             seq_to_sig = getattr(self, attr)
             if seq_to_sig is None:
-                raise RemoraError("Missing move table")
-        else:
-            seq_to_sig, pad_lo, pad_hi = self._region_seq_to_sig(
-                region, ref_anchored
-            )
+                raise RemoraError("no move table on this read")
         sig = self.get_sig_type(signal_type)
         metric_values = metric_func(sig, seq_to_sig, **kwargs)
         if pad_lo or pad_hi:
@@ -538,10 +561,8 @@ class Read:
         if self.query_to_signal is None:
             raise RemoraError("requires query_to_signal")
         duplex_seq = duplex_read_alignment.query_sequence
-        if duplex_seq is None:
-            raise RemoraError("no duplex base call sequence?")
-        if len(duplex_seq) <= 0:
-            raise RemoraError("duplex base call sequence is empty string?")
+        if not duplex_seq:
+            raise RemoraError("duplex record carries no basecalls")
         if not duplex_orientation:
             duplex_seq = sequtil.revcomp(duplex_seq)
 
@@ -554,9 +575,7 @@ class Read:
             ref_to_query_knots=mapping.duplex_to_simplex_mapping,
         )
         read.seq = mapping.trimmed_duplex_seq
-        read.ref_seq = None
-        read.ref_to_signal = None
-        read.ref_reg = None
+        read.ref_seq = read.ref_to_signal = read.ref_reg = None
         return read, mapping.duplex_offset
 
 
@@ -578,11 +597,13 @@ def iter_signal(pod5_path, num_reads=None, read_ids=None, rev_sig=False,
         extra = dict(
             zip(("shift_pa_to_zc_pa", "scale_pa_to_zc_pa"), pa_scaling)
         )
+    remaining = num_reads if num_reads is not None else -1
     with DatasetReader(pod5_path) as pod5_dr:
-        for read_num, pod5_read in enumerate(pod5_dr.reads(selection=read_ids)):
-            if num_reads is not None and read_num >= num_reads:
+        for pod5_read in pod5_dr.reads(selection=read_ids):
+            if remaining == 0:
                 LOGGER.debug(f"Signal worker hit read limit ({num_reads})")
                 return
+            remaining -= 1
             yield Read.from_pod5_record(pod5_read, rev_sig, **extra), None
     LOGGER.debug("Completed signal worker")
 
@@ -598,14 +619,18 @@ def extract_alignments(read_err, bam_idx, rev_sig=False, pa_scaling=None):
             candidate = source_read.copy()
             try:
                 candidate.add_alignment(
-                    bam_read, reverse_signal=rev_sig, pa_scaling=pa_scaling
+                    bam_read,
+                    pa_scaling=pa_scaling,
+                    reverse_signal=rev_sig,
                 )
             except RemoraError as e:
-                LOGGER.debug(f"{source_read.read_id} alignment attach: {e}")
+                LOGGER.debug(
+                    f"attach failed ({source_read.read_id}): {e}"
+                )
                 joined.append((candidate, str(e)))
             else:
                 joined.append((candidate, None))
     except RemoraError as e:
-        LOGGER.debug(f"{source_read.read_id} alignment attach: {e}")
+        LOGGER.debug(f"attach failed ({source_read.read_id}): {e}")
         return [(source_read, str(e))]
     return joined

