@@ -11,11 +11,16 @@ import dataclasses
 import json
 import os
 from copy import deepcopy
-from typing import Optional
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from remora_tpu import RemoraError, constants
+from remora_tpu.constants import (
+    DEFAULT_CHUNK_CONTEXT,
+    DEFAULT_KMER_CONTEXT_BASES,
+    DEFAULT_ROUGH_RESCALE_METHOD,
+)
 from remora_tpu.core.seq import Motif
 from remora_tpu.refine.refiner import SigMapRefiner
 
@@ -41,34 +46,41 @@ def jsonify_numpy(obj):
 @dataclasses.dataclass
 class DatasetMetadata:
     """Travels with data and model so inference extracts chunks exactly
-    as data preparation did."""
+    as data preparation did.
 
-    # dataset attributes
-    allocate_size: int
-    max_seq_len: int
-    # labels
-    mod_bases: list
-    mod_long_names: list
-    # chunk extract
-    motif_sequences: list
-    motif_offsets: list
+    Derived views (widths, shapes, label lists) are not spelled out as
+    one property per name; they resolve through the ``_DERIVED`` rule
+    table via ``__getattr__``.
+    """
 
-    dataset_start: int = 0
-    dataset_end: int = 0
-    version: int = DATASET_VERSION
-    modified_base_labels: bool = True
-    extra_arrays: Optional[dict] = None
-    chunk_context: tuple = constants.DEFAULT_CHUNK_CONTEXT
-    base_start_justify: bool = False
-    offset: int = 0
-    kmer_context_bases: tuple = constants.DEFAULT_KMER_CONTEXT_BASES
-    reverse_signal: bool = False
-    pa_scaling: Optional[tuple] = None
+    # store geometry
+    allocate_size: "int"
+    max_seq_len: "int"
+    # label classes
+    mod_bases: Sequence[str]
+    mod_long_names: Sequence[str]
+    # extraction sites
+    motif_sequences: Sequence[str]
+    motif_offsets: Sequence[int]
+
+    # live row window + format version
+    dataset_start: "int" = 0
+    dataset_end: "int" = 0
+    version: "int" = DATASET_VERSION
+    # extraction hyperparameters (travel with the data)
+    modified_base_labels: "bool" = True
+    extra_arrays: Optional[Dict[str, tuple]] = None
+    chunk_context: Tuple[int, int] = DEFAULT_CHUNK_CONTEXT
+    base_start_justify: "bool" = False
+    offset: "int" = 0
+    kmer_context_bases: Tuple[int, int] = DEFAULT_KMER_CONTEXT_BASES
+    reverse_signal: "bool" = False
+    pa_scaling: Optional[Tuple[float, float]] = None
     sig_map_refiner: Optional[SigMapRefiner] = None
-    rough_rescale_method: str = constants.DEFAULT_ROUGH_RESCALE_METHOD
+    rough_rescale_method: "str" = DEFAULT_ROUGH_RESCALE_METHOD
 
-    _stored_kmer_context_bases: Optional[tuple] = None
-    _stored_chunk_context: Optional[tuple] = None
+    _stored_kmer_context_bases: Optional[Tuple[int, int]] = None
+    _stored_chunk_context: Optional[Tuple[int, int]] = None
 
     def __post_init__(self):
         # accept "mh"-style strings, single-letter lists, or ChEBI int lists
@@ -89,58 +101,13 @@ class DatasetMetadata:
                 setattr(self, attr, tuple(val))
         self.check_motifs()
 
-    # --- context windows (requested vs stored-on-disk) ---
-    @property
-    def stored_chunk_context(self):
-        return self._stored_chunk_context or self.chunk_context
-
-    @property
-    def chunk_context_adjusted(self):
-        return self.chunk_context != self.stored_chunk_context
-
-    @property
-    def chunk_width(self):
-        before, after = self.chunk_context
-        return before + after
-
-    @property
-    def stored_chunk_width(self):
-        before, after = self.stored_chunk_context
-        return before + after
-
-    @property
-    def stored_kmer_context_bases(self):
-        return self._stored_kmer_context_bases or self.kmer_context_bases
-
-    @property
-    def kmer_context_bases_adjusted(self):
-        return self.kmer_context_bases != self.stored_kmer_context_bases
-
-    @property
-    def kmer_len(self):
-        before, after = self.kmer_context_bases
-        return before + after + 1
-
-    # --- labels / motifs ---
-    @property
-    def labels(self):
-        return ["control", *self.mod_long_names]
-
-    @property
-    def num_labels(self):
-        return 1 + len(self.mod_long_names)
-
-    @property
-    def motifs(self):
-        return [*zip(self.motif_sequences, self.motif_offsets)]
-
-    @property
-    def num_motifs(self):
-        return len(self.motif_sequences)
-
-    @property
-    def size(self):
-        return self.dataset_end - self.dataset_start
+    def __getattr__(self, name):
+        rule = _DERIVED.get(name)
+        if rule is None:
+            raise AttributeError(
+                f"{type(self).__name__!r} object has no attribute {name!r}"
+            )
+        return rule(self)
 
     def check_motifs(self):
         motifs = [Motif(*mot) for mot in self.motifs]
@@ -155,69 +122,33 @@ class DatasetMetadata:
                 f"{set(m.focus_base for m in motifs)}"
             )
 
-    # --- core array geometry (v3 on-disk layout) ---
-    # per-chunk widths of the ragged arrays
-    @property
-    def sequence_width(self):
-        kb, ka = self.stored_kmer_context_bases
-        return self.max_seq_len + kb + ka
-
-    @property
-    def sequence_to_signal_mapping_width(self):
-        return self.max_seq_len + 1
-
-    # full allocated array shapes, one per core on-disk array
-    @property
-    def sequence_lengths_shape(self):
-        return (self.allocate_size,)
-
-    labels_shape = sequence_lengths_shape
-    extras_shape = sequence_lengths_shape
-
-    @property
-    def signal_shape(self):
-        return (self.allocate_size, 1, self.stored_chunk_width)
-
-    @property
-    def sequence_shape(self):
-        return (self.allocate_size, self.sequence_width)
-
-    @property
-    def sequence_to_signal_mapping_shape(self):
-        return (self.allocate_size, self.sequence_to_signal_mapping_width)
-
-    @property
-    def extra_array_names(self):
-        return list(self.extra_arrays) if self.extra_arrays else []
-
     @property
     def extra_array_dtypes_and_shapes(self):
-        if not self.extra_arrays:
-            return []
+        shape = self.extras_shape
         return [
-            (name, dtype, self.extras_shape)
-            for name, (dtype, _desc) in self.extra_arrays.items()
+            (name, dtype, shape)
+            for name, (dtype, _desc) in (self.extra_arrays or {}).items()
         ]
 
     # --- (de)serialization ---
-    def asdict(self):
-        flat = dataclasses.asdict(self)
-        flat.pop("sig_map_refiner")
-        if self.sig_map_refiner is not None:
-            flat.update(self.sig_map_refiner.asdict())
-        return flat
-
     def copy(self):
         return deepcopy(self)
+
+    def asdict(self):
+        flat = dataclasses.asdict(self)
+        del flat["sig_map_refiner"]
+        refiner = self.sig_map_refiner
+        if refiner is not None:
+            flat.update(refiner.asdict())
+        return flat
 
     def write(self, metadata_path, kmer_table_path=None):
         """Write metadata.jsn (levels go to the .npy sidecar)."""
         record = self.asdict()
-        if record.get("refine_kmer_levels") is not None:
-            # large level table goes to the .npy sidecar, not the JSON
-            levels = record.pop("refine_kmer_levels")
-            if kmer_table_path is not None:
-                np.save(kmer_table_path, levels, allow_pickle=False)
+        levels = record.pop("refine_kmer_levels", None)
+        # the large level table goes to the .npy sidecar, not the JSON
+        if levels is not None and kmer_table_path is not None:
+            np.save(kmer_table_path, levels, allow_pickle=False)
         with open(metadata_path, "w") as fh:
             json.dump(record, fh, default=jsonify_numpy)
 
@@ -229,8 +160,8 @@ class DatasetMetadata:
         found_version = record.get("version")
         if found_version != DATASET_VERSION:
             raise RemoraError(
-                f"Remora dataset version ({found_version}) does not "
-                f"match current distribution ({DATASET_VERSION})"
+                f"unsupported dataset version {found_version} "
+                f"(this build reads v{DATASET_VERSION})"
             )
         if kmer_table_path is not None and os.path.exists(kmer_table_path):
             record["refine_kmer_levels"] = np.load(kmer_table_path)
@@ -239,6 +170,50 @@ class DatasetMetadata:
                 record["refine_sd_arr"], np.float32
             )
         record["sig_map_refiner"] = SigMapRefiner.load_from_metadata(record)
-        for key in [k for k in record if k.startswith("refine_")]:
-            del record[key]
+        refine_keys = [k for k in record if k.startswith("refine_")]
+        for key in refine_keys:
+            record.pop(key)
         return record
+
+
+def _alloc_rows(meta, *trailing):
+    """Allocated array shape: one leading row per chunk."""
+    return (meta.allocate_size,) + trailing
+
+
+# Derived attribute -> rule computing it from the stored fields. Split in
+# blocks: requested-vs-stored context windows, label/motif views, and the
+# v3 on-disk array geometry (per-chunk ragged widths + full allocations).
+_DERIVED = {
+    # context windows (requested vs stored-on-disk)
+    "stored_chunk_context":
+        lambda m: m._stored_chunk_context or m.chunk_context,
+    "stored_kmer_context_bases":
+        lambda m: m._stored_kmer_context_bases or m.kmer_context_bases,
+    "chunk_context_adjusted":
+        lambda m: m.chunk_context != m.stored_chunk_context,
+    "kmer_context_bases_adjusted":
+        lambda m: m.kmer_context_bases != m.stored_kmer_context_bases,
+    "chunk_width": lambda m: sum(m.chunk_context),
+    "stored_chunk_width": lambda m: sum(m.stored_chunk_context),
+    "kmer_len": lambda m: 1 + sum(m.kmer_context_bases),
+    # labels / motifs
+    "labels": lambda m: ["control"] + list(m.mod_long_names),
+    "num_labels": lambda m: 1 + len(m.mod_long_names),
+    "motifs": lambda m: list(zip(m.motif_sequences, m.motif_offsets)),
+    "num_motifs": lambda m: len(m.motif_sequences),
+    "size": lambda m: m.dataset_end - m.dataset_start,
+    # per-chunk widths of the ragged arrays
+    "sequence_width":
+        lambda m: m.max_seq_len + sum(m.stored_kmer_context_bases),
+    "sequence_to_signal_mapping_width": lambda m: m.max_seq_len + 1,
+    # full allocated array shapes, one per core on-disk array
+    "sequence_lengths_shape": _alloc_rows,
+    "labels_shape": _alloc_rows,
+    "extras_shape": _alloc_rows,
+    "signal_shape": lambda m: _alloc_rows(m, 1, m.stored_chunk_width),
+    "sequence_shape": lambda m: _alloc_rows(m, m.sequence_width),
+    "sequence_to_signal_mapping_shape":
+        lambda m: _alloc_rows(m, m.sequence_to_signal_mapping_width),
+    "extra_array_names": lambda m: list(m.extra_arrays or ()),
+}

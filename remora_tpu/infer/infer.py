@@ -9,6 +9,8 @@ compiled batch size so XLA never recompiles mid-stream.
 
 import array
 import os
+import sys
+import time
 from collections import defaultdict
 from threading import Thread
 
@@ -65,6 +67,27 @@ def _maybe_profile(prof_path):
     return outer
 
 
+def _chunks_for_model(remora_read, md, motifs):
+    """Padded chunk-array dict for one canonical-base model, or None when
+    the read yields no focus hits for its motifs."""
+    from remora_tpu.data.chunk_batch import extract_chunks_batch
+
+    mdl_read = remora_read.copy()
+    mdl_read.set_motif_focus_bases(motifs)
+    mdl_read.refine_signal_mapping(md["sig_map_refiner"])
+    # per-read padded widths bounded by the chunk width
+    result = extract_chunks_batch(
+        mdl_read,
+        md["chunk_context"],
+        md["kmer_context_bases"],
+        md["chunk_len"] + 2,
+        base_start_justify=md["base_start_justify"],
+        offset=md["offset"],
+        motifs=motifs,
+    )
+    return None if result is None else result[0]
+
+
 def prepare_reads(read_errs, models_metadata, ref_anchored):
     """Vectorized chunk extraction per read per canonical-base model.
 
@@ -72,57 +95,58 @@ def prepare_reads(read_errs, models_metadata, ref_anchored):
     per-chunk Python loop — the reference's hottest inference host stage
     (``inference.py:62–137``).
     """
-    from remora_tpu.data.chunk_batch import extract_chunks_batch
-
     motifs = {
         md["can_base"]: [Motif(*mot) for mot in md["motifs"]]
         for md in models_metadata
     }
     prepped = []
-
-    def emit_failure(io_read, why, log_it=True):
-        if log_it:
-            LOGGER.debug(f"{io_read.child_read_id} {why}")
-        prepped.append((io_read, None, why))
-
     for io_read, err in read_errs:
+        if err is None:
+            try:
+                remora_read = io_read.into_remora_read(ref_anchored)
+            except RemoraError as e:
+                err = f"Read prep error: {e}"
+            except Exception as e:  # noqa: BLE001 — keep the stream alive
+                err = f"Unexpected error: {e}"
+        io_read.prune(drop_move_tag=False)
         if err is not None:
-            io_read.prune(drop_move_tag=False)
+            LOGGER.debug(f"{io_read.child_read_id} {err}")
             prepped.append((io_read, None, err))
             continue
-        try:
-            remora_read = io_read.into_remora_read(ref_anchored)
-        except RemoraError as e:
-            io_read.prune(drop_move_tag=False)
-            emit_failure(io_read, f"Read prep error: {e}")
-            continue
-        except Exception as e:
-            io_read.prune(drop_move_tag=False)
-            emit_failure(io_read, f"Unexpected error: {e}")
-            continue
-        io_read.prune(drop_move_tag=False)
         per_base_arrays = {}
         for md in models_metadata:
             cb = md["can_base"]
-            mdl_read = remora_read.copy()
-            mdl_read.set_motif_focus_bases(motifs[cb])
-            mdl_read.refine_signal_mapping(md["sig_map_refiner"])
-            # per-read padded widths bounded by the chunk width
-            result = extract_chunks_batch(
-                mdl_read,
-                md["chunk_context"],
-                md["kmer_context_bases"],
-                md["chunk_len"] + 2,
-                base_start_justify=md["base_start_justify"],
-                offset=md["offset"],
-                motifs=motifs[cb],
-            )
-            if result is None:
-                emit_failure(io_read, f"No {cb} mod calls")
-                continue
-            per_base_arrays[cb] = result[0]
+            chunks = _chunks_for_model(remora_read, md, motifs[cb])
+            if chunks is None:
+                why = f"No {cb} mod calls"
+                LOGGER.debug(f"{io_read.child_read_id} {why}")
+                prepped.append((io_read, None, why))
+            else:
+                per_base_arrays[cb] = chunks
         prepped.append((io_read, per_base_arrays, None))
     return prepped
+
+
+def _host_featurize(arrays):
+    """Legacy eval-fn inputs: host-side one-hot k-mer features."""
+    from remora_tpu.data.encoded_kmers import compute_encoded_kmer_batch
+
+    span = (
+        arrays["sequence"].shape[1]
+        - arrays["sequence_to_signal_mapping"].shape[1]
+        + 1
+    )
+    return {
+        "signal": arrays["signal"],
+        "enc_kmers": compute_encoded_kmer_batch(
+            span // 2,
+            span - span // 2,
+            arrays["sequence"],
+            arrays["sequence_to_signal_mapping"],
+            arrays["sequence_lengths"],
+        ),
+        "read_focus_bases": arrays["read_focus_bases"],
+    }
 
 
 def prep_nn_input(read_errs, raw=False):
@@ -131,238 +155,251 @@ def prep_nn_input(read_errs, raw=False):
     raw=True passes the compact arrays straight through for on-device
     featurization; raw=False runs the host featurizer (legacy eval fns).
     """
-    from remora_tpu.data.encoded_kmers import (
-        compute_encoded_kmer_batch as host_enc,
-    )
-
     if not read_errs:
         return [(None, None, "No valid mappings")]
-    read_nn_inputs = []
+    out = []
     for io_read, read_arrays, err in read_errs:
         if err is not None:
-            read_nn_inputs.append((io_read, None, err))
+            out.append((io_read, None, err))
             continue
-        bases_chunks = {}
+        per_base = {}
         for can_base, arrays in read_arrays.items():
             if raw:
-                base_chunks = dict(arrays)
-                base_chunks.pop("labels", None)
-            else:
-                # trim the mapping rows so the featurizer sees the true
-                # chunk width from row 0 regardless of padding width
-                base_chunks = {
-                    "signal": arrays["signal"],
-                    "enc_kmers": host_enc(
-                        *_kcb_from_width(arrays),
-                        arrays["sequence"],
-                        arrays["sequence_to_signal_mapping"],
-                        arrays["sequence_lengths"],
-                    ),
-                    "read_focus_bases": arrays["read_focus_bases"],
+                per_base[can_base] = {
+                    k: v for k, v in arrays.items() if k != "labels"
                 }
-            bases_chunks[can_base] = base_chunks
-        read_nn_inputs.append((io_read, bases_chunks, None))
-    return read_nn_inputs
+            else:
+                per_base[can_base] = _host_featurize(arrays)
+        out.append((io_read, per_base, None))
+    return out
 
 
-def _kcb_from_width(arrays):
-    kcb = (
-        arrays["sequence"].shape[1]
-        - (arrays["sequence_to_signal_mapping"].shape[1] - 1)
-    )
-    return kcb // 2, kcb - kcb // 2
+class _BatchAssembler:
+    """Fixed-size batch accumulator for one canonical base.
+
+    Rows from successive reads are packed back to back; a read whose
+    chunks straddle an emission boundary appears in every batch it
+    touches — start offset recorded in the first, ``None`` markers in
+    the rest — which is what lets the unbatcher stitch outputs back
+    together (reference analog ``inference.py:171–262``).
+    """
+
+    def __init__(self, md, batch_size, raw):
+        self.md = md
+        self.batch_size = batch_size
+        self.raw = raw
+        self._reset()
+
+    def _reset(self):
+        nrows, md = self.batch_size, self.md
+        width = md["chunk_len"]
+        if self.raw:
+            # a width-wide signal window covers at most width + 2 bases
+            seq_w = width + 2 + sum(md["kmer_context_bases"])
+            self.inputs = (
+                np.zeros((nrows, 1, width), np.float32),
+                np.full((nrows, seq_w), -1, np.int8),
+                np.zeros((nrows, width + 3), np.int16),
+                np.zeros(nrows, np.int32),
+            )
+        else:
+            self.inputs = (
+                np.empty((nrows, 1, width), np.float32),
+                np.empty((nrows, 4 * md["kmer_len"], width), np.float32),
+            )
+        self.focus = np.empty(nrows, int)
+        self.fill = 0
+        self.members = []
+
+    def _paste(self, chunks, lo, hi):
+        d0, d1 = self.fill, self.fill + (hi - lo)
+        self.inputs[0][d0:d1] = chunks["signal"][lo:hi]
+        if self.raw:
+            seqs = chunks["sequence"][lo:hi]
+            maps = chunks["sequence_to_signal_mapping"][lo:hi]
+            self.inputs[1][d0:d1, : seqs.shape[1]] = seqs
+            self.inputs[2][d0:d1, : maps.shape[1]] = maps
+            self.inputs[3][d0:d1] = chunks["sequence_lengths"][lo:hi]
+        else:
+            self.inputs[1][d0:d1] = chunks["enc_kmers"][lo:hi]
+        self.focus[d0:d1] = chunks["read_focus_bases"][lo:hi]
+
+    def note_error(self, io_read, err):
+        self.members.append([io_read, None, None, err])
+
+    def add(self, io_read, chunks):
+        """Pack one read's rows, yielding each batch they fill."""
+        total = chunks["read_focus_bases"].size
+        placed = 0
+        entry = True
+        while self.fill + (total - placed) >= self.batch_size:
+            take = self.batch_size - self.fill
+            self._paste(chunks, placed, placed + take)
+            self.members.append(
+                [io_read, self.fill if entry else None, None, None]
+            )
+            placed += take
+            entry = False
+            full = (
+                self.md["can_base"], self.inputs, self.focus, self.members
+            )
+            self._reset()
+            yield full
+        self._paste(chunks, placed, total)
+        self.members.append(
+            [
+                io_read,
+                self.fill if entry else None,
+                self.fill + (total - placed),
+                None,
+            ]
+        )
+        self.fill += total - placed
+
+    def drain(self):
+        """The final ragged batch, or None when no rows are pending."""
+        if self.fill == 0:
+            return None
+        live = self.fill
+        return (
+            self.md["can_base"],
+            tuple(a[:live] for a in self.inputs),
+            self.focus[:live],
+            self.members,
+        )
 
 
 def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata,
                 raw=False):
     """Assemble fixed-size batches spanning read boundaries per can_base.
 
-    Emits (can_base, input_arrays_tuple, read_pos, b_reads); with
+    Emits (can_base, input_arrays_tuple, read_pos, members); with
     ``raw=True`` the input tuple is (signal, sequence i8, mapping i16,
     seq_lens i32) padded to model-wide widths for on-device
     featurization, else (signal, enc_kmers).
     """
-    md_dict = {md["can_base"]: md for md in models_metadata}
-    can_bases = list(md_dict)
-
-    def widths(cb):
-        md = md_dict[cb]
-        # a chunk_len-wide window covers at most chunk_len + 2 bases
-        sw = md["chunk_len"] + 2 + sum(md["kmer_context_bases"])
-        mw = md["chunk_len"] + 3
-        return sw, mw
-
-    def new_arrays(cb):
-        md = md_dict[cb]
-        if raw:
-            sw, mw = widths(cb)
-            return (
-                np.zeros((batch_size, 1, md["chunk_len"]), dtype=np.float32),
-                np.full((batch_size, sw), -1, dtype=np.int8),
-                np.zeros((batch_size, mw), dtype=np.int16),
-                np.zeros(batch_size, dtype=np.int32),
-                np.empty(batch_size, dtype=int),
-            )
-        return (
-            np.empty((batch_size, 1, md["chunk_len"]), dtype=np.float32),
-            np.empty(
-                (batch_size, md["kmer_len"] * 4, md["chunk_len"]),
-                dtype=np.float32,
-            ),
-            np.empty(batch_size, dtype=int),
-        )
-
-    def copy_rows(cb, dst, src, d_st, d_en, s_st, s_en):
-        if raw:
-            dst[0][d_st:d_en] = src["signal"][s_st:s_en]
-            seqs = src["sequence"][s_st:s_en]
-            maps = src["sequence_to_signal_mapping"][s_st:s_en]
-            dst[1][d_st:d_en, : seqs.shape[1]] = seqs
-            dst[2][d_st:d_en, : maps.shape[1]] = maps
-            dst[3][d_st:d_en] = src["sequence_lengths"][s_st:s_en]
-            dst[-1][d_st:d_en] = src["read_focus_bases"][s_st:s_en]
-        else:
-            dst[0][d_st:d_en] = src["signal"][s_st:s_en]
-            dst[1][d_st:d_en] = src["enc_kmers"][s_st:s_en]
-            dst[-1][d_st:d_en] = src["read_focus_bases"][s_st:s_en]
-
-    arrs = {cb: new_arrays(cb) for cb in can_bases}
-    b_poss = {cb: 0 for cb in can_bases}
-    b_readss = {cb: [] for cb in can_bases}
+    packers = {
+        md["can_base"]: _BatchAssembler(md, batch_size, raw)
+        for md in models_metadata
+    }
     for read_nn_inputs in prepped_nn_inputs:
         for io_read, bases_chunks, err in read_nn_inputs:
             if err is not None:
-                for cb in can_bases:
-                    b_readss[cb].append([io_read, None, None, err])
+                for packer in packers.values():
+                    packer.note_error(io_read, err)
                 continue
             for cb, r_chunks in bases_chunks.items():
-                num_chunks = r_chunks["read_focus_bases"].size
-                rb_consumed = 0
-                while b_poss[cb] + num_chunks - rb_consumed >= batch_size:
-                    rb_en = rb_consumed + batch_size - b_poss[cb]
-                    copy_rows(
-                        cb, arrs[cb], r_chunks, b_poss[cb], batch_size,
-                        rb_consumed, rb_en,
-                    )
-                    b_st = b_poss[cb] if rb_consumed == 0 else None
-                    b_readss[cb].append([io_read, b_st, None, None])
-                    put_item(
-                        (cb, arrs[cb][:-1], arrs[cb][-1], b_readss[cb]),
-                        batches_q,
-                    )
-                    rb_consumed += batch_size - b_poss[cb]
-                    arrs[cb] = new_arrays(cb)
-                    b_poss[cb] = 0
-                    b_readss[cb] = []
-                b_en = b_poss[cb] + num_chunks - rb_consumed
-                copy_rows(
-                    cb, arrs[cb], r_chunks, b_poss[cb], b_en, rb_consumed,
-                    num_chunks,
-                )
-                b_st = b_poss[cb] if rb_consumed == 0 else None
-                b_readss[cb].append([io_read, b_st, b_en, None])
-                b_poss[cb] = b_en
-    for cb in can_bases:
-        if b_poss[cb] > 0:
-            n = b_poss[cb]
-            put_item(
-                (
-                    cb,
-                    tuple(a[:n] for a in arrs[cb][:-1]),
-                    arrs[cb][-1][:n],
-                    b_readss[cb],
-                ),
-                batches_q,
-            )
+                for full_batch in packers[cb].add(io_read, r_chunks):
+                    put_item(full_batch, batches_q)
+    for packer in packers.values():
+        tail = packer.drain()
+        if tail is not None:
+            put_item(tail, batches_q)
     put_item(StopIteration, batches_q)
 
 
 def run_model_batched(batches_q, called_batches_q, eval_fns, batch_size):
     """Device stage: jitted forward per canonical base, padded last batch."""
     for cb, b_inputs, b_read_pos, b_reads in queue_iter(batches_q):
-        n = b_read_pos.size
-        if n < batch_size:
-            # pad to the compiled shape; slice after
-            padded = []
-            for arr in b_inputs:
-                pad = np.zeros((batch_size,) + arr.shape[1:], dtype=arr.dtype)
-                pad[:n] = arr
-                padded.append(pad)
-            nn_out = np.asarray(eval_fns[cb](*padded))[:n]
-        else:
-            nn_out = np.asarray(eval_fns[cb](*b_inputs))
+        live = b_read_pos.size
+        if live != batch_size:
+            # pad up to the compiled shape; slice the outputs back down
+            b_inputs = tuple(
+                np.concatenate(
+                    [
+                        arr,
+                        np.zeros(
+                            (batch_size - live,) + arr.shape[1:], arr.dtype
+                        ),
+                    ]
+                )
+                for arr in b_inputs
+            )
+        nn_out = np.asarray(eval_fns[cb](*b_inputs))[:live]
         put_item((cb, nn_out, b_read_pos, b_reads), called_batches_q)
     put_item(StopIteration, called_batches_q)
 
 
-def unbatch_reads(carry, b_nn_out, b_read_pos, b_reads):
-    """Reassemble per-read outputs from one batch; ``carry`` holds a read
-    still spanning into the next batch."""
-    finished = []
-    for io_read, b_st, b_en, err in b_reads:
-        if err is not None:
-            if carry is not None:
-                finished.append(carry)
-                carry = None
-            finished.append((io_read, None, None, err))
-            continue
-        if b_st is None:
-            # continuation rows of the carried read
-            if carry is None:
-                raise RemoraError("Unbatching encountered None read")
-            carried_read, prev_out, prev_pos, _ = carry
-            if carried_read.read_id != io_read.read_id:
-                raise RemoraError("Unbatching encountered mismatching reads")
-            carry = (
-                carried_read,
-                np.concatenate([prev_out, b_nn_out[:b_en]], axis=0),
-                np.concatenate([prev_pos, b_read_pos[:b_en]]),
-                None,
-            )
-            continue
-        if carry is not None:
-            finished.append(carry)
-        carry = (io_read, b_nn_out[b_st:b_en], b_read_pos[b_st:b_en], None)
-    return finished, carry
+class _ReadJoiner:
+    """Stitches per-batch output rows back into whole reads, then joins
+    each read's results across the canonical-base models."""
+
+    def __init__(self, models_metadata):
+        self.can_bases = [md["can_base"] for md in models_metadata]
+        # per model: a read whose rows still span into the next batch
+        self.open = dict.fromkeys(self.can_bases)
+        # read_id -> [(can_base, (io_read, nn_out, positions, err))]
+        self.parts = defaultdict(list)
+
+    def feed(self, cb, nn_out, read_pos, members):
+        """Absorb one batch; return reads now complete across models."""
+        held = self.open[cb]
+        closed = []
+        for io_read, b_st, b_en, err in members:
+            if err is not None:
+                if held is not None:
+                    closed.append(held)
+                    held = None
+                closed.append((io_read, None, None, err))
+            elif b_st is None:
+                # continuation rows of the read carried from last batch
+                if held is None:
+                    raise RemoraError("Unbatching encountered None read")
+                held_read, prev_out, prev_pos, _ = held
+                if held_read.read_id != io_read.read_id:
+                    raise RemoraError(
+                        "Unbatching encountered mismatching reads"
+                    )
+                held = (
+                    held_read,
+                    np.concatenate([prev_out, nn_out[:b_en]], axis=0),
+                    np.concatenate([prev_pos, read_pos[:b_en]]),
+                    None,
+                )
+            else:
+                if held is not None:
+                    closed.append(held)
+                held = (
+                    io_read, nn_out[b_st:b_en], read_pos[b_st:b_en], None
+                )
+        self.open[cb] = held
+        for item in closed:
+            self.parts[item[0].read_id].append((cb, item))
+        ready = [
+            rid
+            for rid, got in self.parts.items()
+            if len(got) == len(self.can_bases)
+        ]
+        return [self._join(self.parts.pop(rid)) for rid in ready]
+
+    def flush(self):
+        """End-of-stream: the still-open read joined across models."""
+        if self.open[self.can_bases[0]] is None:
+            return None
+        return self._join([(cb, self.open[cb]) for cb in self.can_bases])
+
+    @staticmethod
+    def _join(parts):
+        io_read = parts[-1][1][0]
+        calls = [
+            (cb, out, pos)
+            for cb, (_rd, out, pos, err) in parts
+            if err is None
+        ]
+        if calls:
+            return io_read, calls, None
+        reasons = sorted({err for _cb, (_rd, _o, _p, err) in parts})
+        return io_read, calls, ",".join(reasons)
 
 
 def unbatch(called_batches_q, called_reads_q, models_metadata):
-    def get_return_read(reads):
-        io_read = reads[-1][1][0]
-        mod_calls = [
-            (cb, nn_out, r_pos)
-            for cb, (_rd, nn_out, r_pos, err) in reads
-            if err is None
-        ]
-        if mod_calls:
-            return io_read, mod_calls, None
-        seen = sorted({err for _cb, (_rd, _o, _p, err) in reads})
-        return io_read, mod_calls, ",".join(seen)
-
-    can_bases = [md["can_base"] for md in models_metadata]
-    num_can_bases = len(can_bases)
-    curr_reads = {cb: None for cb in can_bases}
-    comp_reads = defaultdict(list)
+    joiner = _ReadJoiner(models_metadata)
     for cb, nn_out, b_read_pos, b_reads in queue_iter(called_batches_q):
-        cb_comp, cb_curr = unbatch_reads(
-            curr_reads[cb], nn_out, b_read_pos, b_reads
-        )
-        curr_reads[cb] = cb_curr
-        for comp_read in cb_comp:
-            comp_reads[comp_read[0].read_id].append((cb, comp_read))
-        full = [
-            rid
-            for rid, r in comp_reads.items()
-            if len(r) == num_can_bases
-        ]
-        for rid in full:
-            put_item(get_return_read(comp_reads[rid]), called_reads_q)
-            del comp_reads[rid]
-    if curr_reads[can_bases[0]] is not None:
-        put_item(
-            get_return_read([(cb, curr_reads[cb]) for cb in can_bases]),
-            called_reads_q,
-        )
+        for whole_read in joiner.feed(cb, nn_out, b_read_pos, b_reads):
+            put_item(whole_read, called_reads_q)
+    leftover = joiner.flush()
+    if leftover is not None:
+        put_item(leftover, called_reads_q)
     put_item(StopIteration, called_reads_q)
 
 
@@ -372,16 +409,16 @@ def post_process_reads(read_mapping, models_metadata, ref_anchored):
     if err is not None:
         return io_read, err
     md_dict = {md["can_base"]: md for md in models_metadata}
+    seq = io_read.ref_seq if ref_anchored else io_read.seq
     mm_tags = []
     ml_arr = array.array("B")
-    seq = io_read.ref_seq if ref_anchored else io_read.seq
     for cb, nn_out, r_poss in mod_calls:
-        full_probs = softmax(nn_out)
-        r_probs = full_probs[:, 1:].astype(np.float64)
+        # class-1.. probabilities in f64, as the reference formats them
+        mod_probs = softmax(nn_out)[:, 1:].astype(np.float64)
         cb_mm, cb_ml = format_mm_ml_tags(
             seq=seq,
             poss=r_poss,
-            probs=r_probs,
+            probs=mod_probs,
             mod_bases=md_dict[cb]["mod_bases"],
             can_base=cb,
         )
@@ -392,14 +429,68 @@ def post_process_reads(read_mapping, models_metadata, ref_anchored):
     rec.set_tag("MM", "Z", "".join(mm_tags))
     rec.set_tag("ML", "BC", np.frombuffer(ml_arr.tobytes(), dtype=np.uint8))
     if ref_anchored:
-        rec.cigartuples = [(0, len(io_read.ref_seq))]
-        rec.query_sequence = (
-            io_read.ref_seq
-            if io_read.ref_reg.strand == "+"
-            else revcomp(io_read.ref_seq)
-        )
+        flat_seq = io_read.ref_seq
+        rec.cigartuples = [(0, len(flat_seq))]
+        if io_read.ref_reg.strand != "+":
+            flat_seq = revcomp(flat_seq)
+        rec.query_sequence = flat_seq
         rec.query_qualities = None
     return io_read, None
+
+
+def _resolve_models(models):
+    """Normalize the models argument to (metadata list, eval-fn dict,
+    raw flag). Raw mode (all ModelHandle) featurizes on device."""
+    raw = all(isinstance(m, ModelHandle) for m in models)
+    if raw:
+        metadata = [m.metadata for m in models]
+        eval_fns = {m.metadata["can_base"]: m.eval_raw for m in models}
+    else:
+        pairs = [
+            (m.eval_fn, m.metadata) if isinstance(m, ModelHandle) else m
+            for m in models
+        ]
+        metadata = [md for _fn, md in pairs]
+        eval_fns = {md["can_base"]: fn for fn, md in pairs}
+    return metadata, eval_fns, raw
+
+
+class _InferProgress:
+    """tqdm wrapper: per-read ticks + a live samples/s postfix."""
+
+    def __init__(self, num_reads):
+        from tqdm import tqdm
+
+        self.t0 = time.monotonic()
+        self.samples = 0
+        self.last_rid = None
+        self.bar = tqdm(
+            desc="Inferring mods",
+            total=num_reads,
+            unit=" Reads",
+            smoothing=0,
+            dynamic_ncols=True,
+            disable=bool(os.environ.get("LOG_SAFE", False)),
+        )
+
+    def skipped(self):
+        self.bar.update()
+
+    def called(self, io_read):
+        if self.last_rid != io_read.read_id:
+            self.bar.update()
+        self.last_rid = io_read.read_id
+        self.samples += io_read.sig_len or 0
+        rate, mag = human_format(self.samples / self.elapsed())
+        self.bar.set_postfix_str(
+            f"{rate:>5.1f} {mag}samps/s", refresh=False
+        )
+
+    def elapsed(self):
+        return max(time.monotonic() - self.t0, 1e-9)
+
+    def close(self):
+        self.bar.close()
 
 
 def infer_from_pod5_and_bam(
@@ -407,6 +498,7 @@ def infer_from_pod5_and_bam(
     in_bam_path,
     models,
     out_bam_path,
+    *,
     num_reads=None,
     queue_max=1_000,
     num_extract_alignment_workers=1,
@@ -424,39 +516,25 @@ def infer_from_pod5_and_bam(
             featurization from compact raw arrays) or legacy
             (eval_fn(sigs, enc_kmers) -> logits, model_metadata) pairs.
     """
-    import sys
-
     bam_idx = ReadIndexedBam(
         in_bam_path, skip_non_primary=skip_non_primary, req_tags={"mv"}
     )
-    if bam_idx.num_records == 0:
+    if not bam_idx.num_records:
         LOGGER.info("No records found in BAM file.")
         sys.exit()
     with DatasetReader(pod5_path) as pod5_dr:
         read_ids, num_reads = get_read_ids(bam_idx, pod5_dr, num_reads)
-    raw = all(isinstance(m, ModelHandle) for m in models)
-    if raw:
-        models_metadata = [m.metadata for m in models]
-        eval_fns = {m.metadata["can_base"]: m.eval_raw for m in models}
-    else:
-        models = [
-            m if not isinstance(m, ModelHandle) else (m.eval_fn, m.metadata)
-            for m in models
-        ]
-        models_metadata = [md for _fn, md in models]
-        eval_fns = {md["can_base"]: fn for fn, md in models}
-    reverse_signal = models_metadata[0]["reverse_signal"]
-    pa_scaling = models_metadata[0]["pa_scaling"]
+    models_metadata, eval_fns, raw = _resolve_models(models)
 
     signals = source_stage(
         iter_signal,
         args=(pod5_path,),
-        kwargs={
-            "num_reads": num_reads,
-            "read_ids": read_ids,
-            "rev_sig": reverse_signal,
-            "pa_scaling": pa_scaling,
-        },
+        kwargs=dict(
+            read_ids=read_ids,
+            num_reads=num_reads,
+            pa_scaling=models_metadata[0]["pa_scaling"],
+            rev_sig=models_metadata[0]["reverse_signal"],
+        ),
         name="ExtractSignal",
         use_process=True,
         q_maxsize=queue_max,
@@ -466,7 +544,7 @@ def infer_from_pod5_and_bam(
         signals,
         name="AddAlignments",
         num_workers=num_extract_alignment_workers,
-        args=(bam_idx, reverse_signal),
+        args=(bam_idx, models_metadata[0]["reverse_signal"]),
         q_maxsize=queue_max,
         use_process=True,
     )
@@ -489,36 +567,46 @@ def infer_from_pod5_and_bam(
         use_mp_queue=False,
         q_maxsize=10,
     )
-    batches_q = NamedQueue(maxsize=4, name="Batches")
-    batch_reads_t = Thread(
-        target=_maybe_profile(_PROF_BATCH_FN)(batch_reads),
-        args=(
-            queue_iter(prepped_nn_input.out_q, num_prep_nn_input_workers),
-            batches_q,
-            batch_size,
-            models_metadata,
-            raw,
-        ),
-        name="batch_reads",
-        daemon=True,
+
+    def serial_stage(target, prof_path, out_maxsize, out_name, *extra):
+        out_q = NamedQueue(maxsize=out_maxsize, name=out_name)
+        th = Thread(
+            target=_maybe_profile(prof_path)(target),
+            args=extra + (out_q,),
+            name=target.__name__,
+            daemon=True,
+        )
+        th.start()
+        return out_q, th
+
+    def _batcher(src, sink):
+        batch_reads(src, sink, batch_size, models_metadata, raw)
+
+    _batcher.__name__ = "batch_reads"
+    batches_q, batch_reads_t = serial_stage(
+        _batcher,
+        _PROF_BATCH_FN,
+        4,
+        "Batches",
+        queue_iter(prepped_nn_input.out_q, num_prep_nn_input_workers),
     )
-    batch_reads_t.start()
-    called_batches_q = NamedQueue(maxsize=4, name="CalledBatches")
-    call_batches_t = Thread(
-        target=_maybe_profile(_PROF_MODEL_FN)(run_model_batched),
-        args=(batches_q, called_batches_q, eval_fns, batch_size),
-        name="call_batches",
-        daemon=True,
+
+    def _caller(src, sink):
+        run_model_batched(src, sink, eval_fns, batch_size)
+
+    _caller.__name__ = "call_batches"
+    called_batches_q, call_batches_t = serial_stage(
+        _caller, _PROF_MODEL_FN, 4, "CalledBatches", batches_q
     )
-    call_batches_t.start()
-    called_reads_q = NamedQueue(maxsize=queue_max, name="Unbatch")
-    unbatch_t = Thread(
-        target=_maybe_profile(_PROF_UNBATCH_FN)(unbatch),
-        args=(called_batches_q, called_reads_q, models_metadata),
-        name="unbatch",
-        daemon=True,
+
+    def _joiner(src, sink):
+        unbatch(src, sink, models_metadata)
+
+    _joiner.__name__ = "unbatch"
+    called_reads_q, _unbatch_t = serial_stage(
+        _joiner, _PROF_UNBATCH_FN, queue_max, "Unbatch", called_batches_q
     )
-    unbatch_t.start()
+
     final_reads = map_stage(
         post_process_reads,
         queue_iter(called_reads_q),
@@ -530,7 +618,7 @@ def infer_from_pod5_and_bam(
         use_mp_queue=False,
     )
 
-    all_qs = [
+    stage_qs = (
         signals.out_q,
         reads.out_q,
         prepped_reads.out_q,
@@ -539,65 +627,37 @@ def infer_from_pod5_and_bam(
         called_batches_q,
         called_reads_q,
         final_reads.out_q,
-    ]
-    errs = defaultdict(int)
-    for err, cnt in bam_idx.skip_reasons.items():
-        errs[err] = cnt
-    in_bam = FastBamScanner(in_bam_path)
-    sig_called = 0
-    n_written = 0
-    import time
-
-    t0 = time.monotonic()
-    from tqdm import tqdm
-
-    quiet = bool(os.environ.get("LOG_SAFE", False))
-    pbar = tqdm(
-        desc="Inferring mods",
-        total=num_reads,
-        unit=" Reads",
-        smoothing=0,
-        dynamic_ncols=True,
-        disable=quiet,
     )
-    prev_rid = None
+
+    def queue_status():
+        cells = (f"{q.name}: {q.qsize()}/{q.maxsize}" for q in stage_qs)
+        return "QueuesStatus: " + "\t".join(cells)
+
+    skip_tally = defaultdict(int, bam_idx.skip_reasons)
+    in_bam = FastBamScanner(in_bam_path)
+    progress = _InferProgress(num_reads)
+    n_written = 0
     with BamWriter(out_bam_path, in_bam.header) as out_bam:
         for io_read, err in final_reads:
-            LOGGER.debug(
-                "QueuesStatus: "
-                + "\t".join(
-                    f"{q.name}: {q.qsize()}/{q.maxsize}" for q in all_qs
-                )
-            )
+            LOGGER.debug(queue_status())
             if io_read is None:
-                errs[err] += 1
-                pbar.update()
+                skip_tally[err] += 1
+                progress.skipped()
                 continue
-            if prev_rid != io_read.read_id:
-                pbar.update()
-            sig_called += io_read.sig_len or 0
-            sps, mag = human_format(
-                sig_called / max(time.monotonic() - t0, 1e-9)
-            )
-            pbar.set_postfix_str(f"{sps:>5.1f} {mag}samps/s", refresh=False)
+            progress.called(io_read)
             if err is not None:
-                errs[err] += 1
+                skip_tally[err] += 1
             out_bam.write(io_read.full_align)
             n_written += 1
-            prev_rid = io_read.read_id
-    pbar.close()
-    dt = time.monotonic() - t0
-    sps, mag = human_format(sig_called / max(dt, 1e-9))
-    LOGGER.info(
-        f"Wrote {n_written} records ({sps:.1f} {mag}samples/s)"
-    )
-    if errs:
-        err_str = "\n".join(
-            f"{num:>7} : {err:<80}" for num, err in sorted(
-                ((n, e) for e, n in errs.items()), reverse=True
-            )
+    progress.close()
+    rate, mag = human_format(progress.samples / progress.elapsed())
+    LOGGER.info(f"Wrote {n_written} records ({rate:.1f} {mag}samples/s)")
+    if skip_tally:
+        by_count = sorted(
+            skip_tally.items(), key=lambda kv: kv[1], reverse=True
         )
-        LOGGER.info(f"Unsuccessful read reasons:\n{err_str}")
+        lines = (f"{num:>7} : {why:<80}" for why, num in by_count)
+        LOGGER.info("Unsuccessful read reasons:\n" + "\n".join(lines))
     batch_reads_t.join()
     call_batches_t.join()
     return n_written
