@@ -95,7 +95,9 @@ def get_site_kmer_levels(
     """All per-site median levels keyed by k-mer across one sample."""
     regs_kmer_levels = map_stage(
         get_region_kmers,
-        iter_covered_regions(bam_path, chunk_len, max_chunk_cov),
+        iter_covered_regions(
+            bam_path, chunk_len=chunk_len, max_chunk_cov=max_chunk_cov
+        ),
         prep_func=_prep_pod5_reader,
         num_workers=num_workers,
         use_process=True,

@@ -22,6 +22,8 @@ from remora_tpu.io.refregion import RefRegion
 
 LOGGER = log.get_logger()
 
+UNCOVERED = -2  # pileup code for "no read spans this position"
+
 
 class RegionIndexedBam:
     """Overlap queries over a scanned BAM (reference ``fetch`` analog)."""
@@ -38,11 +40,12 @@ class RegionIndexedBam:
             recs.sort(key=lambda r: r.reference_start)
 
     def fetch(self, ctg, start, end, strand=None):
-        for rec in self._by_ref.get(ctg, []):
+        for rec in self._by_ref.get(ctg, ()):
             if rec.reference_start >= end:
-                break
-            if rec.reference_end > start and strands_match(strand, rec):
-                yield rec
+                return
+            if rec.reference_end <= start or not strands_match(strand, rec):
+                continue
+            yield rec
 
 
 def iter_regions(bam, reg_len=100_000):
@@ -53,16 +56,17 @@ def iter_regions(bam, reg_len=100_000):
             for strand in "+-":
                 yield RefRegion(
                     ctg=ctg,
-                    strand=strand,
                     start=win_start,
                     end=win_start + reg_len,
+                    strand=strand,
                 )
 
 
 def get_reg_bam_reads(ref_reg, bam):
+    fetched = bam.fetch(ref_reg.ctg, ref_reg.start, ref_reg.end, None)
     return [
         rec
-        for rec in bam.fetch(ref_reg.ctg, ref_reg.start, ref_reg.end)
+        for rec in fetched
         if read_is_primary(rec) and strands_match(ref_reg.strand, rec)
     ]
 
@@ -71,13 +75,13 @@ def _sample_region_reads(ref_reg, bam, max_reads):
     """Region's primary reads, down-sampled to at most max_reads."""
     bam_reads = get_reg_bam_reads(ref_reg, bam)
     if not bam_reads:
-        raise RemoraError("No reads covering region")
+        raise RemoraError(f"Region {ref_reg.ctg}:{ref_reg.start} has no covering reads")
     if max_reads is not None and len(bam_reads) > max_reads:
         bam_reads = random.sample(bam_reads, max_reads)
     return bam_reads
 
 
-def iter_covered_regions(bam_path, chunk_len=1_000, max_chunk_cov=None):
+def iter_covered_regions(bam_path, *, chunk_len=1_000, max_chunk_cov=None):
     """Yield (region, covering reads), optionally capping total coverage."""
     bam = RegionIndexedBam(bam_path)
     for reg in iter_regions(bam, chunk_len):
@@ -91,30 +95,31 @@ def iter_covered_regions(bam_path, chunk_len=1_000, max_chunk_cov=None):
             kept = []
             for rec in bam_reads:
                 kept.append(rec)
-                overlap_lo = max(rec.reference_start, reg.start)
-                overlap_hi = min(rec.reference_end, reg.end)
-                budget -= overlap_hi - overlap_lo
+                span_lo = max(rec.reference_start, reg.start)
+                span_hi = min(rec.reference_end, reg.end)
+                budget -= span_hi - span_lo
                 if budget <= 0:
                     break
             bam_reads = kept
         yield reg, bam_reads
 
 
-def get_ref_int_seq_from_reads(ref_reg, bam_reads, ref_orient=True):
+def get_ref_int_seq_from_reads(ref_reg, bam_reads, *, ref_orient=True):
     """Forward reference int sequence pieced together from read MD tags.
 
-    Positions no read covers are left at -2.
+    Positions no read covers are left at UNCOVERED (-2).
     """
-    pile = np.full(ref_reg.len, -2, np.int32)
+    pile = np.full(ref_reg.len, UNCOVERED, np.int32)
     for rec in bam_reads:
-        lo = max(rec.reference_start, ref_reg.start)
-        hi = min(rec.reference_end, ref_reg.end)
+        lo, hi = ref_reg.clamp(rec.reference_start, rec.reference_end)
         if hi <= lo:
             continue
-        rec_ref_seq = rec.get_reference_sequence().upper()
-        piece = rec_ref_seq[lo - rec.reference_start : hi - rec.reference_start]
-        pile[lo - ref_reg.start : hi - ref_reg.start] = sequtil.seq_to_int(piece)
-        if (pile != -2).all():
+        md_seq = rec.get_reference_sequence().upper()
+        piece = md_seq[lo - rec.reference_start : hi - rec.reference_start]
+        pile[lo - ref_reg.start : hi - ref_reg.start] = sequtil.seq_to_int(
+            piece
+        )
+        if UNCOVERED not in pile:
             break
     if ref_reg.strand == "-":
         flipped = pile.copy()
@@ -124,17 +129,21 @@ def get_ref_int_seq_from_reads(ref_reg, bam_reads, ref_orient=True):
     return pile
 
 
-def get_ref_seq_from_reads(ref_reg, bam_reads, ref_orient=True):
-    int_seq = get_ref_int_seq_from_reads(ref_reg, bam_reads, ref_orient)
-    return sequtil.int_to_seq(np.maximum(int_seq, -1))
+def get_ref_seq_from_reads(ref_reg, bam_reads, *, ref_orient=True):
+    pile = get_ref_int_seq_from_reads(
+        ref_reg, bam_reads, ref_orient=ref_orient
+    )
+    return sequtil.int_to_seq(np.maximum(pile, -1))
 
 
-def get_ref_seq_and_levels_from_reads(ref_reg, bam_reads, sig_map_refiner,
-                                      ref_orient=True):
+def get_ref_seq_and_levels_from_reads(
+    ref_reg, bam_reads, sig_map_refiner, *, ref_orient=True
+):
     """Sequence + expected levels for a region from covering reads."""
-    have_levels = sig_map_refiner is not None and sig_map_refiner.is_loaded
-    if not have_levels:
-        ctx = get_ref_int_seq_from_reads(ref_reg, bam_reads, ref_orient=False)
+    if sig_map_refiner is None or not sig_map_refiner.is_loaded:
+        ctx = get_ref_int_seq_from_reads(
+            ref_reg, bam_reads, ref_orient=False
+        )
         levels = None
         seq = sequtil.int_to_seq(np.maximum(ctx, -1))
     else:
@@ -144,11 +153,10 @@ def get_ref_seq_and_levels_from_reads(ref_reg, bam_reads, sig_map_refiner,
         ctx = get_ref_int_seq_from_reads(
             padded_reg, bam_reads, ref_orient=False
         )
-        uncovered = ctx == -2
+        no_data = ctx == UNCOVERED
         levels = sig_map_refiner.extract_levels(np.clip(ctx, -1, 3))
-        levels[uncovered] = np.nan
-        seq = sequtil.int_to_seq(np.maximum(ctx, -1))
-        seq = seq[bb : bb + ref_reg.len]
+        levels[no_data] = np.nan
+        seq = sequtil.int_to_seq(np.maximum(ctx, -1))[bb : bb + ref_reg.len]
         levels = levels[bb : bb + ref_reg.len]
     if ref_orient and ref_reg.strand == "-":
         seq = seq[::-1]
@@ -156,20 +164,20 @@ def get_ref_seq_and_levels_from_reads(ref_reg, bam_reads, sig_map_refiner,
     return seq, levels
 
 
-def get_pod5_reads(pod5_dr, read_ids):
+def get_pod5_reads(pod5_dr, ids):
     """Read records by id (reference analog ``io.get_pod5_reads``
     io.py:768–772)."""
-    return {
-        str(pod5_read.read_id): pod5_read
-        for pod5_read in pod5_dr.reads(selection=list(read_ids))
-    }
+    wanted = pod5_dr.reads(selection=list(ids))
+    return {str(p5.read_id): p5 for p5 in wanted}
 
 
-def get_io_reads(bam_reads, pod5_dr, reverse_signal=False, missing_ok=False,
-                 pa_scaling=None):
+def get_io_reads(
+    bam_reads, pod5_dr, reverse_signal=False, *, pa_scaling=None,
+    missing_ok=False
+):
     """Join BAM records with their POD5 signal into io Reads."""
     signal_by_id = get_pod5_reads(
-        pod5_dr, {get_parent_id(rec) for rec in bam_reads}
+        pod5_dr, set(map(get_parent_id, bam_reads))
     )
     joined = []
     for rec in bam_reads:
@@ -200,30 +208,33 @@ def _maybe_refine(io_reads, sig_map_refiner, skip_refine, require_loaded=False):
 def get_reads_reference_regions(
     ref_reg,
     pod5_bam_pairs,
+    *,
+    max_reads=50,
     sig_map_refiner=None,
     skip_sig_map_refine=False,
-    max_reads=50,
-    reverse_signal=False,
-    missing_ok=False,
-    pa_scaling=None,
     signal_type="norm",
+    reverse_signal=False,
+    pa_scaling=None,
+    missing_ok=False,
 ):
     """Per-sample lists of per-read region extracts (plus the BAM reads)."""
-    all_bam_reads = []
-    samples_read_ref_regs = []
+    sampled_bam_reads = []
+    region_extracts = []
     for pod5_dr, bam in pod5_bam_pairs:
         sample_reads = _sample_region_reads(ref_reg, bam, max_reads)
-        all_bam_reads.append(sample_reads)
+        sampled_bam_reads.append(sample_reads)
         io_reads = get_io_reads(
-            sample_reads, pod5_dr, reverse_signal,
-            missing_ok=missing_ok, pa_scaling=pa_scaling,
+            sample_reads, pod5_dr,
+            reverse_signal=reverse_signal,
+            pa_scaling=pa_scaling,
+            missing_ok=missing_ok,
         )
         _maybe_refine(io_reads, sig_map_refiner, skip_sig_map_refine)
-        samples_read_ref_regs.append(
+        region_extracts.append(
             [rd.extract_ref_reg(ref_reg, signal_type=signal_type)
              for rd in io_reads]
         )
-    return samples_read_ref_regs, all_bam_reads
+    return region_extracts, sampled_bam_reads
 
 
 def get_ref_reg_sample_metrics(
@@ -232,25 +243,28 @@ def get_ref_reg_sample_metrics(
     bam_reads,
     metric,
     sig_map_refiner,
+    *,
     skip_sig_map_refine=False,
-    reverse_signal=False,
     ref_orient=True,
-    missing_ok=False,
-    pa_scaling=None,
     signal_type="norm",
+    reverse_signal=False,
+    pa_scaling=None,
+    missing_ok=False,
     **kwargs,
 ):
     """Stacked per-read metric arrays over one region for one sample."""
     io_reads = get_io_reads(
-        bam_reads, pod5_dr, reverse_signal,
-        missing_ok=missing_ok, pa_scaling=pa_scaling,
+        bam_reads, pod5_dr,
+        reverse_signal=reverse_signal,
+        pa_scaling=pa_scaling,
+        missing_ok=missing_ok,
     )
     _maybe_refine(
         io_reads, sig_map_refiner, skip_sig_map_refine, require_loaded=True
     )
     per_read = [
         rd.compute_per_base_metric(
-            metric, region=ref_reg, signal_type=signal_type, **kwargs
+            metric, signal_type=signal_type, region=ref_reg, **kwargs
         )
         for rd in io_reads
     ]
@@ -268,24 +282,32 @@ def get_ref_reg_sample_metrics(
 def get_ref_reg_samples_metrics(
     ref_reg,
     pod5_bam_pairs,
+    *,
+    metric="dwell_trimmean",
+    max_reads=None,
     sig_map_refiner=None,
     skip_sig_map_refine=False,
-    max_reads=None,
     reverse_signal=False,
-    metric="dwell_trimmean",
     missing_ok=False,
     **kwargs,
 ):
     """get_ref_reg_sample_metrics over every (pod5, bam) sample pair."""
-    all_bam_reads = []
-    samples_metrics = []
+    sampled_bam_reads = []
+    per_sample_metrics = []
     for pod5_dr, bam in pod5_bam_pairs:
         sample_reads = _sample_region_reads(ref_reg, bam, max_reads)
-        all_bam_reads.append(sample_reads)
+        sampled_bam_reads.append(sample_reads)
         sample_metrics = get_ref_reg_sample_metrics(
-            ref_reg, pod5_dr, sample_reads, metric, sig_map_refiner,
-            skip_sig_map_refine, reverse_signal, **kwargs,
+            ref_reg,
+            pod5_dr,
+            sample_reads,
+            metric,
+            sig_map_refiner,
+            skip_sig_map_refine=skip_sig_map_refine,
+            reverse_signal=reverse_signal,
+            missing_ok=missing_ok,
+            **kwargs,
         )
         if sample_metrics is not None:
-            samples_metrics.append(sample_metrics)
-    return samples_metrics, all_bam_reads
+            per_sample_metrics.append(sample_metrics)
+    return per_sample_metrics, sampled_bam_reads

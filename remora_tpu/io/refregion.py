@@ -16,30 +16,38 @@ _REGION_RE = re.compile(
 
 @dataclass
 class RefRegion:
-    ctg: str
-    strand: str
-    start: int
-    end: Optional[int] = None
+    ctg: "str"
+    strand: "str"
+    start: "int"
+    end: Optional["int"] = None
 
     @property
     def len(self):
-        return 1 if self.end is None else self.end - self.start
+        if self.end is None:
+            return 1
+        return self.end - self.start
+
+    @property
+    def coord_range(self):
+        return range(self.start, self.end)
+
+    def clamp(self, lo, hi):
+        """Intersect a [lo, hi) span with this region's bounds."""
+        return max(lo, self.start), min(hi, self.end)
 
     @classmethod
     def parse_ref_region_str(cls, ref_reg_str, req_strand=True):
         hit = _REGION_RE.match(ref_reg_str)
         if hit is None or (req_strand and hit["strand"] is None):
             raise RemoraError(f"Invalid reference region: {ref_reg_str}")
-        start = int(hit["start"]) - 1
-        if start < 0:
+        one_based_start = int(hit["start"])
+        if one_based_start < 1:
             raise RemoraError("Reference region start must be >= 1")
-        return cls(hit["ctg"], hit["strand"], start, int(hit["end"]))
+        return cls(
+            hit["ctg"], hit["strand"], one_based_start - 1, int(hit["end"])
+        )
 
-    @property
-    def coord_range(self):
-        return range(self.start, self.end)
-
-    def adjust(self, start_adjust=0, end_adjust=0, ref_orient=True):
+    def adjust(self, start_adjust=0, end_adjust=0, *, ref_orient=True):
         """Expanded/shifted copy.
 
         With ``ref_orient=False`` the adjustments are applied in read
@@ -47,10 +55,13 @@ class RefRegion:
         """
         if not ref_orient and self.strand == "-":
             start_adjust, end_adjust = -end_adjust, -start_adjust
-        new_end = self.end
-        if new_end is not None:
-            new_end += end_adjust
-        return RefRegion(self.ctg, self.strand, self.start + start_adjust, new_end)
+        new_end = None if self.end is None else self.end + end_adjust
+        return RefRegion(
+            ctg=self.ctg,
+            strand=self.strand,
+            start=self.start + start_adjust,
+            end=new_end,
+        )
 
 
 def _bed_fields(bed_path):
