@@ -18,16 +18,15 @@ LOGGER = log.get_logger()
 
 VAL_METRICS = namedtuple(
     "VAL_METRICS",
-    (
-        "loss",
-        "acc",
-        "num_calls",
-        "conf_mat",
-        "filt_frac",
-        "filt_acc",
-        "filt_conf_mat",
-        "filt_thresh",
-    ),
+    "loss acc num_calls conf_mat "
+    "filt_frac filt_acc filt_conf_mat filt_thresh",
+)
+
+# validation.log columns (reference-compatible TSV layout)
+_LOG_COLUMNS = (
+    "Val_Type Epoch Iteration Accuracy Confusion_Matrix Loss Num_Calls "
+    "Filtered_Fraction Filtered_Accuracy Filtered_Confusion_Matrix "
+    "Filtered_Threshold"
 )
 
 
@@ -46,13 +45,21 @@ def confusion_matrix(labels, preds, num_classes=None):
 
 
 def compute_metrics(probs, labels, filt_frac):
-    """Accuracy / confusion matrix, plus both restricted to the most
-    confident (1 - filt_frac) of calls."""
+    """VAL_METRICS (loss left NaN) over calls, plus the same metrics
+    restricted to the most confident (1 - filt_frac) of calls."""
     called = probs.argmax(axis=1)
     hit = called == labels
     acc = hit.sum() / labels.size
-    conf_mat = confusion_matrix(labels, called)
-
+    base = VAL_METRICS(
+        loss=np.nan,
+        acc=acc,
+        num_calls=labels.size,
+        conf_mat=confusion_matrix(labels, called),
+        filt_frac=1.0,
+        filt_acc=np.nan,
+        filt_conf_mat=np.array([]),
+        filt_thresh=np.nan,
+    )
     # confidence of each call = probability of its argmax class
     call_conf = probs[np.arange(labels.size), called]
     thresh = np.quantile(call_conf, filt_frac)
@@ -62,10 +69,13 @@ def compute_metrics(probs, labels, filt_frac):
     confident = call_conf > thresh
     n_kept = int(np.count_nonzero(confident))
     if n_kept == 0:
-        return acc, conf_mat, 1.0, np.nan, np.array([]), np.nan
-    filt_acc = hit[confident].sum() / n_kept
-    filt_conf_mat = confusion_matrix(labels[confident], called[confident])
-    return acc, conf_mat, 1 - n_kept / labels.size, filt_acc, filt_conf_mat, thresh
+        return base
+    return base._replace(
+        filt_frac=1 - n_kept / labels.size,
+        filt_acc=hit[confident].sum() / n_kept,
+        filt_conf_mat=confusion_matrix(labels[confident], called[confident]),
+        filt_thresh=thresh,
+    )
 
 
 def add_unmodeled_labels(output, unmodeled_labels):
@@ -74,7 +84,7 @@ def add_unmodeled_labels(output, unmodeled_labels):
     The modeled columns scatter, in order, into the class indices not
     listed in ``unmodeled_labels`` (index 0 — canonical — is always
     modeled)."""
-    if unmodeled_labels.size == 0:
+    if not unmodeled_labels.size:
         return output
     nobs, n_modeled = output.shape
     n_total = n_modeled + unmodeled_labels.size
@@ -100,10 +110,10 @@ def _class_balance(probs, labels):
     sizes = [rows.size for rows in class_rows]
     if len(sizes) == 1:
         raise RemoraError(
-            "Cannot balance dataset with 1 label. "
-            "Consider running with `--allow-unbalanced`"
+            "Class balancing needs >= 2 labels; "
+            "re-run with `--allow-unbalanced` to skip it"
         )
-    LOGGER.debug(f"Balancing labels. Starting from: {sizes}")
+    LOGGER.debug(f"Balancing class sizes {sizes}")
     floor = min(size for size in sizes if size > 0)
     kept_probs, kept_labels = [], []
     for cls, rows in enumerate(class_rows):
@@ -120,21 +130,20 @@ def _class_balance(probs, labels):
 
 def _metrics_tsv_row(ms, val_type, epoch, niter):
     loss_field = "NAN" if np.isnan(ms.loss) else f"{ms.loss:.6f}"
-    return "\t".join(
-        (
-            str(val_type),
-            str(epoch),
-            str(niter),
-            f"{ms.acc:.6f}",
-            mat_to_str(ms.conf_mat),
-            loss_field,
-            str(ms.num_calls),
-            f"{ms.filt_frac:.4f}",
-            f"{ms.filt_acc:.6f}",
-            mat_to_str(ms.filt_conf_mat),
-            str(ms.filt_thresh),
-        )
-    ) + "\n"
+    cells = (
+        str(val_type),
+        str(epoch),
+        str(niter),
+        f"{ms.acc:.6f}",
+        mat_to_str(ms.conf_mat),
+        loss_field,
+        str(ms.num_calls),
+        f"{ms.filt_frac:.4f}",
+        f"{ms.filt_acc:.6f}",
+        mat_to_str(ms.filt_conf_mat),
+        str(ms.filt_thresh),
+    )
+    return "\t".join(cells) + "\n"
 
 
 def process_mods_probs(probs, labels, allow_unbalanced, pct_filt, name,
@@ -142,8 +151,7 @@ def process_mods_probs(probs, labels, allow_unbalanced, pct_filt, name,
     """Balance classes (optionally) and report metrics for modBAM validation."""
     if not allow_unbalanced:
         probs, labels = _class_balance(probs, labels)
-    metric_values = compute_metrics(probs, labels, pct_filt / 100)
-    ms = VAL_METRICS(np.nan, metric_values[0], labels.size, *metric_values[1:])
+    ms = compute_metrics(probs, labels, pct_filt / 100)
     row = _metrics_tsv_row(ms, name, 0, 0)
     LOGGER.info(f"\n{ValidationLogger.HEADER}\n{row}")
     if fp is not None:
@@ -152,33 +160,20 @@ def process_mods_probs(probs, labels, allow_unbalanced, pct_filt, name,
 
 
 class ValidationLogger:
-    HEADER = "\t".join(
-        (
-            "Val_Type",
-            "Epoch",
-            "Iteration",
-            "Accuracy",
-            "Confusion_Matrix",
-            "Loss",
-            "Num_Calls",
-            "Filtered_Fraction",
-            "Filtered_Accuracy",
-            "Filtered_Confusion_Matrix",
-            "Filtered_Threshold",
-        )
-    )
-    FULL_HEADER = "\t".join(("label", "class_pred", "class_probs"))
+    HEADER = "\t".join(_LOG_COLUMNS.split())
+    FULL_HEADER = "label\tclass_pred\tclass_probs"
 
     def __init__(self, fp, full_results_fh=None):
         self.fp = fp
-        self.fp.write(self.HEADER + "\n")
         self.full_fh = full_results_fh
-        if self.full_fh is not None:
-            self.full_fh.write(self.FULL_HEADER + "\n")
+        fp.write(self.HEADER + "\n")
+        if full_results_fh is not None:
+            full_results_fh.write(self.FULL_HEADER + "\n")
 
     def write_full_results(self, output, labels):
         calls = output.argmax(axis=1)
-        for lab, pred, probs in zip(labels.tolist(), calls, softmax(output)):
+        rows = zip(labels.tolist(), calls, softmax(output))
+        for lab, pred, probs in rows:
             probs_field = ",".join(map(str, probs))
             self.full_fh.write(f"{lab}\t{pred}\t{probs_field}\n")
 
@@ -204,17 +199,12 @@ class ValidationLogger:
                 self.write_full_results(logits, labels)
         all_labels = np.concatenate(label_batches)
         all_probs = softmax(np.concatenate(logit_batches, axis=0))
-        metric_values = compute_metrics(all_probs, all_labels, filt_frac)
-        return VAL_METRICS(
-            float(np.mean(losses)),
-            metric_values[0],
-            all_labels.size,
-            *metric_values[1:],
-        )
+        ms = compute_metrics(all_probs, all_labels, filt_frac)
+        return ms._replace(loss=float(np.mean(losses)))
 
     def validate_model(self, eval_fn, model_mod_bases, dataset,
-                       filt_frac=constants.DEFAULT_FILT_FRAC, val_type="val",
-                       nepoch=0, niter=0):
+                       filt_frac=constants.DEFAULT_FILT_FRAC,
+                       val_type="val", *, nepoch=0, niter=0):
         ms = self.run_validation(eval_fn, model_mod_bases, dataset, filt_frac)
         self.fp.write(_metrics_tsv_row(ms, val_type, nepoch, niter))
         return ms

@@ -50,14 +50,13 @@ def _query_prob_vectors(read, alphabet):
     return vectors
 
 
-def _alignment_strings(read, aligned_pairs):
+def _alignment_strings(read, pair_walk):
     """Gapped reference and query alignment strings."""
-    ref_str = "".join(b.upper() if b else "-" for _, _, b in aligned_pairs)
-    query_str = "".join(
-        "-" if q is None else read.query_sequence[q]
-        for q, _, _ in aligned_pairs
-    )
-    return ref_str, query_str
+    ref_chars, query_chars = [], []
+    for q, _r, b in pair_walk:
+        ref_chars.append(b.upper() if b else "-")
+        query_chars.append("-" if q is None else read.query_sequence[q])
+    return "".join(ref_chars), "".join(query_chars)
 
 
 def _context_field(align_str, a_idx, nctx, is_reverse):
@@ -68,35 +67,35 @@ def _context_field(align_str, a_idx, nctx, is_reverse):
     return window
 
 
-def parse_mod_read(read, gt_sites, gt_ranges, alphabet, full_fh, nctx=5,
+def parse_mod_read(read, site_labels, site_spans, alphabet, detail_fh, nctx=5,
                    max_sites=None):
     """Probability vectors + ground-truth labels for one read's sites."""
     strand = "+-"[read.is_reverse]
     site_key = (read.reference_name, strand)
-    ctg_gt = gt_sites.get(site_key)
-    ctg_gt_range = gt_ranges.get(site_key)
+    labels_here = site_labels.get(site_key)
+    span_here = site_spans.get(site_key)
 
     try:
-        aligned_pairs = read.get_aligned_pairs(with_seq=True)
+        pair_walk = read.get_aligned_pairs(with_seq=True)
     except (ValueError, KeyError):
-        LOGGER.debug(f"Read missing MD tag {read.query_name}")
+        LOGGER.debug(f"{read.query_name}: no MD tag, skipping read")
         return [], []
-    if full_fh is not None:
-        r_align, q_align = _alignment_strings(read, aligned_pairs)
+    if detail_fh is not None:
+        r_align, q_align = _alignment_strings(read, pair_walk)
 
     prob_vectors = _query_prob_vectors(read, alphabet)
 
     probs, labels = [], []
     prev_q_pos, prev_r_pos = None, None
-    for a_idx, (q_pos, r_pos, _b) in enumerate(aligned_pairs):
+    for a_idx, (q_pos, r_pos, _b) in enumerate(pair_walk):
         prev_q_pos = q_pos if q_pos is not None else prev_q_pos
         prev_r_pos = r_pos if r_pos is not None else prev_r_pos
-        gt_mod = None if ctg_gt is None else ctg_gt.get(r_pos)
+        gt_mod = None if labels_here is None else labels_here.get(r_pos)
         called = prob_vectors.get(q_pos)
         if gt_mod is None and called is None:
             continue
         gt_mod_idx = None if gt_mod is None else alphabet.index(gt_mod)
-        if full_fh is not None:
+        if detail_fh is not None:
             probs_field = (
                 None if called is None else ",".join(map(str, called))
             )
@@ -109,11 +108,11 @@ def parse_mod_read(read, gt_sites, gt_ranges, alphabet, full_fh, nctx=5,
             )
             within_gt = (
                 within_align
-                and ctg_gt_range is not None
+                and span_here is not None
                 and prev_r_pos is not None
-                and ctg_gt_range[0] <= prev_r_pos <= ctg_gt_range[1]
+                and span_here[0] <= prev_r_pos <= span_here[1]
             )
-            full_fh.write(
+            detail_fh.write(
                 f"{read.query_name}\t{q_pos}\t{read.reference_name}\t"
                 f"{r_pos}\t{strand}\t{gt_mod_idx}\t{probs_field}\t"
                 f"{ref_ctx}\t{query_ctx}\t{within_align}\t{within_gt}\n"
@@ -122,9 +121,8 @@ def parse_mod_read(read, gt_sites, gt_ranges, alphabet, full_fh, nctx=5,
             labels.append(gt_mod_idx)
             probs.append(called)
     if max_sites is not None and len(labels) > max_sites:
-        chosen = np.random.choice(len(labels), size=max_sites, replace=False)
-        labels = [labels[i] for i in chosen]
-        probs = [probs[i] for i in chosen]
+        keep = np.random.choice(len(labels), size=max_sites, replace=False)
+        return [probs[i] for i in keep], [labels[i] for i in keep]
     return probs, labels
 
 
@@ -138,7 +136,7 @@ class _WarnOnce:
             LOGGER.warning(message)
 
 
-def parse_mod_bam(bam_path, gt_sites, gt_ranges, alphabet, full_fh,
+def parse_mod_bam(bam_path, site_labels, site_spans, alphabet, detail_fh,
                   context_bases=5, max_sites=None):
     probs, labels = [], []
     warn_once = _WarnOnce()
@@ -164,18 +162,20 @@ def parse_mod_bam(bam_path, gt_sites, gt_ranges, alphabet, full_fh,
             )
         if not usable:
             continue
-        read_probs, read_labels = parse_mod_read(
-            read, gt_sites, gt_ranges, alphabet, full_fh,
+        row_probs, row_labels = parse_mod_read(
+            read, site_labels, site_spans, alphabet, detail_fh,
             nctx=context_bases, max_sites=max_sites,
         )
-        probs.extend(read_probs)
-        labels.extend(read_labels)
+        probs.extend(row_probs)
+        labels.extend(row_labels)
     if not probs:
         raise RemoraError(
             f"Found no usable modification calls in {bam_path} — check "
             "that BED and reference FASTA contig names agree."
         )
-    LOGGER.debug(f"Parsed {len(probs)} modified base calls from {bam_path}")
+    LOGGER.debug(
+        f"{bam_path}: {len(probs)} modified-base calls collected"
+    )
     return np.array(probs), np.array(labels)
 
 
@@ -208,19 +208,28 @@ def _assemble_ground_truth(beds, extra_bases):
     return sample_sites, sample_ranges, alphabet
 
 
-def validate_modbams(bams_and_beds, full_results_path, name, pct_filt,
-                     allow_unbalanced=False, seed=None, extra_bases=None,
-                     max_sites_per_read=None, out_file=None):
+def validate_modbams(
+    bams_and_beds,
+    full_results_path,
+    name,
+    pct_filt,
+    *,
+    seed=None,
+    allow_unbalanced=False,
+    max_sites_per_read=None,
+    extra_bases=None,
+    out_file=None,
+):
     if seed is None:
-        seed = np.random.randint(np.iinfo(np.uint32).max, dtype=np.uint32)
-    LOGGER.debug(f"Seed selected is {seed}")
+        seed = int(np.random.randint(0, 2**32 - 1))
+    LOGGER.debug(f"validate_modbams seed: {seed}")
     np.random.seed(int(seed))
 
     if full_results_path is None:
-        full_fh = None
+        detail_fh = None
     else:
-        full_fh = open(full_results_path, "w", buffering=512)
-        full_fh.write(_FULL_HEADER)
+        detail_fh = open(full_results_path, "w", buffering=512)
+        detail_fh.write(_FULL_HEADER)
 
     LOGGER.info("Parsing ground truth BED files")
     bams, beds = zip(*bams_and_beds)
@@ -232,13 +241,13 @@ def validate_modbams(bams_and_beds, full_results_path, name, pct_filt,
     sample_probs, sample_labels = [], []
     for bam_path, sites, ranges in zip(bams, sample_sites, sample_ranges):
         probs, labels = parse_mod_bam(
-            bam_path, sites, ranges, alphabet, full_fh,
+            bam_path, sites, ranges, alphabet, detail_fh,
             max_sites=max_sites_per_read,
         )
         sample_probs.append(probs)
         sample_labels.append(labels)
-    if full_fh is not None:
-        full_fh.close()
+    if detail_fh is not None:
+        detail_fh.close()
 
     LOGGER.info(f"Alphabet used (and order of reported metrics): {alphabet}")
     out_fp = open(out_file, "w") if out_file else None
