@@ -28,10 +28,11 @@ def call_read_mods(
     read,
     eval_fn,
     model_metadata,
-    batch_size=constants.DEFAULT_BATCH_SIZE,
+    *,
     focus_offset=None,
-    return_mm_ml_tags=False,
+    batch_size=constants.DEFAULT_BATCH_SIZE,
     return_mod_probs=False,
+    return_mm_ml_tags=False,
 ):
     """Call modified bases on a RemoraRead (public API entry).
 
@@ -45,12 +46,11 @@ def call_read_mods(
     ``return_mod_probs`` the first element is per-mod probabilities; with
     ``return_mm_ml_tags`` the formatted (MM, ML) pair instead.
     """
-    if focus_offset is not None:
-        read.focus_bases = np.array([focus_offset])
+    if focus_offset is None:
+        site_motifs = [Motif(*m) for m in model_metadata["motifs"]]
+        read.set_motif_focus_bases(site_motifs)
     else:
-        read.set_motif_focus_bases(
-            [Motif(*mot) for mot in model_metadata["motifs"]]
-        )
+        read.focus_bases = np.array([focus_offset])
     read.prepare_batches(model_metadata, batch_size)
     if not read.batches:
         empty = np.array([])
@@ -58,17 +58,16 @@ def call_read_mods(
     nn_out, labels, pos = read.run_model(eval_fn)
     if not (return_mod_probs or return_mm_ml_tags):
         return nn_out, labels, pos
-    full_probs = softmax(nn_out)
-    mod_probs = full_probs[:, 1:].astype(np.float64)
-    if return_mm_ml_tags:
-        return format_mm_ml_tags(
-            seq=read.str_seq,
-            poss=pos,
-            probs=mod_probs,
-            mod_bases=model_metadata["mod_bases"],
-            can_base=model_metadata["can_base"],
-        )
-    return mod_probs, labels, pos
+    mod_probs = softmax(nn_out)[:, 1:].astype("float64")
+    if not return_mm_ml_tags:
+        return mod_probs, labels, pos
+    return format_mm_ml_tags(
+        seq=read.str_seq,
+        probs=mod_probs,
+        poss=pos,
+        can_base=model_metadata["can_base"],
+        mod_bases=model_metadata["mod_bases"],
+    )
 
 
 class DuplexReadModCaller:
@@ -117,19 +116,19 @@ class DuplexReadModCaller:
         dp = self.call_duplex_read_mod_probs(duplex_read)
         shared = dict(mod_bases=self.model_metadata["mod_bases"])
         fwd_mm, fwd_ml = format_mm_ml_tags(
-            seq=dp["read_sequence"],
-            poss=dp["template_positions"],
-            probs=dp["template_probs"],
-            can_base=self.model_metadata["can_base"],
             strand="+",
+            seq=dp["read_sequence"],
+            probs=dp["template_probs"],
+            poss=dp["template_positions"],
+            can_base=self.model_metadata["can_base"],
             **shared,
         )
         rev_mm, rev_ml = format_mm_ml_tags(
-            seq=dp["read_sequence"],
-            poss=dp["complement_positions"],
-            probs=dp["complement_probs"],
-            can_base=revcomp(self.model_metadata["can_base"]),
             strand="-",
+            seq=dp["read_sequence"],
+            probs=dp["complement_probs"],
+            poss=dp["complement_positions"],
+            can_base=revcomp(self.model_metadata["can_base"]),
             **shared,
         )
         return fwd_mm + rev_mm, fwd_ml + rev_ml
@@ -145,22 +144,24 @@ class DelimIdConverter:
         return read_id.split(self.delim)[0]
 
 
-def check_simplex_alignments(*, simplex_index, duplex_index, pairs):
+def check_simplex_alignments(*, simplex_index, duplex_index, id_pairs):
     """Filter pairs to those fully resolvable in both BAMs."""
-    if not pairs:
+    if not id_pairs:
         raise ValueError("no pairs found in file")
     simplex_ids = set(simplex_index.read_ids)
     duplex_ids = set(duplex_index.read_ids)
-    if not simplex_ids.intersection(chain(*pairs)):
+    if not simplex_ids.intersection(chain(*id_pairs)):
         raise ValueError("zero simplex alignments found")
     usable = [
-        (template, complement)
-        for template, complement in pairs
-        if template in simplex_ids
-        and complement in simplex_ids
-        and template in duplex_ids
+        (tmpl, comp)
+        for tmpl, comp in id_pairs
+        if tmpl in simplex_ids
+        and comp in simplex_ids
+        and tmpl in duplex_ids
     ]
-    LOGGER.debug(f"Found {len(usable)} valid reads out of {len(pairs)} pairs")
+    LOGGER.debug(
+        f"{len(usable)}/{len(id_pairs)} pairs resolvable in both BAMs"
+    )
     return usable, len(usable)
 
 
@@ -173,16 +174,17 @@ def iter_duplexed_io_reads(read_id_pair, pairs_builder):
     return pairs_builder.make_read_pair(read_id_pair)
 
 
-def make_duplex_reads(read_pair_result, duplex_index):
-    read_pair, err = read_pair_result
-    if err is not None or read_pair is None:
-        return read_pair, err
-    template, complement = read_pair
+def make_duplex_reads(pair_result, duplex_index):
+    simplex_pair, err = pair_result
+    if err is not None or simplex_pair is None:
+        return simplex_pair, err
+    template, complement = simplex_pair
+    no_rec = "duplex BAM record not found for read_id"
     if template.read_id not in duplex_index:
-        return read_pair, "duplex BAM record not found for read_id"
+        return simplex_pair, no_rec
     bam_record = next(duplex_index.get_alignments(template.read_id), None)
     if bam_record is None:
-        return read_pair, "duplex BAM record not found for read_id"
+        return simplex_pair, no_rec
     return (
         DuplexRead.from_reads_and_alignment(
             duplex_alignment=bam_record,
@@ -193,8 +195,8 @@ def make_duplex_reads(read_pair_result, duplex_index):
     )
 
 
-def add_mod_mappings_to_alignment(duplex_read_result, caller):
-    duplex_read, err = duplex_read_result
+def add_mod_mappings_to_alignment(duplex_result, caller):
+    duplex_read, err = duplex_result
     if err is not None:
         return None, err
     mm, ml = caller.call_duplex_read_mods(duplex_read)
@@ -222,12 +224,12 @@ def infer_duplex(
     pairs_path,
     models,
     out_bam,
+    num_reads=None,
     num_extract_alignment_threads=1,
     num_duplex_prep_workers=1,
     num_infer_threads=1,
-    num_reads=None,
-    skip_non_primary=True,
     duplex_deliminator=";",
+    skip_non_primary=True,
 ):
     """Stream duplex reads through per-strand calling into a modBAM.
 
@@ -250,44 +252,43 @@ def infer_duplex(
         simplex_bam_path, "Simplex", skip_non_primary=True, req_tags={"mv"}
     )
     with open(pairs_path) as fh:
-        pair_lines = [ln for ln in fh.read().splitlines() if ln.strip()]
-    pairs = [tuple(ln.split()) for ln in pair_lines]
+        listed = [tuple(ln.split()) for ln in fh if ln.strip()]
     valid_pairs, num_valid = check_simplex_alignments(
-        simplex_index=simplex_bam_index,
         duplex_index=duplex_bam_index,
-        pairs=pairs,
+        simplex_index=simplex_bam_index,
+        id_pairs=listed,
     )
     num_reads = num_valid if num_reads is None else min(num_valid, num_reads)
 
     io_read_pairs = map_stage(
         iter_duplexed_io_reads,
         islice(valid_pairs, num_reads),
+        name="BuildDuplexedIoReads",
+        use_process=True,
+        num_workers=num_extract_alignment_threads,
+        q_maxsize=100,
         prep_func=prep_duplex_read_builder,
         args=(simplex_bam_index, simplex_pod5_path),
-        name="BuildDuplexedIoReads",
-        q_maxsize=100,
-        num_workers=num_extract_alignment_threads,
-        use_process=True,
     )
     duplex_reads = map_stage(
         make_duplex_reads,
         io_read_pairs,
-        num_workers=num_duplex_prep_workers,
-        args=(duplex_bam_index,),
         name="MakeDuplexReads",
-        q_maxsize=100,
         use_process=True,
+        num_workers=num_duplex_prep_workers,
+        q_maxsize=100,
+        args=(duplex_bam_index,),
     )
     caller = DuplexReadModCaller(eval_fn, model_metadata)
     records = map_stage(
         add_mod_mappings_to_alignment,
         duplex_reads,
-        num_workers=num_infer_threads,
-        args=(caller,),
         name="InferMods",
-        q_maxsize=100,
         use_process=False,
         use_mp_queue=False,
+        num_workers=num_infer_threads,
+        q_maxsize=100,
+        args=(caller,),
     )
 
     skips = Counter()
