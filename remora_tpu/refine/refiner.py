@@ -47,6 +47,10 @@ DEFAULT_REFINE_SHORT_DWELL_PEN = compute_dwell_pen_array(
     *DEFAULT_REFINE_SHORT_DWELL_PARAMS
 )
 
+
+def _default_sd_pen():
+    return DEFAULT_REFINE_SHORT_DWELL_PEN
+
 _ROUGH_RESCALE_DISPATCH = {
     ROUGH_RESCALE_LEAST_SQUARES: rescale_mod.quantile_lstsq_rescale,
     ROUGH_RESCALE_THEIL_SEN: rescale_mod.quantile_theil_sen_rescale,
@@ -59,7 +63,7 @@ def _banded_search_space(seq_to_sig_map, levels, sig_len, bhw, min_step):
     seq_band = band_mod.convert_to_seq_band(sig_band)
     band_mod.adjust_seq_band(seq_band, min_step=min_step)
     band_mod.validate_band(
-        seq_band, sig_len=sig_len, seq_len=levels.shape[0], is_sig_band=False
+        seq_band, is_sig_band=False, seq_len=levels.shape[0], sig_len=sig_len
     )
     return seq_band
 
@@ -68,9 +72,10 @@ def refine_signal_mapping(
     signal,
     seq_to_sig_map,
     levels,
-    band_half_width=DEFAULT_REFINE_HBW,
+    *,
     refine_algo=DEFAULT_REFINE_ALGO,
     short_dwell_pen=DEFAULT_REFINE_SHORT_DWELL_PEN,
+    band_half_width=DEFAULT_REFINE_HBW,
     adjust_band_min_step=2,
 ):
     """Refine one read's signal mapping against expected levels.
@@ -112,26 +117,24 @@ class SigMapRefiner:
     """K-mer level table manager, re-scaler, and refinement driver."""
 
     # level-table source (one of: file, string dict, raw array below)
-    kmer_model_filename: Optional[str] = None
+    kmer_model_filename: Optional["str"] = None
     # scaling behavior
-    do_rough_rescale: bool = False
-    scale_iters: int = -1
-    rough_rescale_method: str = DEFAULT_ROUGH_RESCALE_METHOD
+    do_rough_rescale: "bool" = False
+    scale_iters: "int" = -1
+    rough_rescale_method: "str" = DEFAULT_ROUGH_RESCALE_METHOD
     # DP settings
-    algo: str = DEFAULT_REFINE_ALGO
-    half_bandwidth: int = DEFAULT_REFINE_HBW
+    algo: "str" = DEFAULT_REFINE_ALGO
+    half_bandwidth: "int" = DEFAULT_REFINE_HBW
     sd_params: Optional[tuple] = None
-    do_fix_guage: bool = False
-    sd_arr: np.ndarray = field(
-        default_factory=lambda: DEFAULT_REFINE_SHORT_DWELL_PEN
-    )
+    do_fix_guage: "bool" = False
+    sd_arr: np.ndarray = field(default_factory=lambda: _default_sd_pen())
     # loaded/derived state
     _levels_array: Optional[np.ndarray] = None
     str_kmer_levels: Optional[dict] = None
-    kmer_len: Optional[int] = None
+    kmer_len: Optional["int"] = None
     kmer_idx_stats: Optional[list] = None
-    center_idx: int = -1
-    is_loaded: bool = False
+    center_idx: "int" = -1
+    is_loaded: "bool" = False
 
     def __post_init__(self):
         self._ingest_levels()
@@ -152,8 +155,10 @@ class SigMapRefiner:
                 "nor refinement is enabled, so it will go unused."
             )
         if self.rough_rescale_method not in ROUGH_RESCALE_METHODS:
+            known = ", ".join(ROUGH_RESCALE_METHODS)
             raise RemoraError(
-                f"Unknown rough re-scale method {self.rough_rescale_method!r}"
+                f"rough_rescale_method {self.rough_rescale_method!r} "
+                f"not one of: {known}"
             )
 
     def _ingest_levels(self):
@@ -177,7 +182,7 @@ class SigMapRefiner:
             self.fix_gauge()
 
     def __repr__(self):
-        if not self.is_loaded:
+        if self.is_loaded is False:
             return "No remora_tpu signal refine/map settings loaded"
         parts = [
             f"{self.kmer_len}-mer level table loaded "
@@ -204,7 +209,7 @@ class SigMapRefiner:
 
     @property
     def bases_after(self):
-        return self.kmer_len - self.center_idx - 1
+        return self.kmer_len - 1 - self.center_idx
 
     @property
     def is_valid(self):
@@ -222,10 +227,11 @@ class SigMapRefiner:
 
     @property
     def levels_array(self):
-        if self._levels_array is None and self.str_kmer_levels is not None:
-            self._levels_array = levels_mod.levels_dict_to_array(
-                self.str_kmer_levels, self.kmer_len
-            )
+        if self._levels_array is not None or self.str_kmer_levels is None:
+            return self._levels_array
+        self._levels_array = levels_mod.levels_dict_to_array(
+            self.str_kmer_levels, self.kmer_len
+        )
         return self._levels_array
 
     @property
@@ -247,16 +253,19 @@ class SigMapRefiner:
 
     def rough_rescale(
         self,
-        shift: float,
-        scale: float,
-        seq_to_sig_map: np.ndarray,
-        int_seq: np.ndarray,
-        dacs: np.ndarray,
-        quants: np.ndarray = np.arange(0.05, 1, 0.05),
-        clip_bases: int = 10,
-        use_base_center: bool = True,
+        shift,
+        scale,
+        seq_to_sig_map,
+        int_seq,
+        dacs,
+        *,
+        use_base_center=True,
+        clip_bases=10,
+        quants=None,
     ):
         """Quantile-based rescale of (shift, scale) against expected levels."""
+        if quants is None:
+            quants = np.arange(0.05, 1, 0.05)
         levels = self.extract_levels(int_seq)
         if use_base_center:
             # one representative DAC per base: the mid-dwell sample
@@ -267,26 +276,29 @@ class SigMapRefiner:
                 interior = slice(clip_bases, -clip_bases)
                 levels, fit_dacs = levels[interior], fit_dacs[interior]
         else:
-            fit_dacs = dacs[seq_to_sig_map[0] : seq_to_sig_map[-1]]
+            span = slice(seq_to_sig_map[0], seq_to_sig_map[-1])
+            fit_dacs = dacs[span]
         try:
             estimator = _ROUGH_RESCALE_DISPATCH[self.rough_rescale_method]
         except KeyError:
             raise RemoraError(
-                f"Invalid rough re-scale method: {self.rough_rescale_method}"
+                f"No such rough re-scale estimator: "
+                f"{self.rough_rescale_method}"
             )
         return estimator(fit_dacs, levels, shift, scale, quants)
 
     def rescale(
         self,
-        levels: np.ndarray,
-        dacs: np.ndarray,
-        shift: float,
-        scale: float,
-        seq_to_sig_map: np.ndarray,
-        dwell_filter_pctls: tuple = (10, 90),
-        min_abs_level: float = 0.2,
-        edge_filter_bases: int = 10,
-        min_levels: int = 10,
+        levels,
+        dacs,
+        shift,
+        scale,
+        seq_to_sig_map,
+        *,
+        min_levels=10,
+        min_abs_level=0.2,
+        edge_filter_bases=10,
+        dwell_filter_pctls=(10, 90),
     ):
         """Precise rescale from the current mapping with dwell/level filters."""
         spans = np.diff(seq_to_sig_map)
@@ -325,21 +337,26 @@ class SigMapRefiner:
         origin = seq_to_sig_map[0]
         dacs = dacs[origin : seq_to_sig_map[-1]]
         seq_to_sig_map = seq_to_sig_map - origin
-        n_rounds = max(self.scale_iters, 1)
-        for _ in range(n_rounds):
+        rescale_each_round = self.scale_iters > 0
+        for _ in range(max(self.scale_iters, 1)):
+            norm_sig = (dacs - shift) / scale
             seq_to_sig_map = refine_signal_mapping(
-                (dacs - shift) / scale,
+                norm_sig,
                 seq_to_sig_map,
                 levels,
-                band_half_width=self.half_bandwidth,
                 refine_algo=self.algo,
                 short_dwell_pen=self.sd_arr,
+                band_half_width=self.half_bandwidth,
             )[0]
-            if self.scale_iters <= 0:
+            if not rescale_each_round:
                 continue
             try:
                 shift, scale = self.rescale(
-                    levels, dacs, shift, scale, seq_to_sig_map
+                    levels,
+                    dacs,
+                    shift,
+                    scale,
+                    seq_to_sig_map,
                 )
             except RemoraError as err:
                 LOGGER.debug(f"precise re-scale skipped: {err}")
@@ -386,7 +403,7 @@ class SigMapRefiner:
         refines the rest is irrelevant; DP settings only matter when
         refinement iterations are enabled.
         """
-        if not isinstance(other, SigMapRefiner):
+        if other.__class__ is not SigMapRefiner:
             return False
         mode = (self.do_rough_rescale, self.scale_iters)
         if mode != (other.do_rough_rescale, other.scale_iters):
@@ -394,11 +411,12 @@ class SigMapRefiner:
         if not mode[0] and mode[1] < 0:
             # neither rescales nor refines: remaining settings are inert
             return True
-        if self.rough_rescale_method != other.rough_rescale_method:
-            return False
-        if self.center_idx != other.center_idx or not np.array_equal(
-            self._levels_array, other._levels_array
-        ):
+        same_table = (
+            self.rough_rescale_method == other.rough_rescale_method
+            and self.center_idx == other.center_idx
+            and np.array_equal(self._levels_array, other._levels_array)
+        )
+        if not same_table:
             return False
         if self.scale_iters < 0:
             return True
@@ -414,7 +432,7 @@ class SigMapRefiner:
         Returns a list of (sub_kmer, mean_level, dominant_base) sorted by
         level (the reference returns a polars frame; plain tuples here).
         """
-        if sub_kmer_size >= self.kmer_len:
+        if not sub_kmer_size < self.kmer_len:
             raise RemoraError(
                 "Requested sub-k-mer is not smaller than the stored k-mer"
             )
