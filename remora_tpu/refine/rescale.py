@@ -2,8 +2,8 @@
 
 Reference analog ``src/remora/refine_signal_map.py:54–121``. Every
 estimator fits an affine map ``y ~ b0 + b1 * x`` between normalized
-signal observations and expected k-mer levels, then folds that fit back
-into the (shift, scale) pair of the ``norm = (dac - shift) / scale``
+signal observations and expected k-mer expected, then folds that fit back
+into the (shift, scale) pair of the ``norm = (raw - shift) / scale``
 convention. Floating-point op order is kept identical to the reference
 so refined DP paths stay bit-exact.
 """
@@ -14,8 +14,8 @@ from remora_tpu import RemoraError
 from remora_tpu.constants import MAX_POINTS_FOR_THEIL_SEN
 
 
-def _normalize(dacs, shift, scale):
-    return (dacs - shift) / scale
+def _normalize(raw, shift, scale):
+    return (raw - shift) / scale
 
 
 def _lstsq_refit(x, y, shift, scale):
@@ -46,13 +46,13 @@ def _theil_sen_refit(x, y, shift, scale):
     return shift + (-inter / slope * scale), scale * (1 / slope)
 
 
-def point_lstsq_rescale(dacs, levels, shift, scale):
-    return _lstsq_refit(_normalize(dacs, shift, scale), levels, shift, scale)
+def point_lstsq_rescale(raw, expected, shift, scale):
+    return _lstsq_refit(_normalize(raw, shift, scale), expected, shift, scale)
 
 
-def point_theil_sen_rescale(dacs, levels, shift, scale):
-    x = _normalize(dacs, shift, scale)
-    y = levels
+def point_theil_sen_rescale(raw, expected, shift, scale):
+    x = _normalize(raw, shift, scale)
+    y = expected
     if y.shape[0] > MAX_POINTS_FOR_THEIL_SEN:
         # bound the O(n^2) pairwise-slope cost (reference RNG semantics)
         keep = np.random.choice(
@@ -62,18 +62,18 @@ def point_theil_sen_rescale(dacs, levels, shift, scale):
     return _theil_sen_refit(x, y, shift, scale)
 
 
-def _matched_quantiles(dacs, levels, shift, scale, quants):
+def _matched_quantiles(raw, expected, shift, scale, quants):
     """Matched (signal, level) quantile pairs for robust rough fitting."""
-    sig_qs = np.quantile(_normalize(dacs, shift, scale), quants)
-    lvl_qs = np.quantile(levels, quants)
-    return sig_qs, lvl_qs
+    x_q = np.quantile(_normalize(raw, shift, scale), quants)
+    y_q = np.quantile(expected, quants)
+    return x_q, y_q
 
 
-def quantile_lstsq_rescale(dacs, levels, shift, scale, quants):
-    x, y = _matched_quantiles(dacs, levels, shift, scale, quants)
+def quantile_lstsq_rescale(raw, expected, shift, scale, quants):
+    x, y = _matched_quantiles(raw, expected, shift, scale, quants)
     return _lstsq_refit(x, y, shift, scale)
 
 
-def quantile_theil_sen_rescale(dacs, levels, shift, scale, quants):
-    x, y = _matched_quantiles(dacs, levels, shift, scale, quants)
+def quantile_theil_sen_rescale(raw, expected, shift, scale, quants):
+    x, y = _matched_quantiles(raw, expected, shift, scale, quants)
     return _theil_sen_refit(x, y, shift, scale)
