@@ -77,7 +77,7 @@ def check_super_batch(super_batch, chunk_width):
         raise RemoraError("Sequence values must be in [-1, 3]")
 
 
-def trim_sb_chunk_context(stored_cc, cc, total_seq_context, seqs,
+def trim_sb_chunk_context(stored_cc, cc, total_seq_context, *, seqs,
                           seq_mappings, seq_lens):
     """In-place ragged trim of seq + mapping rows for a smaller chunk
     context (reference Cython ``trim_sb_chunk_context_core``), fully
@@ -131,14 +131,14 @@ def _sampled_file_digest(path, block_size=2**18, n_blocks=8):
     files (reference-compatible digest)."""
     digest = hashlib.sha256()
     with open(path, "rb") as fh:
-        file_size = fh.seek(0, os.SEEK_END)
-        if file_size < block_size * n_blocks:
+        total = fh.seek(0, os.SEEK_END)
+        if total < block_size * n_blocks:
             fh.seek(0)
             for piece in iter(lambda: fh.read(block_size), b""):
                 digest.update(piece)
         else:
             starts = np.floor(
-                np.linspace(0, file_size - block_size, n_blocks)
+                np.linspace(0, total - block_size, n_blocks)
             ).astype(int)
             for pos in starts:
                 fh.seek(pos)
@@ -156,21 +156,21 @@ def _format_label_summary(labels, counts):
 class CoreDataset:
     """One on-disk (or in-memory) chunk store with super-batch streaming."""
 
-    data_path: Optional[str] = None
-    mode: str = "r"
+    data_path: Optional["str"] = None
+    mode: "str" = "r"
     metadata: Optional[DatasetMetadata] = None
     override_metadata: Optional[dict] = None
-    batch_size: int = DEFAULT_BATCH_SIZE
-    super_batch_size: int = DEFAULT_SUPER_BATCH_SIZE
-    super_batch_sample_frac: Optional[float] = None
-    super_batch_offset: int = 0
-    infinite_iter: bool = True
-    do_check_super_batches: bool = False
+    batch_size: "int" = DEFAULT_BATCH_SIZE
+    super_batch_size: "int" = DEFAULT_SUPER_BATCH_SIZE
+    super_batch_sample_frac: Optional["float"] = None
+    super_batch_offset: "int" = 0
+    infinite_iter: "bool" = True
+    do_check_super_batches: "bool" = False
     # multihost data parallelism: this process streams super batches
     # shard_index, shard_index + num_shards, ... (disjoint across hosts
     # while the stream stays within one wrap of the dataset)
-    shard_index: int = 0
-    num_shards: int = 1
+    shard_index: "int" = 0
+    num_shards: "int" = 1
 
     # ------------- paths / hashing -------------
     @staticmethod
@@ -215,11 +215,13 @@ class CoreDataset:
 
     @property
     def size(self):
-        return self.metadata.size
+        md = self.metadata
+        return md.size
 
     @property
     def array_names(self):
-        return list(CORE_ARRAYS) + self.metadata.extra_array_names
+        extras = self.metadata.extra_array_names
+        return list(CORE_ARRAYS) + extras
 
     @property
     def arrays_info(self):
@@ -297,7 +299,8 @@ class CoreDataset:
 
     def load_metadata(self):
         loaded = DatasetMetadata.load(self.metadata_path, self.kmer_table_path)
-        if self.override_metadata is None:
+        overriding = self.override_metadata is not None
+        if not overriding:
             self.metadata = DatasetMetadata(**loaded)
             return
         overrides = self.override_metadata
@@ -365,54 +368,58 @@ class CoreDataset:
 
     # ------------- array management -------------
     def get_array_path(self, array_name):
-        if array_name in CORE_ARRAYS:
-            return self._sidecar(array_name + ".npy")
         if array_name in (self.metadata.extra_arrays or {}):
-            return self._sidecar("extra_" + array_name + ".npy")
-        raise RemoraError(f"unknown array: {array_name}")
+            return self._sidecar(f"extra_{array_name}.npy")
+        if array_name not in CORE_ARRAYS:
+            raise RemoraError(f"unknown array: {array_name}")
+        return self._sidecar(f"{array_name}.npy")
 
     def _require_write_mode(self):
-        if self.mode != "w":
-            raise RemoraError("dataset opened read-only")
+        if self.mode == "w":
+            return
+        raise RemoraError("dataset opened read-only")
 
     def allocate_arrays(self):
         self._require_write_mode()
         in_memory = self.data_path is None
         if not in_memory:
             os.makedirs(self.data_path, exist_ok=True)
-        for arr_name, arr_dtype, arr_shape in self.arrays_info:
+        for name, np_dtype, shape in self.arrays_info:
             if in_memory:
-                arr = np.empty(arr_shape, dtype=arr_dtype)
+                arr = np.empty(shape, dtype=np_dtype)
             else:
                 arr = np.memmap(
-                    self.get_array_path(arr_name),
-                    shape=arr_shape,
-                    dtype=arr_dtype,
+                    self.get_array_path(name),
                     mode="w+",
+                    dtype=np_dtype,
+                    shape=shape,
                 )
-            setattr(self, arr_name, arr)
+            setattr(self, name, arr)
 
     def refresh_memmaps(self):
         if self.data_path is None:
             return
-        file_mode = "r" if self.mode == "r" else "r+"
-        for arr_name, arr_dtype, arr_shape in self.arrays_info:
-            self.__dict__.pop(arr_name, None)
+        file_mode = {"r": "r"}.get(self.mode, "r+")
+        for name, np_dtype, shape in self.arrays_info:
+            self.__dict__.pop(name, None)
             mapped = np.memmap(
-                self.get_array_path(arr_name),
-                shape=arr_shape,
-                dtype=arr_dtype,
+                self.get_array_path(name),
                 mode=file_mode,
+                dtype=np_dtype,
+                shape=shape,
             )
-            setattr(self, arr_name, mapped)
+            setattr(self, name, mapped)
 
     def write_metadata(self):
-        self.metadata.write(self.metadata_path, self.kmer_table_path)
+        self.metadata.write(
+            self.metadata_path, kmer_table_path=self.kmer_table_path
+        )
 
     def close_memmaps(self):
-        if self.data_path is not None:
-            for arr_name in CORE_ARRAYS:
-                setattr(self, arr_name, None)
+        if self.data_path is None:
+            return
+        for name in CORE_ARRAYS:
+            setattr(self, name, None)
 
     def __post_init__(self):
         self._iter = self.label_conv = None
@@ -439,7 +446,8 @@ class CoreDataset:
         if len(sizes) != 1:
             raise RemoraError("ragged batch: arrays differ in row count")
         (n_new,) = sizes
-        if self.metadata.dataset_end + n_new > self.metadata.allocate_size:
+        md = self.metadata
+        if n_new > md.allocate_size - md.dataset_end:
             self.write_metadata()
             raise RemoraError("batch overruns the allocated store")
         expected = set(self.array_names)
@@ -455,10 +463,10 @@ class CoreDataset:
                 f"Batch write must only include specified arrays. Found: "
                 f"{', '.join(surplus)}"
             )
-        row = self.metadata.dataset_end
-        for arr_name, in_array in arrays.items():
-            getattr(self, arr_name)[row : row + n_new] = in_array
-        self.metadata.dataset_end = row + n_new
+        row = md.dataset_end
+        for name, incoming in arrays.items():
+            getattr(self, name)[row : row + n_new] = incoming
+        md.dataset_end = row + n_new
 
     @staticmethod
     def _padded_row(width, values, dtype):
@@ -469,23 +477,20 @@ class CoreDataset:
     def write_chunk(self, chunk):
         """Write one Chunk as a single-row batch (right-padded arrays)."""
         md = self.metadata
-        one = {
-            "signal": chunk.signal[None].astype(CORE_DTYPES["signal"]),
-            "sequence": self._padded_row(
-                md.sequence_width,
-                chunk.seq_w_context,
-                CORE_DTYPES["sequence"],
-            ),
-            "sequence_to_signal_mapping": self._padded_row(
-                md.sequence_to_signal_mapping_width,
-                chunk.seq_to_sig_map,
-                CORE_DTYPES["sequence_to_signal_mapping"],
-            ),
-            "sequence_lengths": np.array(
-                [chunk.seq_len], CORE_DTYPES["sequence_lengths"]
-            ),
-            "labels": np.array([chunk.label], CORE_DTYPES["labels"]),
-        }
+        dt = CORE_DTYPES
+        one = {"signal": chunk.signal[None].astype(dt["signal"])}
+        one["sequence"] = self._padded_row(
+            md.sequence_width, chunk.seq_w_context, dt["sequence"]
+        )
+        one["sequence_to_signal_mapping"] = self._padded_row(
+            md.sequence_to_signal_mapping_width,
+            chunk.seq_to_sig_map,
+            dt["sequence_to_signal_mapping"],
+        )
+        one["sequence_lengths"] = np.array(
+            [chunk.seq_len], dt["sequence_lengths"]
+        )
+        one["labels"] = np.array([chunk.label], dt["labels"])
         extras = self.metadata.extra_arrays or {}
         chunk_extras = {
             "read_ids": chunk.read_id,
@@ -496,7 +501,7 @@ class CoreDataset:
                 one[name] = np.array([value], dtype=extras[name][0])
         self.write_batch(one)
 
-    def shuffle(self, batch_size=100_000, show_prog=False):
+    def shuffle(self, *, batch_size=100_000, show_prog=False):
         """On-disk permutation applied blockwise to bound memory."""
         self._require_write_mode()
         order = np.random.permutation(self.size)
@@ -512,11 +517,12 @@ class CoreDataset:
                     getattr(self, array_name).flush()
 
     def flush(self):
-        if self.data_path is not None:
-            for arr_name in self.array_names:
-                getattr(self, arr_name).flush()
-            # reopen so readers observe the flushed rows
-            self.refresh_memmaps()
+        if self.data_path is None:
+            return
+        for name in self.array_names:
+            getattr(self, name).flush()
+        # reopen so readers observe the flushed rows
+        self.refresh_memmaps()
 
     # ------------- reading -------------
     def adjust_batch_params(self):
@@ -537,7 +543,7 @@ class CoreDataset:
         return sb_select, sb_select
 
     def _trim_kmer_context_sb(self, super_batch):
-        if not self.metadata.kmer_context_bases_adjusted:
+        if self.metadata.kmer_context_bases_adjusted is False:
             return super_batch
         stored_kb = self.metadata.stored_kmer_context_bases[0]
         shift = stored_kb - self.metadata.kmer_context_bases[0]
@@ -549,7 +555,7 @@ class CoreDataset:
         return super_batch
 
     def _trim_chunk_context_sb(self, super_batch):
-        if not self.metadata.chunk_context_adjusted:
+        if self.metadata.chunk_context_adjusted is False:
             return super_batch
         stored_cc = self.metadata.stored_chunk_context
         cc = self.metadata.chunk_context
@@ -567,13 +573,14 @@ class CoreDataset:
             stored_cc,
             cc,
             sum(self.metadata.kmer_context_bases),
-            super_batch["sequence"],
-            smap,
-            super_batch["sequence_lengths"],
+            seqs=super_batch["sequence"],
+            seq_mappings=smap,
+            seq_lens=super_batch["sequence_lengths"],
         )
         return super_batch
 
-    def load_super_batch(self, offset=0, size=None, select_num_chunks=None):
+    def load_super_batch(self, offset=0, *, size=None,
+                         select_num_chunks=None):
         """Copy a contiguous (wrapping if infinite) slab of chunk rows."""
         if self.infinite_iter:
             offset %= self.size
@@ -629,7 +636,7 @@ class CoreDataset:
             sb_at = self.super_batch_offset + stripe * self.super_batch_size
             super_batch = self.load_super_batch(
                 sb_at,
-                self.super_batch_size,
+                size=self.super_batch_size,
                 select_num_chunks=select_num_chunks,
             )
             if super_batch is None:
@@ -640,12 +647,10 @@ class CoreDataset:
                 )
             yield super_batch
 
-    def extract_batch(self, super_batch, batch_st):
+    def extract_batch(self, super_batch, start):
         """One training batch with host-side encoded-kmer features."""
-        batch_en = min(
-            batch_st + self.batch_size, super_batch["sequence"].shape[0]
-        )
-        window = slice(batch_st, batch_en)
+        stop = min(start + self.batch_size, super_batch["sequence"].shape[0])
+        window = slice(start, stop)
         kb, ka = self.metadata.kmer_context_bases
         batch = {
             "enc_kmers": encoded_kmers.compute_encoded_kmer_batch(
@@ -663,16 +668,16 @@ class CoreDataset:
     def _iter_batches_inner(self, raw):
         chunks_per_sb, sb_select = self.adjust_batch_params()
         for super_batch in self.iter_super_batches(sb_select):
-            for batch_st in range(0, chunks_per_sb, self.batch_size):
+            for start in range(0, chunks_per_sb, self.batch_size):
                 if not raw:
-                    yield self.extract_batch(super_batch, batch_st)
+                    yield self.extract_batch(super_batch, start)
                     continue
-                batch_en = min(
-                    batch_st + self.batch_size,
+                stop = min(
+                    start + self.batch_size,
                     super_batch["sequence"].shape[0],
                 )
                 yield {
-                    name: super_batch[name][batch_st:batch_en]
+                    name: super_batch[name][start:stop]
                     for name in self.array_names
                 }
 
@@ -711,16 +716,16 @@ def parse_dataset_config(config_path, used_configs=None):
     used_configs = (
         {config_path: config_path} if used_configs is None else used_configs
     )
-    paths, weights, hashes = [], [], []
     with open(config_path) as fh:
         entries = json.load(fh)
+    paths = []
+    weights = []
+    hashes = []
     for entry in entries:
         ds_path, weight = entry[:2]
         ds_hash = entry[2] if len(entry) > 2 else None
         assert weight > 0, "dataset config weight must be positive"
-        ds_path = resolve_path(ds_path)
-        if not os.path.exists(ds_path):
-            raise RemoraError(f"no dataset at {ds_path}")
+        ds_path = _existing_path(ds_path)
         if os.path.isdir(ds_path):
             computed = CoreDataset.hash(ds_path)
             if ds_hash is not None and ds_hash != computed:
@@ -747,17 +752,22 @@ def parse_dataset_config(config_path, used_configs=None):
             weights.extend(np.asarray(sub_props) * weight)
     if len(set(paths)) != len(paths):
         LOGGER.warning("Core datasets loaded multiple times")
-    weights = np.array(weights, dtype=float)
-    return paths, weights / weights.sum(), hashes
+    mix = np.array(weights, dtype=float)
+    return paths, mix / mix.sum(), hashes
+
+
+def _existing_path(ds_path):
+    ds_path = resolve_path(ds_path)
+    if not os.path.exists(ds_path):
+        raise RemoraError(f"no dataset at {ds_path}")
+    return ds_path
 
 
 def load_dataset(ds_path):
     """Parse either a core dataset dir or a dataset config file."""
-    ds_path = resolve_path(ds_path)
+    ds_path = _existing_path(ds_path)
     if os.path.isdir(ds_path):
         return [ds_path], np.array([1.0]), None
-    if not os.path.exists(ds_path):
-        raise RemoraError(f"no dataset at {ds_path}")
     return parse_dataset_config(ds_path)
 
 
@@ -788,12 +798,12 @@ class ComposedDataset:
 
     # metadata that every member dataset must share exactly
     UNIFORM_METADATA = (
+        "sig_map_refiner",
+        "pa_scaling",
+        "reverse_signal",
         "modified_base_labels",
         "base_start_justify",
         "offset",
-        "reverse_signal",
-        "pa_scaling",
-        "sig_map_refiner",
     )
 
     def __init__(
@@ -801,10 +811,11 @@ class ComposedDataset:
         datasets,
         proportions,
         hashes=None,
+        *,
+        seed=None,
         batch_size=DEFAULT_BATCH_SIZE,
         super_batch_size=DEFAULT_SUPER_BATCH_SIZE,
         super_batch_sample_frac=None,
-        seed=None,
     ):
         if len(datasets) != len(proportions):
             raise RemoraError("need exactly one proportion per dataset")
@@ -819,8 +830,8 @@ class ComposedDataset:
         self.set_batch_size(batch_size)
         self.infinite_iter = all(ds.infinite_iter for ds in datasets)
         self.set_global_metadata()
-        for ds in datasets:
-            ds.update_metadata(self)
+        for member in datasets:
+            member.update_metadata(self)
         self.super_batch_offsets = [0] * len(datasets)
         self._ds_iters = self._iter = self._all_batches = None
 
@@ -831,7 +842,8 @@ class ComposedDataset:
 
     @property
     def num_datasets(self):
-        return len(self.datasets)
+        members = self.datasets
+        return len(members)
 
     @property
     def paths(self):
@@ -972,7 +984,7 @@ class ComposedDataset:
         for md_key in self._UPDATE_GUARD_KEYS:
             if getattr(theirs, md_key) != getattr(self.metadata, md_key):
                 raise RemoraError(
-                    f"Cannot update metadata with mismatching '{md_key}'."
+                    f"metadata field {md_key!r} differs; cannot update"
                 )
         for member in self.datasets:
             member.update_metadata(other)
@@ -981,8 +993,8 @@ class ComposedDataset:
 
     # ---- construction ----
     @classmethod
-    def from_config(cls, config_path, override_metadata=None, ds_kwargs=None,
-                    **kwargs):
+    def from_config(cls, config_path, *, override_metadata=None,
+                    ds_kwargs=None, **kwargs):
         paths, props, hashes = parse_dataset_config(config_path)
         override_metadata = override_metadata or {}
         ds_kwargs = ds_kwargs or {}
@@ -1046,8 +1058,8 @@ class ComposedDataset:
             member.super_batch_sample_frac = self.super_batch_sample_frac
         self._ds_iters = [m.iter_batches(raw=raw) for m in members]
 
-    def iter_batches(self, return_arrays=("enc_kmers", "signal", "labels"),
-                     raw=False):
+    def iter_batches(self, *, raw=False,
+                     return_arrays=("enc_kmers", "signal", "labels")):
         if self._ds_iters is None:
             self._set_sub_ds_iters(raw=raw)
         names = (
@@ -1079,7 +1091,7 @@ class ComposedDataset:
             }
 
     def load_all_batches(self):
-        if self.infinite_iter:
+        if self.infinite_iter is True:
             raise RemoraError(
                 "caching every batch needs a finite iteration order"
             )
@@ -1120,9 +1132,12 @@ class ComposedDataset:
 
     def get_config(self):
         rows = zip(self.paths, self.props, self.hashes)
-        return [
-            (p, w) if h is None else (p, w, h) for p, w, h in rows
-        ]
+        out = []
+        for path, weight, digest in rows:
+            out.append(
+                (path, weight) if digest is None else (path, weight, digest)
+            )
+        return out
 
     def epoch_summary(self, batches_per_epoch):
         """Per-dataset draw rates and per-label batch/total counts
