@@ -50,12 +50,12 @@ class Chunk:
     signal: np.ndarray
     seq_w_context: np.ndarray
     seq_to_sig_map: np.ndarray
-    kmer_context_bases: tuple
-    chunk_sig_focus_idx: int
-    chunk_focus_base: int
-    read_focus_base: int
-    label: Optional[int] = None
-    read_id: Optional[str] = None
+    kmer_context_bases: "tuple"
+    chunk_sig_focus_idx: "int"
+    chunk_focus_base: "int"
+    read_focus_base: "int"
+    label: Optional["int"] = None
+    read_id: Optional["str"] = None
 
     def mask_focus_base(self):
         focus_idx = self.chunk_focus_base + self.kmer_context_bases[0]
@@ -115,13 +115,13 @@ class RemoraRead:
     """
 
     dacs: np.ndarray
-    shift: float
-    scale: float
+    shift: "float"
+    scale: "float"
     seq_to_sig_map: np.ndarray
     int_seq: Optional[np.ndarray] = None
-    str_seq: Optional[str] = None
+    str_seq: Optional["str"] = None
     labels: Optional[np.ndarray] = None
-    read_id: Optional[str] = None
+    read_id: Optional["str"] = None
     focus_bases: Optional[np.ndarray] = None
     batches: Optional[list] = None
 
@@ -140,7 +140,7 @@ class RemoraRead:
             self.__dict__.pop(name, None)
 
     @classmethod
-    def test_read(cls, nbases=20, signal_per_base=10):
+    def test_read(cls, nbases=20, *, signal_per_base=10):
         """Uniform spoof read (reference test double, data_chunks.py:179)."""
         n_sig = nbases * signal_per_base
         return cls(
@@ -207,6 +207,7 @@ class RemoraRead:
 
     def refine_signal_mapping(self, sig_map_refiner, check_read=False):
         """Apply rough rescale and/or banded-DP mapping refinement."""
+        # refiners may be absent (no levels) -> no-op
         if sig_map_refiner is None or not sig_map_refiner.is_loaded:
             return
         if sig_map_refiner.do_rough_rescale:
@@ -241,7 +242,8 @@ class RemoraRead:
             self.check()
 
     def set_motif_focus_bases(self, motifs):
-        self.focus_bases = sequtil.find_focus_bases(self.int_seq, motifs)
+        hits = sequtil.find_focus_bases(self.int_seq, motifs)
+        self.focus_bases = hits
 
     def downsample_focus_bases(self, max_sites):
         sites = self.focus_bases
@@ -357,10 +359,11 @@ class RemoraRead:
         self,
         chunk_context,
         kmer_context_bases,
-        base_start_justify=False,
+        *,
         offset=0,
-        check_chunks=False,
+        base_start_justify=False,
         motifs=None,
+        check_chunks=False,
     ):
         last_mapped = self.seq_to_sig_map.size - 2
         for focus_base in self.focus_bases:
@@ -371,7 +374,10 @@ class RemoraRead:
                 if not hit:
                     LOGGER.debug("FAILED_MOTIF_CHECK")
                     continue
-            label = -1 if self.labels is None else self.labels[focus_base]
+            if self.labels is None:
+                label = -1
+            else:
+                label = self.labels[focus_base]
             # shift by requested offset, clamped to mapped bases
             focus_base = int(np.clip(focus_base + offset, 0, last_mapped))
             chunk = self._chunk_at(

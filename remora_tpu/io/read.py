@@ -31,22 +31,22 @@ def _rescaled(values, shift, scale, domain):
 
 @dataclass
 class ReadRefReg:
-    read_id: str
+    read_id: "str"
     norm_signal: np.ndarray
-    seq: str
+    seq: "str"
     seq_to_sig_map: np.ndarray
     ref_reg: RefRegion
-    sig_start: int = 0
+    sig_start: "int" = 0
 
 
 @dataclass
 class ReadBasecallRegion:
-    read_id: str
+    read_id: "str"
     norm_signal: np.ndarray
-    seq: str
+    seq: "str"
     seq_to_sig_map: np.ndarray
-    start: int
-    sig_start: int = 0
+    start: "int"
+    sig_start: "int" = 0
 
 
 @dataclass
@@ -265,9 +265,10 @@ class Read:
     def add_alignment(
         self,
         alignment_record,
-        parse_ref_align=True,
-        reverse_signal=False,
+        *,
         pa_scaling=None,
+        reverse_signal=False,
+        parse_ref_align=True,
     ):
         """Attach a BamRecord: trims, move table, scaling tags, ref mapping."""
         if pa_scaling is not None:
@@ -311,8 +312,8 @@ class Read:
 
     @classmethod
     def from_pod5_and_alignment(
-        cls, pod5_read_record, alignment_record, reverse_signal=False,
-        pa_scaling=None,
+        cls, pod5_read_record, alignment_record, *, pa_scaling=None,
+        reverse_signal=False,
     ):
         read = cls.from_pod5_record(pod5_read_record, rev_sig=reverse_signal)
         read.add_alignment(
@@ -404,7 +405,7 @@ class Read:
     ):
         """Basecall positions whose reference mates hit a motif/BED site."""
         if self.cigar is None:
-            raise RemoraError("no alignment attached")
+            raise RemoraError("focus-base anchoring needs an alignment")
         bc_focus = sequtil.find_focus_bases(
             sequtil.seq_to_int(self.seq), motifs
         )
@@ -438,7 +439,7 @@ class Read:
             self.ref_reg.end - region.start,
         )
 
-    def extract_basecall_region(self, start_base=None, end_base=None,
+    def extract_basecall_region(self, *, start_base=None, end_base=None,
                                 signal_type="norm"):
         if self.query_to_signal is None:
             raise RemoraError("No query_to_signal mapping (mv tag missing?)")
@@ -456,7 +457,7 @@ class Read:
             sig_start=sig_start,
         )
 
-    def extract_ref_reg(self, ref_reg, signal_type="norm"):
+    def extract_ref_reg(self, ref_reg, *, signal_type="norm"):
         if self.ref_to_signal is None:
             raise RemoraError("No ref_to_signal mapping (unaligned read?)")
         read_reg = self.ref_reg
@@ -522,10 +523,11 @@ class Read:
     def compute_per_base_metric(
         self,
         metric=None,
+        *,
         metric_func=None,
+        signal_type="norm",
         region=None,
         ref_anchored=True,
-        signal_type="norm",
         **kwargs,
     ):
         if metric is None and metric_func is None:
@@ -579,7 +581,7 @@ class Read:
         return read, mapping.duplex_offset
 
 
-def iter_signal(pod5_path, num_reads=None, read_ids=None, rev_sig=False,
+def iter_signal(pod5_path, *, num_reads=None, read_ids=None, rev_sig=False,
                 pa_scaling=None):
     """Yield (Read, err) with signal loaded from POD5.
 

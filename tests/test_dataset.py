@@ -129,7 +129,7 @@ def test_batch_chunk_extraction_parity(can_pod5, can_mappings):
             rr.set_motif_focus_bases(motifs)
             chunks = [
                 c
-                for c in rr.iter_chunks((200, 200), (4, 4), False, 0)
+                for c in rr.iter_chunks((200, 200), (4, 4), base_start_justify=False, offset=0)
                 if c.seq_len <= 402
             ]
             arrays, _n_long = extract_chunks_batch(
