@@ -403,8 +403,8 @@ class RemoraRead:
             self.iter_chunks(
                 md["chunk_context"],
                 md["kmer_context_bases"],
-                md["base_start_justify"],
-                md["offset"],
+                base_start_justify=md["base_start_justify"],
+                offset=md["offset"],
             )
         )
         if not chunk_list:

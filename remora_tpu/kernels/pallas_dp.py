@@ -12,17 +12,19 @@ read batch. Here the WHOLE base loop runs inside one Pallas program:
     HBM -> VMEM in (K, W, 128) blocks while the carried DP state
     (prev scores + band bookkeeping) lives in VMEM scratch that
     persists across the chunk dimension of the grid;
-  * the in-band stay recurrence is the min-plus prefix scan derived in
-    remora_tpu.refine.dp, computed as a log-step Hillis–Steele
-    cummin over the 16 sublanes;
+  * the in-band stay recurrence runs as an exact sequential row fold
+    (grouped 8 rows per loop step), reproducing the reference C float
+    association bit-for-bit — large-band near-ties resolve identically
+    to the Cython, unlike a reassociating prefix scan;
   * the per-read band realignment prev[p - 1 + bsd] (bsd varies per
     lane) is a masked select over the W + 1 possible sublane shifts —
     cheap on (16, 128) tiles inside the kernel;
   * traceback is a second Pallas kernel walking the chunks in reverse
     with the per-read path position carried in scratch.
 
-Path-exact against remora_tpu.refine.dp (the line-for-line oracle of
-the reference Cython), tested in tests/test_kernels.py.
+Path-exact against tests/oracle_dp.py (the line-for-line oracle of the
+reference Cython) and the native C++ kernel, including long reads with
+wide bands; tested in tests/test_kernels.py.
 """
 
 from functools import partial
@@ -60,28 +62,45 @@ def _shift_up(x, k, fill):
     return jnp.where(_rows(x.shape) < W - k, rolled, fill)
 
 
-def _cumsum_rows(x):
-    """Inclusive cumulative sum along the sublane (band) axis."""
-    k = 1
-    while k < x.shape[0]:
-        x = x + _shift_down(x, k, jnp.float32(0))
-        k <<= 1
-    return x
+def _stay_fold(base_ref, cand_ref, ctb_ref, out_s_ref, out_t_ref, W,
+               p0c=None):
+    """Exact sequential stay-chain fold over the band rows.
 
+    Reproduces the reference Cython's left-to-right recurrence bit-for-
+    bit: ``stay = carry + base[p]`` with the candidate taken on strict
+    improvement (``p0c is None``), or taken unconditionally below the
+    per-lane row threshold ``p0c`` (the past-band stay-only suffix).
+    Writes scores/tb per row; rows processed in groups of 8.
+    """
+    G = 8
 
-def _argcummin_rows(m):
-    """Running first-occurrence argmin along the sublane axis."""
-    val = m
-    idx = _rows(m.shape)
-    k = 1
-    while k < m.shape[0]:
-        val_s = _shift_down(val, k, BIG)
-        idx_s = _shift_down(idx, k, jnp.int32(0))
-        earlier_wins = val_s <= val
-        val = jnp.where(earlier_wins, val_s, val)
-        idx = jnp.where(earlier_wins, idx_s, idx)
-        k <<= 1
-    return idx, val
+    def group(b, carry):
+        cs, ct = carry
+        for g in range(G):
+            i = b * G + g
+            base_i = base_ref[pl.ds(i, 1)]
+            cand_i = cand_ref[pl.ds(i, 1)]
+            ctb_i = ctb_ref[pl.ds(i, 1)]
+            stay = cs + base_i
+            if p0c is None:
+                take_cand = cand_i < stay
+            else:
+                take_cand = i < p0c
+            cs = jnp.where(take_cand, cand_i, stay)
+            ct = jnp.where(take_cand, ctb_i, ct + 1)
+            out_s_ref[pl.ds(i, 1)] = cs
+            out_t_ref[pl.ds(i, 1)] = ct
+        return cs, ct
+
+    jax.lax.fori_loop(
+        0,
+        W // G,
+        group,
+        (
+            jnp.full((1, LANES), jnp.inf, jnp.float32),
+            jnp.zeros((1, LANES), jnp.int32),
+        ),
+    )
 
 
 def _select_row(x, row_idx):
@@ -112,39 +131,33 @@ def _band_align(prev, bsd):
     return jnp.where(sh < 0, down1, cur)
 
 
-def _vit_core(prev_g, prev_valid, prev_last, base, Binc, bsd, w):
-    """Viterbi base step on aligned prev scores; returns (scores, tb)."""
-    W = base.shape[0]
+def _move_entries(prev_g, prev_valid, prev_last, base, bsd, w):
+    """Per-row move candidates + their tb codes (reference ``vit_step``
+    entry/move semantics; the stay chain is applied by _stay_fold)."""
     rows = _rows(base.shape)
     src = rows - 1 + bsd
     src_ok = (src >= 0) & (src < prev_valid)
-    entry = jnp.where(src_ok, prev_g + base, BIG)
+    mv = jnp.where(src_ok, prev_g + base, BIG)
     sentinel = LARGE_SCORE + prev_last
-    entry = jnp.where((rows == 0) & (bsd == 0), sentinel, entry)
+    at_entry = (rows == 0) & (bsd == 0)
+    mv = jnp.where(at_entry, sentinel, mv)
     move_limit = jnp.minimum(prev_valid - bsd, w - 1)
-    entry = jnp.where((rows <= move_limit) | (rows == 0), entry, BIG)
-    in_band = rows < w
-    entry = jnp.where(in_band, entry, BIG)
-
-    m = entry - Binc
-    qstar, cm = _argcummin_rows(m)
-    scores = jnp.where(in_band, Binc + cm, BIG)
-    tb = rows - qstar - ((qstar == 0) & (bsd == 0)).astype(jnp.int32)
-    return scores, tb
+    mv = jnp.where((rows <= move_limit) | (rows == 0), mv, BIG)
+    mv = jnp.where(rows < w, mv, BIG)
+    mv_tb = jnp.where(at_entry, -1, 0).astype(jnp.int32)
+    return mv, mv_tb
 
 
-def _dwell_core(prev, prev_g, prev_valid, prev_last, base, Binc, bsd, w,
-                sdp_vals):
-    """Dwell-penalty base step (reference semantics incl. unpenalized
-    long-dwell fallback and past-band stay suffix)."""
-    W = base.shape[0]
+def _dwell_candidates(prev_g, prev_valid, prev_last, base, bsd, w,
+                      sdp_vals, unpen, unpen_tb):
+    """Dwell-penalty candidates for the main band region (reference
+    ``dwell_step``): short-dwell moves in ascending dwell order with
+    strict improvement, then the unpenalized long-dwell fallback. The
+    running base sums accumulate low-index-last, matching the C float
+    association exactly."""
     L = len(sdp_vals)
     rows = _rows(base.shape)
     in_band = rows < w
-
-    unpen, unpen_tb = _vit_core(
-        prev_g, prev_valid, prev_last, base, Binc, bsd, w
-    )
 
     invalid = LARGE_SCORE + prev_last
     curr = jnp.broadcast_to(invalid, base.shape)
@@ -154,7 +167,10 @@ def _dwell_core(prev, prev_g, prev_valid, prev_last, base, Binc, bsd, w,
     main = rows < p0
     entry_blocked = (rows == 0) & (bsd == 0)
 
+    run = base
     for d in range(L):
+        if d > 0:
+            run = run + _shift_down(base, d, jnp.float32(0))
         prev_idx = rows - d - 1 + bsd
         valid = (
             main
@@ -166,50 +182,17 @@ def _dwell_core(prev, prev_g, prev_valid, prev_last, base, Binc, bsd, w,
             & (prev_idx < prev_valid)
         )
         prev_gd = _shift_down(prev_g, d, BIG)
-        run = Binc - _shift_down(Binc, d + 1, jnp.float32(0))
         cand = prev_gd + run + sdp_vals[d]
         upd = valid & (cand < curr)
         curr = jnp.where(upd, cand, curr)
         tb = jnp.where(upd, d, tb)
 
     long_ok = main & in_band & (rows >= L)
-    cand = _shift_down(unpen, L, BIG) + (
-        Binc - _shift_down(Binc, L, jnp.float32(0))
-    )
+    cand = _shift_down(unpen, L, BIG) + run
     upd = long_ok & (cand < curr)
     curr = jnp.where(upd, cand, curr)
     tb = jnp.where(upd, _shift_down(unpen_tb, L, jnp.int32(0)) + L, tb)
-
-    # stay-only suffix past the previous band
-    p0c = jnp.maximum(p0, 1)
-    anchor = _select_row(curr, jnp.clip(p0c - 1, 0, W - 1))
-    anchor_tb = _select_row(tb, jnp.clip(p0c - 1, 0, W - 1))
-    anchor_B = _select_row(Binc, jnp.clip(p0c - 1, 0, W - 1))
-    sfx = in_band & (rows >= p0c)
-    curr = jnp.where(sfx, anchor + Binc - anchor_B, curr)
-    tb = jnp.where(sfx, anchor_tb.astype(jnp.int32) + rows - p0c + 1, tb)
-    curr = jnp.where(in_band, curr, BIG)
-    return curr, tb
-
-
-def _exact_cumsum_rows(base, b_ref, W):
-    """Inclusive cumsum along rows as a strict left fold (bitwise
-    np.cumsum rounding, unlike log-tree scans), grouped 8 rows per
-    loop iteration."""
-    G = 8
-    b_ref[:] = base
-
-    def group(b, acc):
-        blk = b_ref[pl.ds(b * G, G)]
-        for g in range(G):
-            acc = acc + blk[g : g + 1]
-            b_ref[pl.ds(b * G + g, 1)] = acc
-        return acc
-
-    jax.lax.fori_loop(
-        0, W // G, group, jnp.zeros((1, LANES), jnp.float32)
-    )
-    return b_ref[:]
+    return curr, tb, jnp.maximum(p0, 1)
 
 
 def _extract_band(stage_cols, offs, W, nbits):
@@ -226,19 +209,20 @@ def _extract_band(stage_cols, offs, W, nbits):
 
 
 def _forward_kernel(sdp_ref, stage_ref, seglo_ref, st_ref, wd_ref,
-                    lv_ref, tb_ref, prev_ref, meta_ref, b_ref, *, K, W, L,
-                    SEG, NBITS, dwell):
+                    lv_ref, tb_ref, prev_ref, meta_ref, b_ref, mv_ref,
+                    ti_ref, sc_ref, ts_ref, *, K, W, L, SEG, NBITS, dwell):
     """One (read-tile, base-chunk) grid step of the forward DP.
 
     Band costs are built INSIDE the kernel from a per-chunk staged
     signal window (SEG, LANES): the per-base band is extracted with
-    per-lane binary sublane shifts and the band cumsum is a strict left
-    fold — both bit-identical to the NumPy oracle — so no (N, W, R)
-    cost tensors ever exist in HBM.
+    per-lane binary sublane shifts, and every stay-chain recurrence runs
+    as an exact sequential row fold (_stay_fold) — bit-identical to the
+    reference Cython/native C float association — so no (N, W, R) cost
+    tensors ever exist in HBM and no prefix-scan reassociation occurs.
 
     Scratch: prev (W, LANES) carried scores; meta (8, LANES) i32 rows
-    0/1 = prev band start / prev band width; b_ref (W, LANES) cumsum
-    workspace.
+    0/1 = prev band start / prev band width; b/mv/sc f32 and ti/ts i32
+    (W, LANES) fold workspaces.
     """
     chunk = pl.program_id(1)
 
@@ -267,20 +251,34 @@ def _forward_kernel(sdp_ref, stage_ref, seglo_ref, st_ref, wd_ref,
         band_sig = _extract_band(stage_cols, st - seg_lo, W, NBITS)
         diff = band_sig - level
         base = jnp.where(band_rows < w, diff * diff, np.float32(0))
-        Binc = _exact_cumsum_rows(base, b_ref, W)
+        b_ref[:] = base
 
         prev_last = _select_row(prev, prev_valid - 1)
         prev_g = _band_align(prev, bsd)
+
+        # Viterbi pass (also the dwell algo's unpenalized fallback):
+        # per-row move candidates, then the exact stay-chain fold
+        mv, mv_tb = _move_entries(prev_g, prev_valid, prev_last, base,
+                                  bsd, w)
+        mv_ref[:] = mv
+        ti_ref[:] = mv_tb
+        _stay_fold(b_ref, mv_ref, ti_ref, sc_ref, ts_ref, W)
+
         if dwell:
-            scores, tb = _dwell_core(
-                prev, prev_g, prev_valid, prev_last, base, Binc, bsd, w,
-                sdp_vals,
+            unpen = sc_ref[:]
+            unpen_tb = ts_ref[:]
+            curr, tb, p0c = _dwell_candidates(
+                prev_g, prev_valid, prev_last, base, bsd, w, sdp_vals,
+                unpen, unpen_tb,
             )
-        else:
-            scores, tb = _vit_core(
-                prev_g, prev_valid, prev_last, base, Binc, bsd, w
-            )
-        tb_ref[k] = tb
+            # past-band stay-only suffix: exact chain from the last
+            # main-region row
+            mv_ref[:] = curr
+            ti_ref[:] = tb
+            _stay_fold(b_ref, mv_ref, ti_ref, sc_ref, ts_ref, W, p0c=p0c)
+
+        scores = jnp.where(band_rows < w, sc_ref[:], BIG)
+        tb_ref[k] = ts_ref[:]
         prev_ref[:] = scores
         meta_ref[0, :] = st[0]
         meta_ref[1, :] = w[0]
@@ -401,6 +399,10 @@ def _dp_jit(signal, levels, band_starts, band_widths, seq_lens, sdp,
             pltpu.VMEM((W, LANES), jnp.float32),
             pltpu.VMEM((8, LANES), jnp.int32),
             pltpu.VMEM((W, LANES), jnp.float32),
+            pltpu.VMEM((W, LANES), jnp.float32),
+            pltpu.VMEM((W, LANES), jnp.int32),
+            pltpu.VMEM((W, LANES), jnp.float32),
+            pltpu.VMEM((W, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(sdp_2d, stage, seg_lo, starts_T, widths_T, levels_T)
