@@ -1,154 +1,214 @@
-"""Fused LSTM scan as a Pallas TPU kernel.
+"""Fused LSTM scan — forward AND backward — as Pallas TPU kernels.
 
-The model's sequential hot op: h_t = LSTMCell(x_proj_t, h_{t-1}, c_{t-1})
-with the input projection precomputed (one big MXU matmul outside). The
-XLA scan round-trips h/c through HBM every step and re-launches the
-fused region; this kernel keeps W_hh, h and c resident in VMEM for the
-whole sequence and double-buffers the per-step x_proj tiles from HBM
-(pallas_guide.md double-buffering pattern), with the recurrent
-(B_TILE, H) @ (H, 4H) matmul on the MXU.
+The ConvLSTM's sequential hot op (reference ``models/ConvLSTM_w_ref.py``
+uses ``nn.LSTM``; here the input projection x @ W_ih^T for all T steps
+is one big MXU matmul outside, so the recurrence carries only
+h @ W_hh^T). An XLA ``lax.scan`` re-launches the fused loop body and
+round-trips h/c through HBM every step, costing a fixed ~30us per step
+on a v5e — ~8ms of a 2048-chunk training step. These kernels instead run
+the whole time loop inside ONE program each:
 
-Grid: one program per batch tile; each runs all T steps.
-Layout: x_proj (T, B, 4H) f32 in HBM; out hs (T, B, H) f32.
+  * grid (batch_tiles, T) with time as the inner (sequential) axis —
+    Pallas auto-pipelines the per-step x_proj/h/c block DMAs against
+    compute (double-buffered by the grid pipeline);
+  * h and c persist in VMEM scratch across the time steps of a batch
+    tile; the recurrent (BT, H) @ (H, 4H) matmul rides the MXU in the
+    compute dtype (bf16 operands under mixed precision, f32 accum);
+  * the backward kernel walks the grid's time axis in reverse (block
+    index maps T-1-t), recomputes the gate pre-activations from the
+    saved h/c states (cheaper than materialising (T, B, 4H) gate
+    activations in HBM), and carries dh/dc in VMEM scratch;
+  * dW_hh and the bias/input-projection gradients fall out of dx_proj
+    via two large one-shot matmuls outside the kernels.
+
+``lstm_fused`` is a drop-in for ``models.layers.lstm`` wired up with
+``jax.custom_vjp``; gradient parity vs the XLA scan is covered in
+tests/test_refine_etl.py (interpret mode).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_B_TILE = 256
+
+def _pick_batch_tile(B):
+    """Largest tile <= 1024 dividing B keeps both kernels' working sets
+    well inside VMEM (backward streams 5 inputs + 1 output per step)."""
+    for bt in (1024, 512, 256, 128):
+        if B % bt == 0:
+            return bt
+    return B
 
 
-def _lstm_kernel(x_hbm, w_ref, out_hbm, h_ref, c_ref, xbuf, obuf,
-                 in_sems, out_sems, *, T, B_TILE, H, HP):
-    """One batch tile, all timesteps, double-buffered x DMA.
-
-    HP is the lane-aligned (>=128) padded hidden width used for the
-    output staging buffer and HBM output array; the caller slices the
-    first H columns.
-    """
-    bidx = pl.program_id(0)
-    b_start = bidx * B_TILE
-
-    def in_dma(slot, t):
-        return pltpu.make_async_copy(
-            x_hbm.at[t, pl.ds(b_start, B_TILE), :],
-            xbuf.at[slot],
-            in_sems.at[slot],
-        )
-
-    def out_dma(slot, t):
-        return pltpu.make_async_copy(
-            obuf.at[slot],
-            out_hbm.at[t, pl.ds(b_start, B_TILE), :],
-            out_sems.at[slot],
-        )
-
-    h_ref[:] = jnp.zeros((B_TILE, H), jnp.float32)
-    c_ref[:] = jnp.zeros((B_TILE, H), jnp.float32)
-    in_dma(0, 0).start()
-
-    def step(t, _):
-        slot = t % 2
-        nxt = (t + 1) % 2
-
-        @pl.when(t + 1 < T)
-        def _():
-            in_dma(nxt, t + 1).start()
-
-        in_dma(slot, t).wait()
-        gates = xbuf[slot] + jnp.dot(
-            h_ref[:], w_ref[:], preferred_element_type=jnp.float32
-        )
-        i = jax.nn.sigmoid(gates[:, 0:H])
-        f = jax.nn.sigmoid(gates[:, H : 2 * H])
-        g = jnp.tanh(gates[:, 2 * H : 3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H : 4 * H])
-        c = f * c_ref[:] + i * g
-        h = o * jnp.tanh(c)
-        c_ref[:] = c
-        h_ref[:] = h
-
-        # wait for the previous output DMA on this slot before reuse
-        @pl.when(t >= 2)
-        def _():
-            out_dma(slot, t - 2).wait()
-
-        if HP == H:
-            obuf[slot] = h
-        else:
-            obuf[slot] = jnp.concatenate(
-                [h, jnp.zeros((B_TILE, HP - H), jnp.float32)], axis=1
-            )
-        out_dma(slot, t).start()
-        return _
-
-    jax.lax.fori_loop(0, T, step, None)
-    # drain trailing output DMAs
-    @pl.when(T >= 2)
-    def _():
-        out_dma(T % 2, T - 2).wait()
-
-    out_dma((T - 1) % 2, T - 1).wait()
+def _gates(xp, h, c_prev, w_ref, H):
+    """Shared gate math: pre-activations -> (i, f, g, o, c, tanh_c)."""
+    z = xp + jnp.dot(
+        h.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32
+    )
+    i = jax.nn.sigmoid(z[:, :H])
+    f = jax.nn.sigmoid(z[:, H : 2 * H])
+    g = jnp.tanh(z[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(z[:, 3 * H :])
+    c = f * c_prev + i * g
+    return i, f, g, o, c
 
 
-@functools.partial(jax.jit, static_argnames=("b_tile", "interpret"))
-def lstm_pallas_xproj(x_proj, w_hh_t, b_tile=DEFAULT_B_TILE,
-                      interpret=False):
-    """Run the fused LSTM over a precomputed input projection.
+def _fwd_kernel(xp_ref, w_ref, hs_ref, cs_ref, h_sc, c_sc, *, H):
+    t = pl.program_id(1)
 
-    Args:
-        x_proj: (T, B, 4H) float32 — x @ W_ih^T + b_ih + b_hh
-        w_hh_t: (H, 4H) float32 — transposed recurrent weights
-    Returns:
-        hs: (T, B, H) float32 hidden states
-    """
+    @pl.when(t == 0)
+    def _init():
+        h_sc[:] = jnp.zeros_like(h_sc)
+        c_sc[:] = jnp.zeros_like(c_sc)
+
+    xp = xp_ref[0].astype(jnp.float32)
+    i, f, g, o, c = _gates(xp, h_sc[:], c_sc[:], w_ref, H)
+    h = o * jnp.tanh(c)
+    h_sc[:] = h
+    c_sc[:] = c
+    hs_ref[0] = h
+    cs_ref[0] = c
+
+
+def _bwd_kernel(xp_ref, hp_ref, ct_ref, cp_ref, dh_ref, w_ref, wt_ref,
+                dxp_ref, dh_sc, dc_sc, *, H, T):
+    g_idx = pl.program_id(1)
+    at_t0 = g_idx == T - 1  # time index T-1-g_idx == 0
+
+    @pl.when(g_idx == 0)
+    def _init():
+        dh_sc[:] = jnp.zeros_like(dh_sc)
+        dc_sc[:] = jnp.zeros_like(dc_sc)
+
+    zero = jnp.zeros_like(dh_sc)
+    h_prev = jnp.where(at_t0, zero, hp_ref[0])
+    c_prev = jnp.where(at_t0, zero, cp_ref[0])
+
+    xp = xp_ref[0].astype(jnp.float32)
+    i, f, g, o, _c = _gates(xp, h_prev, c_prev, w_ref, H)
+    tanh_c = jnp.tanh(ct_ref[0])
+
+    dh = dh_ref[0] + dh_sc[:]
+    do = dh * tanh_c
+    dc = dc_sc[:] + dh * o * (1.0 - tanh_c * tanh_c)
+    dgi = dc * g * i * (1.0 - i)
+    dgf = dc * c_prev * f * (1.0 - f)
+    dgg = dc * i * (1.0 - g * g)
+    dgo = do * o * (1.0 - o)
+    dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=1)
+
+    dxp_ref[0] = dgates.astype(dxp_ref.dtype)
+    dh_sc[:] = jnp.dot(
+        dgates.astype(wt_ref.dtype),
+        wt_ref[:],
+        preferred_element_type=jnp.float32,
+    )
+    dc_sc[:] = dc * f
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fwd_call(x_proj, w_hh_t, interpret=False):
     T, B, H4 = x_proj.shape
     H = H4 // 4
-    HP = max(H, 128)  # lane-aligned staging width for DMA'd slices
-    # grid programs execute sequentially on a TPU core, so batch tiling
-    # would serialize the batch; run the whole batch per step as long as
-    # the double buffers fit VMEM (~16MB)
-    step_bytes = 4 * (2 * B * H4 + 2 * B * HP + 2 * B * H) + 4 * H * H4
-    if step_bytes <= 12 * 1024 * 1024:
-        b_tile = B
-    else:
-        b_tile = min(b_tile, B)
-    assert B % b_tile == 0, f"batch {B} not divisible by tile {b_tile}"
-    grid = (B // b_tile,)
-    kernel = functools.partial(
-        _lstm_kernel, T=T, B_TILE=b_tile, H=H, HP=HP
-    )
+    BT = _pick_batch_tile(B)
     out = pl.pallas_call(
-        kernel,
-        grid=grid,
+        functools.partial(_fwd_kernel, H=H),
+        grid=(B // BT, T),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x_proj stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights resident
+            pl.BlockSpec((1, BT, H4), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((T, B, HP), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, BT, H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, BT, H), lambda b, t: (t, b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((b_tile, H), jnp.float32),      # h
-            pltpu.VMEM((b_tile, H), jnp.float32),      # c
-            pltpu.VMEM((2, b_tile, 4 * H), jnp.float32),  # x double buffer
-            pltpu.VMEM((2, b_tile, HP), jnp.float32),  # out double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((BT, H), jnp.float32),
+            pltpu.VMEM((BT, H), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(x_proj, w_hh_t)
-    return out[:, :, :H] if HP != H else out
+    return out
 
 
-def lstm_pallas(params, x, b_tile=DEFAULT_B_TILE, interpret=False):
-    """Drop-in replacement for layers.lstm forward direction.
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bwd_call(x_proj, w_hh_t, hs, cs, dhs, interpret=False):
+    T, B, H4 = x_proj.shape
+    H = H4 // 4
+    BT = _pick_batch_tile(B)
+    rev = lambda b, t: (T - 1 - t, b, 0)  # noqa: E731
+    rev_prev = lambda b, t: (jnp.maximum(T - 2 - t, 0), b, 0)  # noqa: E731
+    dxp = pl.pallas_call(
+        functools.partial(_bwd_kernel, H=H, T=T),
+        grid=(B // BT, T),
+        in_specs=[
+            pl.BlockSpec((1, BT, H4), rev),
+            pl.BlockSpec((1, BT, H), rev_prev),
+            pl.BlockSpec((1, BT, H), rev),
+            pl.BlockSpec((1, BT, H), rev_prev),
+            pl.BlockSpec((1, BT, H), rev),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0)),
+            pl.BlockSpec((H4, H), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, BT, H4), rev),
+        out_shape=jax.ShapeDtypeStruct((T, B, H4), x_proj.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BT, H), jnp.float32),
+            pltpu.VMEM((BT, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x_proj, hs, cs, cs, dhs, w_hh_t, w_hh_t.T)
+    return dxp
 
-    x: (T, B, C); returns (T, B, H).
+
+# positional layout: (interpret, x_proj, w_hh_t) so the static flag can
+# be a nondiff argnum
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lstm_core(interpret, x_proj, w_hh_t):
+    hs, _ = _fwd_call(x_proj, w_hh_t, interpret=interpret)
+    return hs
+
+
+def _lstm_core_fwd(interpret, x_proj, w_hh_t):
+    hs, cs = _fwd_call(x_proj, w_hh_t, interpret=interpret)
+    return hs, (x_proj, w_hh_t, hs, cs)
+
+
+def _lstm_core_bwd(interpret, res, dhs):
+    x_proj, w_hh_t, hs, cs = res
+    dxp = _bwd_call(x_proj, w_hh_t, hs, cs, dhs, interpret=interpret)
+    hs_prev = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
+    dw = jnp.einsum(
+        "tbh,tbg->hg",
+        hs_prev,
+        dxp.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return dxp, dw.astype(w_hh_t.dtype)
+
+
+_lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
+
+
+def lstm_fused(params, x, reverse=False, interpret=False):
+    """Fused-kernel LSTM over (T, B, C); drop-in for layers.lstm.
+
+    Differentiable end to end: dW_ih / biases / dx flow through the
+    input-projection einsum; dW_hh and dx_proj come from the custom VJP.
     """
     x_proj = (
         jnp.einsum(
@@ -158,6 +218,31 @@ def lstm_pallas(params, x, b_tile=DEFAULT_B_TILE, interpret=False):
         + params["b_ih"]
         + params["b_hh"]
     )
-    return lstm_pallas_xproj(
-        x_proj, params["w_hh"].T, b_tile=b_tile, interpret=interpret
-    )
+    x_proj = x_proj.astype(x.dtype)
+    if reverse:
+        x_proj = jnp.flip(x_proj, axis=0)
+    hs = _lstm_core(interpret, x_proj, params["w_hh"].T)
+    if reverse:
+        hs = jnp.flip(hs, axis=0)
+    return hs
+
+
+def lstm_pallas(params, x, b_tile=None, interpret=False):
+    """Back-compat alias (b_tile is now chosen automatically)."""
+    del b_tile
+    return lstm_fused(params, x, interpret=interpret)
+
+
+def default_to_fused():
+    """Use the fused kernels when running on real TPU hardware (the
+    interpret path would only slow CPU runs); REMORA_TPU_LSTM=fused|scan
+    overrides."""
+    mode = os.environ.get("REMORA_TPU_LSTM", "auto")
+    if mode == "fused":
+        return True
+    if mode == "scan":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False

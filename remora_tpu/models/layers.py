@@ -119,13 +119,27 @@ def lstm_cell_step0(params, x):
     return jax.nn.sigmoid(o) * jnp.tanh(c)
 
 
-def lstm(params, x, reverse=False):
+def lstm(params, x, reverse=False, impl=None):
     """Single-layer LSTM over (T, B, C) input; returns hidden states (T, B, H).
 
     The x @ W_ih^T projection for the whole sequence runs as one batched
     matmul before the scan (MXU-friendly); the scan carries only the
     recurrent h @ W_hh^T.
+
+    On real TPU hardware the recurrence runs as the fused Pallas kernel
+    pair (kernels.pallas_lstm) — one program for the whole time loop,
+    forward and backward — instead of a per-step ``lax.scan``.
+    ``impl`` forces "fused" or "scan"; REMORA_TPU_LSTM=fused|scan is the
+    env override.
     """
+    if impl is None or impl == "auto":
+        from remora_tpu.kernels.pallas_lstm import default_to_fused
+
+        impl = "fused" if default_to_fused() else "scan"
+    if impl == "fused":
+        from remora_tpu.kernels.pallas_lstm import lstm_fused
+
+        return lstm_fused(params, x, reverse=reverse)
     T, B, _C = x.shape
     H = params["w_hh"].shape[1]
     # precompute input contribution for all timesteps: (T, B, 4H)

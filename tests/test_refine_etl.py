@@ -155,17 +155,33 @@ def test_focus_bed_prepare(tmpdir_factory):
 
 
 def test_pallas_lstm_interpret():
+    """Fused Pallas LSTM: value AND gradient parity vs the XLA scan."""
     import jax
     import jax.numpy as jnp
 
-    from remora_tpu.kernels.pallas_lstm import lstm_pallas
+    from remora_tpu.kernels.pallas_lstm import lstm_fused
     from remora_tpu.models import layers as L
 
     T, B, H = 12, 8, 64
     params = L.lstm_init(jax.random.PRNGKey(0), H, H)
-    x = jnp.asarray(
-        np.random.default_rng(0).normal(size=(T, B, H)).astype(np.float32)
-    )
-    ref = np.asarray(L.lstm(params, x))
-    out = np.asarray(lstm_pallas(params, x, b_tile=8, interpret=True))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+    probe = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+
+    ref = np.asarray(L.lstm(params, x, impl="scan"))
+    out = np.asarray(lstm_fused(params, x, interpret=True))
     assert np.allclose(ref, out, atol=1e-5)
+
+    def loss(fn):
+        return lambda p, xx: jnp.sum(fn(p, xx) * probe)
+
+    ref_g = jax.grad(loss(lambda p, xx: L.lstm(p, xx, impl="scan")),
+                     argnums=(0, 1))(params, x)
+    out_g = jax.grad(
+        loss(lambda p, xx: lstm_fused(p, xx, interpret=True)),
+        argnums=(0, 1),
+    )(params, x)
+    for r, o in zip(jax.tree.leaves(ref_g), jax.tree.leaves(out_g)):
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(o), rtol=1e-4, atol=1e-4
+        )
