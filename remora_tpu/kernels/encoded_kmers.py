@@ -34,10 +34,10 @@ def seq_pos_of_sig(seq_mappings, seq_lens, sig_len):
 
 @partial(
     jax.jit,
-    static_argnames=("before_bases", "after_bases", "sig_len"),
+    static_argnames=("before_bases", "after_bases", "sig_len", "out_dtype"),
 )
 def compute_encoded_kmer_batch(before_bases, after_bases, seqs, seq_mappings,
-                               seq_lens, sig_len):
+                               seq_lens, sig_len, out_dtype=None):
     """One-hot k-mer features; equivalent to the host featurizer.
 
     Args:
@@ -45,8 +45,11 @@ def compute_encoded_kmer_batch(before_bases, after_bases, seqs, seq_mappings,
         seq_mappings: (B, S+1) int (chunk-relative)
         seq_lens: (B,) int
         sig_len: static chunk width
+        out_dtype: output dtype (default float32). Every value is
+            exactly 0.0 or 1.0, so bfloat16 output is lossless and
+            halves the HBM round-trip into the consuming conv.
 
-    Returns (B, 4*kmer_len, sig_len) float32.
+    Returns (B, 4*kmer_len, sig_len) in ``out_dtype``.
     """
     kmer_len = before_bases + after_bases + 1
     B = seqs.shape[0]
@@ -85,10 +88,11 @@ def compute_encoded_kmer_batch(before_bases, after_bases, seqs, seq_mappings,
         (m[:, :-1, None] <= t_row) & (t_row < m[:, 1:, None])
     ).astype(mm_dtype)  # (B, S, W) exact 0/1
 
+    out_dtype = jnp.float32 if out_dtype is None else out_dtype
     out = jnp.einsum(
         "bks,bst->bkt",
         slot_oh.astype(mm_dtype),
         assign,
         preferred_element_type=jnp.float32,
-    )
+    ).astype(out_dtype)
     return out.reshape(B, 4 * kmer_len, sig_len)

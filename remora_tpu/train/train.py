@@ -62,7 +62,10 @@ def make_train_step_raw(model, tx, kmer_context_bases, chunk_width,
 
     def step(params, bn_state, opt_state, signal, sequence, seq_maps,
              seq_lens, labels, grad_threshs=None):
-        enc_kmers = dev_enc(bb, ab, sequence, seq_maps, seq_lens, chunk_width)
+        enc_kmers = dev_enc(
+            bb, ab, sequence, seq_maps, seq_lens, chunk_width,
+            out_dtype=compute_dtype,
+        )
         return inner(
             params, bn_state, opt_state, signal, enc_kmers, labels,
             *(() if grad_threshs is None else (grad_threshs,)),
