@@ -75,18 +75,13 @@ def make_train_step_raw(model, tx, kmer_context_bases, chunk_width,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def make_train_step(model, tx, high_conf_incorrect_thr_frac=None,
-                    use_grad_clip=False, donate=True, compute_dtype=None):
-    """Build the jitted training step for one model architecture.
+def make_loss_fn(model, high_conf_incorrect_thr_frac=None,
+                 compute_dtype=None):
+    """CE loss closure shared by the single-device and data-parallel
+    steps: ``loss_fn(params, bn_state, sigs, enc_kmers, labels) ->
+    (loss, (new_bn_state, n_filtered))``."""
 
-    ``compute_dtype`` (e.g. jnp.bfloat16) runs the forward/backward in
-    reduced precision against full-precision master weights: parameters
-    and activations are cast on entry, gradients flow back as f32 into
-    the f32 AdamW state (standard mixed-precision recipe; ~MXU-rate
-    matmuls on TPU)."""
-
-    def step(params, bn_state, opt_state, sigs, enc_kmers, labels,
-             grad_threshs=None):
+    def outer_loss_fn(params, bn_state, sigs, enc_kmers, labels):
         def loss_fn(p):
             if compute_dtype is not None:
                 cast = lambda t: jax.tree.map(  # noqa: E731
@@ -137,9 +132,31 @@ def make_train_step(model, tx, high_conf_incorrect_thr_frac=None,
                 loss = jnp.sum(per_ex * mask) / jnp.maximum(jnp.sum(mask), 1)
             return loss, (new_bn, n_filt)
 
+        return loss_fn(params)
+
+    return outer_loss_fn
+
+
+def make_train_step(model, tx, high_conf_incorrect_thr_frac=None,
+                    use_grad_clip=False, donate=True, compute_dtype=None):
+    """Build the jitted training step for one model architecture.
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) runs the forward/backward in
+    reduced precision against full-precision master weights: parameters
+    and activations are cast on entry, gradients flow back as f32 into
+    the f32 AdamW state (standard mixed-precision recipe; ~MXU-rate
+    matmuls on TPU)."""
+    loss_fn = make_loss_fn(
+        model,
+        high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
+        compute_dtype=compute_dtype,
+    )
+
+    def step(params, bn_state, opt_state, sigs, enc_kmers, labels,
+             grad_threshs=None):
         (loss, (new_bn, n_filt)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params)
+        )(params, bn_state, sigs, enc_kmers, labels)
         if use_grad_clip:
             grad_maxs = jax.tree.map(lambda g: jnp.max(jnp.abs(g)), grads)
             if grad_threshs is not None:
@@ -415,7 +432,25 @@ def train_model(
     compute_dtype = jnp.bfloat16 if bf16_compute else None
     if bf16_compute:
         LOGGER.info("Training compute in bfloat16 (f32 master weights)")
-    if featurize_on_device:
+    if mesh is not None:
+        # fused-collective DP step: grads/BN/loss ride ONE pmean per step
+        train_step = mesh_mod.make_dp_train_step(
+            model,
+            tx,
+            mesh,
+            high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
+            compute_dtype=compute_dtype,
+            use_grad_clip=use_grad_clip,
+            featurize_args=(
+                (
+                    dataset.metadata.kmer_context_bases,
+                    dataset.metadata.chunk_width,
+                )
+                if featurize_on_device
+                else None
+            ),
+        )
+    elif featurize_on_device:
         train_step = make_train_step_raw(
             model,
             tx,

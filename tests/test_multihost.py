@@ -57,6 +57,47 @@ def test_two_process_data_parallel_training():
     assert results[0] == results[1], results
 
 
+def test_dp_step_single_fused_collective():
+    """The DP train step reduces grads + BN stats + loss + filtered
+    count in ONE all-reduce (collective launches, not bytes, dominate
+    small-model DP steps over DCN/gloo)."""
+    import jax
+    import numpy as np
+    import optax
+
+    from remora_tpu.models.registry import get_model
+    from remora_tpu.parallel import mesh as M
+
+    model = get_model("Conv_w_ref")
+    params, bn = model.init(
+        jax.random.PRNGKey(0), size=8, kmer_len=9, num_out=2
+    )
+    tx = optax.adamw(1e-3)
+    opt = tx.init(params)
+    mesh = M.make_mesh()
+    step = M.make_dp_train_step(model, tx, mesh)
+    dsh = M.data_sharding(mesh)
+    rng = np.random.default_rng(0)
+    B, W = 16, 100
+    args = [
+        jax.device_put(x, dsh)
+        for x in (
+            rng.normal(size=(B, 1, W)).astype(np.float32),
+            rng.normal(size=(B, 36, W)).astype(np.float32),
+            rng.integers(0, 2, B),
+        )
+    ]
+    p, b, o = (M.replicate(mesh, t) for t in (params, bn, opt))
+    hlo = step.lower(p, b, o, *args).compile().as_text()
+    assert hlo.count("all-reduce") == 1, hlo.count("all-reduce")
+
+    # the step still trains: loss decreases over a few identical batches
+    p2, b2, o2, loss0, _nf, _gm = step(p, b, o, *args)
+    for _ in range(3):
+        p2, b2, o2, loss, _nf, _gm = step(p2, b2, o2, *args)
+    assert float(loss) < float(loss0)
+
+
 def test_sharded_input_matches_single_process(can_chunks):
     """Distinct-shard DP training across 2 processes equals single-process
     training on the concatenated per-shard batches (the multihost input
