@@ -44,32 +44,47 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 11 * 1024 * 1024
+def _tile_plan(B, C, H, itemsize, backward, want_cs=True):
+    """Pick (BT, KT): LARGEST feasible batch tile, then time chunk.
 
-
-def _tile_plan(B, C, H, itemsize, backward):
-    """Pick (BT, KT): largest batch tile whose double-buffered block
-    working set stays inside VMEM."""
-    for KT in (16, 8):
-        for BT in (1024, 512, 256, 128):
-            if B % BT:
-                continue
-            x_blk = KT * BT * C * itemsize
-            s_blk = KT * BT * H * itemsize
-            scratch = 3 * BT * max(C + H + 1, 4 * H) * 4
-            if backward:
-                # x + dx + (hs, hs_prev, cs, cs_prev, dhs) + dW + scratch
-                need = (
-                    2 * (2 * x_blk + 5 * s_blk)
-                    + (C + H + 1) * 4 * H * 4
-                    + scratch
-                )
-            else:
-                # x + (hs, cs) out + scratch
-                need = 2 * (x_blk + 2 * s_blk) + scratch
-            if need <= _VMEM_BUDGET:
-                return BT, KT
-    return min(B, 128), 8
+    Sequential latency is NBT * T recurrence steps — a bigger batch tile
+    directly cuts the sequential step count AND raises per-step MXU
+    utilization, so BT dominates KT. Feasibility is EMPIRICAL, measured
+    on v5e (16MB VMEM) at the production geometry (C=H=64, T~130,
+    B=2048): Mosaic's kernel stack temporaries defy closed-form byte
+    accounting — e.g. bwd (512, 8) compiles while the strictly-smaller-
+    blocked (512, 4) OOMs — so the plan is a measured preference table,
+    scaled down for wider layers. Measured bf16: fwd (2048,4) 1.50ms vs
+    (512,16) before; f+b 2.95ms vs 3.43."""
+    if backward:
+        prefs = (
+            [(512, 8), (256, 16), (128, 16)]
+            if itemsize <= 2
+            else [(128, 16), (64, 8)]
+        )
+    elif itemsize <= 2:
+        # the residual-saving (want_cs) forward carries a second output
+        # block; (2048, 4) compiles standalone but trips the scoped-vmem
+        # limit inside larger jits, so it is reserved for inference
+        prefs = (
+            [(1024, 4), (512, 8), (256, 8), (128, 8)]
+            if want_cs
+            else [(2048, 4), (1024, 4), (512, 8), (256, 8), (128, 8)]
+        )
+    elif want_cs:
+        prefs = [(512, 8), (256, 8), (128, 8)]
+    else:
+        prefs = [(1024, 4), (512, 8), (256, 8), (128, 8)]
+    scale = max(1, (max(C, H) + 63) // 64)
+    for BT, KT in prefs:
+        BT //= scale
+        if BT >= 8 and B % BT == 0:
+            return BT, KT
+    # tiny or odd batches: largest power-of-two tile dividing B
+    for BT in (128, 64, 32, 16, 8, 4, 2, 1):
+        if BT <= B and B % BT == 0:
+            return BT, 4
+    return 1, 4
 
 
 def _dot(a, b):
@@ -126,7 +141,7 @@ def _fwd_kernel_nocs(x_ref, w_ref, hs_ref, h_sc, c_sc, xh_sc, *, C, H, KT):
 
 def _bwd_kernel(x_ref, hs_ref, hp_ref, cs_ref, cp_ref, dh_ref, w_ref,
                 wt_ref, dx_ref, dw_ref, dh_sc, dc_sc, xh_sc, *, C, H, KT,
-                NC):
+                NC, T):
     g_idx = pl.program_id(1)
     first_chunk = g_idx == NC - 1  # time chunk 0 (reverse walk)
 
@@ -139,26 +154,41 @@ def _bwd_kernel(x_ref, hs_ref, hp_ref, cs_ref, cp_ref, dh_ref, w_ref,
 
     zero = jnp.zeros_like(dh_sc)
     for k in reversed(range(KT)):
+        # T need not divide into KT chunks: the tail chunk's overhanging
+        # steps read undefined block padding, so gate every carry/dW
+        # update on the step being real (scalar select; the tail chunk
+        # is walked FIRST in reverse, carries must stay exactly zero)
+        t_global = (NC - 1 - g_idx) * KT + k
+        real = t_global < T
         if k == 0:
-            # previous timestep lives in the preceding chunk (all-zero
-            # at the first chunk: h_{-1} = c_{-1} = 0)
+            # previous timestep lives in the preceding chunk — fetched
+            # as a single-timestep slice (all-zero at the first chunk:
+            # h_{-1} = c_{-1} = 0)
             h_prev = jnp.where(
-                first_chunk, zero, hp_ref[KT - 1].astype(jnp.float32)
+                first_chunk, zero, hp_ref[0].astype(jnp.float32)
             )
             c_prev = jnp.where(
-                first_chunk, zero, cp_ref[KT - 1].astype(jnp.float32)
+                first_chunk, zero, cp_ref[0].astype(jnp.float32)
             )
         else:
             h_prev = hs_ref[k - 1].astype(jnp.float32)
             c_prev = cs_ref[k - 1].astype(jnp.float32)
 
-        xh_sc[:, :C] = x_ref[k].astype(xh_sc.dtype)
-        xh_sc[:, C : C + H] = h_prev.astype(xh_sc.dtype)
+        # zero (not just mask) the off-end operands: padding garbage may
+        # be non-finite, and NaN * 0 would still poison the dW matmul
+        xh_sc[:, :C] = jnp.where(
+            real, x_ref[k].astype(xh_sc.dtype), 0
+        )
+        xh_sc[:, C : C + H] = jnp.where(
+            real, h_prev.astype(xh_sc.dtype), 0
+        )
         z = _dot(xh_sc[:], w_ref[:])
         i, f, g, o = _split_gates(z, H)
         tanh_c = jnp.tanh(cs_ref[k].astype(jnp.float32))
 
-        dh = dh_ref[k].astype(jnp.float32) + dh_sc[:]
+        dh = jnp.where(
+            real, dh_ref[k].astype(jnp.float32), 0.0
+        ) + dh_sc[:]
         do = dh * tanh_c
         dc = dc_sc[:] + dh * o * (1.0 - tanh_c * tanh_c)
         dgi = dc * g * i * (1.0 - i)
@@ -167,14 +197,15 @@ def _bwd_kernel(x_ref, hs_ref, hp_ref, cs_ref, cp_ref, dh_ref, w_ref,
         dgo = do * o * (1.0 - o)
         dgates = jnp.concatenate(
             [dgi, dgf, dgg, dgo], axis=1
-        ).astype(wt_ref.dtype)
+        )
+        dgates = jnp.where(real, dgates, 0.0).astype(wt_ref.dtype)
 
         # d[x;h;1] = dgates @ W_aug^T; the bias row's cotangent is
         # discarded by the slices
         dxh = _dot(dgates, wt_ref[:])
         dx_ref[k] = dxh[:, :C].astype(dx_ref.dtype)
         dh_sc[:] = dxh[:, C : C + H]
-        dc_sc[:] = dc * f
+        dc_sc[:] = jnp.where(real, dc * f, dc_sc[:])
         # dW_aug += [x;h;1]^T @ dgates (bias row accumulates sum dgates)
         dw_ref[0] += jax.lax.dot_general(
             xh_sc[:],
@@ -189,30 +220,26 @@ def _bwd_kernel(x_ref, hs_ref, hp_ref, cs_ref, cp_ref, dh_ref, w_ref,
         )
 
 
-def _pad_time(x, Tp):
-    T = x.shape[0]
-    if Tp == T:
-        return x
-    return jnp.pad(x, ((0, Tp - T),) + ((0, 0),) * (x.ndim - 1))
-
-
 @functools.partial(jax.jit, static_argnames=("want_cs", "interpret"))
 def _fwd_call(x, w_aug, want_cs=True, interpret=False):
     T, B, C = x.shape
     H = w_aug.shape[1] // 4
-    BT, KT = _tile_plan(B, C, H, x.dtype.itemsize, backward=False)
-    Tp = -(-T // KT) * KT
-    # zero-padded tail steps only scribble on the carried h/c AFTER the
-    # real steps of each batch tile; their outputs are sliced off
-    xp = _pad_time(x, Tp)
+    BT, KT = _tile_plan(
+        B, C, H, x.dtype.itemsize, backward=False, want_cs=want_cs
+    )
+    # T need not divide into KT chunks — the tail block's padding steps
+    # only scribble on the carried h/c AFTER each batch tile's real
+    # steps, and their hs/cs writes land in dropped block padding, so no
+    # host-side pad/slice copies are needed (a (T,B,H) pad alone cost
+    # ~0.8ms/step at production shapes)
     CA = C + H + 1
     out_spec = pl.BlockSpec((KT, BT, H), lambda b, t: (t, b, 0))
-    out_shape = jax.ShapeDtypeStruct((Tp, B, H), x.dtype)
+    out_shape = jax.ShapeDtypeStruct((T, B, H), x.dtype)
     n_out = 2 if want_cs else 1
     kernel = _fwd_kernel if want_cs else _fwd_kernel_nocs
     out = pl.pallas_call(
         functools.partial(kernel, C=C, H=H, KT=KT),
-        grid=(B // BT, Tp // KT),
+        grid=(B // BT, pl.cdiv(T, KT)),
         in_specs=[
             pl.BlockSpec((KT, BT, C), lambda b, t: (t, b, 0)),
             pl.BlockSpec((CA, 4 * H), lambda b, t: (0, 0)),
@@ -228,10 +255,10 @@ def _fwd_call(x, w_aug, want_cs=True, interpret=False):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xp, w_aug)
+    )(x, w_aug)
     if want_cs:
-        return out[0][:T], out[1][:T]
-    return out[0][:T], None
+        return out[0], out[1]
+    return out[0], None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -239,28 +266,26 @@ def _bwd_call(x, w_aug, hs, cs, dhs, interpret=False):
     T, B, C = x.shape
     H = w_aug.shape[1] // 4
     BT, KT = _tile_plan(B, C, H, x.dtype.itemsize, backward=True)
-    Tp = -(-T // KT) * KT
-    NC = Tp // KT
+    NC = pl.cdiv(T, KT)
     NBT = B // BT
     CA = C + H + 1
-    # zero-padded tail steps run FIRST in the reverse walk; with zero
-    # dhs and zero-initialized dh/dc carries every gradient term there
-    # is exactly zero, so real steps and dW are untouched
-    xp = _pad_time(x, Tp)
-    hs = _pad_time(hs, Tp)
-    cs = _pad_time(cs, Tp)
-    dhs = _pad_time(dhs, Tp)
+    # ragged tail steps run FIRST in the reverse walk; the kernel gates
+    # every carry/dW update on t < T so they contribute exactly zero
     rev = lambda b, c: (NC - 1 - c, b, 0)  # noqa: E731
-    rev_prev = lambda b, c: (jnp.maximum(NC - 2 - c, 0), b, 0)  # noqa: E731
+    # single-timestep slice: last step of the preceding time chunk
+    # (block shape 1 in time, so the index is an element index)
+    rev_last = lambda b, c: (  # noqa: E731
+        jnp.maximum((NC - 1 - c) * KT - 1, 0), b, 0
+    )
     dx, dw_tiles = pl.pallas_call(
-        functools.partial(_bwd_kernel, C=C, H=H, KT=KT, NC=NC),
+        functools.partial(_bwd_kernel, C=C, H=H, KT=KT, NC=NC, T=T),
         grid=(NBT, NC),
         in_specs=[
             pl.BlockSpec((KT, BT, C), rev),
             pl.BlockSpec((KT, BT, H), rev),
-            pl.BlockSpec((KT, BT, H), rev_prev),
+            pl.BlockSpec((1, BT, H), rev_last),
             pl.BlockSpec((KT, BT, H), rev),
-            pl.BlockSpec((KT, BT, H), rev_prev),
+            pl.BlockSpec((1, BT, H), rev_last),
             pl.BlockSpec((KT, BT, H), rev),
             pl.BlockSpec((CA, 4 * H), lambda b, c: (0, 0)),
             pl.BlockSpec((4 * H, CA), lambda b, c: (0, 0)),
@@ -270,7 +295,7 @@ def _bwd_call(x, w_aug, hs, cs, dhs, interpret=False):
             pl.BlockSpec((1, CA, 4 * H), lambda b, c: (b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, C), x.dtype),
+            jax.ShapeDtypeStruct((T, B, C), x.dtype),
             jax.ShapeDtypeStruct((NBT, CA, 4 * H), jnp.float32),
         ],
         scratch_shapes=[
@@ -282,8 +307,8 @@ def _bwd_call(x, w_aug, hs, cs, dhs, interpret=False):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xp, hs, hs, cs, cs, dhs, w_aug, w_aug.T)
-    return dx[:T], jnp.sum(dw_tiles, axis=0)
+    )(x, hs, hs, cs, cs, dhs, w_aug, w_aug.T)
+    return dx, jnp.sum(dw_tiles, axis=0)
 
 
 # positional layout: (interpret, x, w_aug) so the static flag can be a

@@ -185,3 +185,42 @@ def test_pallas_lstm_interpret():
         np.testing.assert_allclose(
             np.asarray(r), np.asarray(o), rtol=1e-4, atol=1e-4
         )
+
+
+def test_pallas_lstm_interpret_multitile(monkeypatch):
+    """Parity across MULTIPLE batch tiles and time chunks (exercises the
+    thin previous-chunk h/c slices in the backward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from remora_tpu.kernels import pallas_lstm as PL
+    from remora_tpu.models import layers as L
+
+    # force small tiles so B=256 splits into 128-wide batch tiles
+    monkeypatch.setattr(
+        PL, "_tile_plan", lambda *a, **k: (128, 8)
+    )
+    T, B, H = 21, 256, 64  # multi-tile, multi-chunk (NC = 3)
+
+    params = L.lstm_init(jax.random.PRNGKey(1), H, H)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+    probe = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+
+    ref = np.asarray(L.lstm(params, x, impl="scan"))
+    out = np.asarray(PL.lstm_fused(params, x, interpret=True))
+    assert np.allclose(ref, out, atol=1e-5)
+
+    def loss(fn):
+        return lambda p, xx: jnp.sum(fn(p, xx) * probe)
+
+    ref_g = jax.grad(loss(lambda p, xx: L.lstm(p, xx, impl="scan")),
+                     argnums=(0, 1))(params, x)
+    out_g = jax.grad(
+        loss(lambda p, xx: PL.lstm_fused(p, xx, interpret=True)),
+        argnums=(0, 1),
+    )(params, x)
+    for r, o in zip(jax.tree.leaves(ref_g), jax.tree.leaves(out_g)):
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(o), rtol=1e-4, atol=1e-4
+        )
