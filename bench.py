@@ -48,18 +48,22 @@ def _throughput(fwd, args, device, iters, warmup=1, repeats=1):
         return acc
 
     fn = jax.jit(loop, static_argnames="n")
-    # warmup with the SAME static n (compile cache) but a DIFFERENT seed
-    # input, so remote backends cannot alias the timed dispatch to the
-    # warmup result; fetching the scalar value is the completion fence
-    float(fn(params, bn_state, sigs, seqs, maps, seq_lens,
-             jnp.float32(0), n=iters))
-    samples = []
-    for rep in range(repeats):
-        t0 = time.perf_counter()
+    # scope the default device over TRACING so implementation choices
+    # (fused Pallas LSTM vs scan) follow the measured device — the CPU
+    # baseline leg must not trace TPU kernels. Warmup with the SAME
+    # static n (compile cache) but a DIFFERENT seed input, so remote
+    # backends cannot alias the timed dispatch to the warmup result;
+    # fetching the scalar value is the completion fence
+    with jax.default_device(device):
         float(fn(params, bn_state, sigs, seqs, maps, seq_lens,
-                 jnp.float32(rep + 1), n=iters))
-        dt = time.perf_counter() - t0
-        samples.append(iters * sigs.shape[0] / dt)
+                 jnp.float32(0), n=iters))
+        samples = []
+        for rep in range(repeats):
+            t0 = time.perf_counter()
+            float(fn(params, bn_state, sigs, seqs, maps, seq_lens,
+                     jnp.float32(rep + 1), n=iters))
+            dt = time.perf_counter() - t0
+            samples.append(iters * sigs.shape[0] / dt)
     return samples if repeats > 1 else samples[0]
 
 

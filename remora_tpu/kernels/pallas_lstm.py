@@ -369,13 +369,18 @@ def lstm_pallas(params, x, b_tile=None, interpret=False):
 def default_to_fused():
     """Use the fused kernels when running on real TPU hardware (the
     interpret path would only slow CPU runs); REMORA_TPU_LSTM=fused|scan
-    overrides."""
+    overrides. A ``jax.default_device`` scope takes precedence over the
+    process default backend, so a CPU leg on a TPU-attached process
+    (e.g. the bench baseline) correctly falls back to the scan."""
     mode = os.environ.get("REMORA_TPU_LSTM", "auto")
     if mode == "fused":
         return True
     if mode == "scan":
         return False
     try:
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return getattr(dd, "platform", "cpu") not in ("cpu",)
         return jax.default_backend() not in ("cpu",)
     except Exception:
         return False

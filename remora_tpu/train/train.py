@@ -14,6 +14,7 @@ the sharded computation (XLA inserts the psum).
 import json
 import os
 import time
+from collections import deque
 from functools import partial
 
 import jax
@@ -171,6 +172,15 @@ def make_train_step(model, tx, high_conf_incorrect_thr_frac=None,
 
     donate_argnums = (0, 1, 2) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def _write_batch_line(batch_fp, entry, high_conf_incorrect_thr_frac):
+    """Write one batch.log row, converting the (lagged) device scalars."""
+    it, loss, n_filt = entry
+    batch_fp.write(f"{it}\t{float(loss):.6f}")
+    if high_conf_incorrect_thr_frac is not None:
+        batch_fp.write(f"\t{int(n_filt)}")
+    batch_fp.write("\n")
 
 
 def make_eval_step(model):
@@ -516,6 +526,7 @@ def train_model(
     breached = False
     epoch = start_epoch
     trn_iter = trn_ds.iter_batches(raw=featurize_on_device)
+    pending_losses = deque()
     # optional device trace of the first epoch (view with tensorboard or
     # xprof); reference analog: torch profiler via REMORA_TRAIN_PROFILE_FILE
     jax_trace_dir = os.environ.get("REMORA_TPU_JAX_TRACE_DIR")
@@ -568,12 +579,22 @@ def train_model(
                     grad_threshs = jax.tree_util.tree_unflatten(
                         treedef, [jnp.asarray(t) for t in threshs]
                     )
-            batch_fp.write(
-                f"{(epoch * batches_per_epoch) + epoch_i}\t{float(loss):.6f}"
+            # fetch loss with a lag so the scalar read does not fence
+            # every dispatch — the device stays several steps ahead
+            # (grad clipping already fences on grad_maxs above)
+            pending_losses.append(
+                (epoch * batches_per_epoch + epoch_i, loss, n_filt)
             )
-            if high_conf_incorrect_thr_frac is not None:
-                batch_fp.write(f"\t{int(n_filt)}")
-            batch_fp.write("\n")
+            if len(pending_losses) > 8:
+                _write_batch_line(
+                    batch_fp, pending_losses.popleft(),
+                    high_conf_incorrect_thr_frac,
+                )
+        while pending_losses:
+            _write_batch_line(
+                batch_fp, pending_losses.popleft(),
+                high_conf_incorrect_thr_frac,
+            )
         dt = time.monotonic() - t0
         if jax_trace_dir is not None and epoch == 0:
             jax.block_until_ready(loss)
