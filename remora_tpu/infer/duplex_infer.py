@@ -236,6 +236,12 @@ def infer_duplex(
     Args:
         models: list of (eval_fn, metadata); duplex supports one model.
     """
+    # main-thread backend init (see infer_from_pod5_and_bam: plugin
+    # backends race registration when first touched from a stage thread)
+    import jax
+
+    jax.devices()
+
     first = models[0]
     if hasattr(first, "metadata"):
         eval_fn, model_metadata = first.eval_fn, first.metadata

@@ -516,6 +516,14 @@ def infer_from_pod5_and_bam(
             featurization from compact raw arrays) or legacy
             (eval_fn(sigs, enc_kmers) -> logits, model_metadata) pairs.
     """
+    # initialize the JAX backend from the MAIN thread before any stage
+    # threads start: plugin-registered backends (e.g. the tunneled TPU)
+    # race their registration when the first device touch happens on a
+    # worker thread, failing with "unknown backend"
+    import jax
+
+    jax.devices()
+
     bam_idx = ReadIndexedBam(
         in_bam_path, skip_non_primary=skip_non_primary, req_tags={"mv"}
     )
@@ -570,8 +578,23 @@ def infer_from_pod5_and_bam(
 
     def serial_stage(target, prof_path, out_maxsize, out_name, *extra):
         out_q = NamedQueue(maxsize=out_maxsize, name=out_name)
+        wrapped = _maybe_profile(prof_path)(target)
+
+        def guarded(*a):
+            # a crashed serial stage must still emit its end sentinel,
+            # or every downstream stage (and the main loop) deadlocks
+            try:
+                wrapped(*a)
+            except BaseException:
+                LOGGER.exception(
+                    f"{target.__name__} stage failed; shutting pipeline "
+                    "down"
+                )
+                put_item(StopIteration, out_q)
+                raise
+
         th = Thread(
-            target=_maybe_profile(prof_path)(target),
+            target=guarded,
             args=extra + (out_q,),
             name=target.__name__,
             daemon=True,
