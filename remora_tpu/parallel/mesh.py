@@ -46,6 +46,14 @@ def shard_batch(mesh, batch, axis_name=DEFAULT_MESH_AXIS):
 
 
 def replicate(mesh, tree):
+    """Place a pytree replicated across the mesh.
+
+    Note: on single-process backends ``device_put`` may ALIAS one shard
+    of the replicated array with the input buffer, so donating the
+    result to a jitted step (as the DP train step does) also invalidates
+    the original arrays — rebind and never reuse the un-replicated tree
+    after the first step.
+    """
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 

@@ -98,6 +98,67 @@ def test_dp_step_single_fused_collective():
     assert float(loss) < float(loss0)
 
 
+def test_dp_step_raw_featurization_matches_host():
+    """The DP step's on-device featurization (featurize_args) produces
+    the same update as feeding host-computed features."""
+    import jax
+    import numpy as np
+    import optax
+
+    from remora_tpu.data.encoded_kmers import (
+        compute_encoded_kmer_batch as host_enc,
+    )
+    from remora_tpu.models.registry import get_model
+    from remora_tpu.parallel import mesh as M
+
+    model = get_model("Conv_w_ref")
+    B, W, K, S = 16, 100, 9, 20
+    tx = optax.adamw(1e-3)
+    mesh = M.make_mesh()
+    dsh = M.data_sharding(mesh)
+
+    rng = np.random.default_rng(3)
+    signal = rng.normal(size=(B, 1, W)).astype(np.float32)
+    seq_lens = rng.integers(S // 2, S + 1, B).astype(np.int16)
+    seqs = rng.integers(0, 4, (B, S + K - 1)).astype(np.int8)
+    maps = np.zeros((B, S + 1), np.int16)
+    for b in range(B):
+        sl = seq_lens[b]
+        maps[b, 1:sl] = np.sort(rng.integers(0, W + 1, sl - 1))
+        maps[b, sl] = W
+    labels = rng.integers(0, 2, B)
+    enc = host_enc(4, 4, seqs, maps, seq_lens).astype(np.float32)
+
+    outs = []
+    for featurize in (False, True):
+        step = M.make_dp_train_step(
+            model, tx, mesh,
+            featurize_args=(((4, 4), W) if featurize else None),
+        )
+        # fresh state per leg: the donated replicated buffers alias the
+        # originals on single-process CPU, so they cannot be reused
+        params, bn = model.init(
+            jax.random.PRNGKey(0), size=8, kmer_len=K, num_out=2
+        )
+        p, b_, o = (
+            M.replicate(mesh, t) for t in (params, bn, tx.init(params))
+        )
+        if featurize:
+            data = [signal, seqs, maps, seq_lens, labels]
+        else:
+            data = [signal, enc, labels]
+        data = [jax.device_put(x, dsh) for x in data]
+        p, b_, o, loss, _nf, _gm = step(p, b_, o, *data)
+        outs.append((float(loss), p))
+    assert np.isclose(outs[0][0], outs[1][0], rtol=1e-6)
+    for a, c in zip(
+        jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_sharded_input_matches_single_process(can_chunks):
     """Distinct-shard DP training across 2 processes equals single-process
     training on the concatenated per-shard batches (the multihost input
