@@ -98,6 +98,48 @@ def test_dp_step_single_fused_collective():
     assert float(loss) < float(loss0)
 
 
+def test_dp_step_grad_clip():
+    """Grad-clip support in the fused DP step: maxima come back from the
+    reduced grads (no extra collective) and thresholds clip the update."""
+    import jax
+    import numpy as np
+    import optax
+
+    from remora_tpu.models.registry import get_model
+    from remora_tpu.parallel import mesh as M
+
+    model = get_model("Conv_w_ref")
+    tx = optax.adamw(1e-3)
+    mesh = M.make_mesh()
+    dsh = M.data_sharding(mesh)
+    rng = np.random.default_rng(1)
+    B, W = 16, 100
+    data = [
+        jax.device_put(x, dsh)
+        for x in (
+            rng.normal(size=(B, 1, W)).astype(np.float32),
+            rng.normal(size=(B, 36, W)).astype(np.float32),
+            rng.integers(0, 2, B),
+        )
+    ]
+    step = M.make_dp_train_step(model, tx, mesh, use_grad_clip=True)
+    params, bn = model.init(
+        jax.random.PRNGKey(0), size=8, kmer_len=9, num_out=2
+    )
+    p, b_, o = (M.replicate(mesh, t) for t in (params, bn, tx.init(params)))
+    hlo = step.lower(p, b_, o, *data, None).compile().as_text()
+    assert hlo.count("all-reduce") == 1  # maxima need no extra collective
+    p, b_, o, loss, _nf, gm = step(p, b_, o, *data, None)
+    maxs = jax.tree.leaves(gm)
+    assert maxs and all(float(m) > 0 for m in maxs)
+    # clip at half of each observed max and step again
+    threshs = jax.tree.map(lambda m: m * 0.5, gm)
+    p, b_, o, loss2, _nf, gm2 = step(p, b_, o, *data, threshs)
+    assert np.isfinite(float(loss2))
+    for m2, t in zip(jax.tree.leaves(gm2), jax.tree.leaves(threshs)):
+        assert float(m2) >= 0.0  # maxima are pre-clip, just finite-check
+
+
 def test_dp_step_raw_featurization_matches_host():
     """The DP step's on-device featurization (featurize_args) produces
     the same update as feeding host-computed features."""
