@@ -36,6 +36,14 @@ def build_parser():
 
 
 def run():
+    # honor JAX_PLATFORMS before any runner imports jax: plugin TPU
+    # backends (e.g. tunneled chips) ignore the plain environment
+    # variable, so JAX_PLATFORMS=cpu would otherwise silently still
+    # dispatch to the TPU
+    from remora_tpu.jax_setup import honor_platform_env
+
+    honor_platform_env()
+
     parser = build_parser()
     args = parser.parse_args()
     if not hasattr(args, "func"):

@@ -642,6 +642,11 @@ def _add_infer_model_args(p):
     mdl.add_argument("--basecall-model-type")
     mdl.add_argument("--basecall-model-version")
     mdl.add_argument("--modified-bases", nargs="+")
+    mdl.add_argument(
+        "--bf16", action="store_true",
+        help="bfloat16 model compute (~1.8x device throughput; "
+        "default f32 preserves reference-parity tag bytes)",
+    )
 
 
 def register_infer_from_pod5_and_bam(ssub):
@@ -684,7 +689,25 @@ def load_models_kw_args(args):
                 modified_bases=args.modified_bases,
             )
         ]
-    models = [ModelHandle.load(path) for path in model_paths]
+    compute_dtype = None
+    if getattr(args, "bf16", False):
+        import jax
+        import jax.numpy as jnp
+
+        from remora_tpu import log
+
+        if jax.default_backend() == "cpu":
+            # XLA CPU emulates bf16 matmuls far slower than f32
+            log.get_logger().warning(
+                "--bf16 ignored on the CPU backend (emulated bfloat16 "
+                "is slower than float32 there)"
+            )
+        else:
+            compute_dtype = jnp.bfloat16
+    models = [
+        ModelHandle.load(path, compute_dtype=compute_dtype)
+        for path in model_paths
+    ]
     check_models(models)
     return models
 

@@ -686,22 +686,45 @@ def infer_from_pod5_and_bam(
     return n_written
 
 
-def make_model_eval_fn(model, params, bn_state):
-    """Jitted logits fn over fixed shapes for the device stage."""
+def make_model_eval_fn(model, params, bn_state, compute_dtype=None):
+    """Jitted logits fn over fixed shapes for the device stage.
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) runs the forward in reduced
+    precision (f32 logits out) — ~1.8x device-stage throughput; the
+    default f32 path preserves the reference-parity tag bytes.
+    """
     from remora_tpu.jax_setup import ensure_compilation_cache
 
     ensure_compilation_cache()
+    params, bn_state = _cast_state(params, bn_state, compute_dtype)
 
     @jax.jit
     def _eval(sigs, enc_kmers):
+        if compute_dtype is not None:
+            sigs = sigs.astype(compute_dtype)
+            enc_kmers = enc_kmers.astype(compute_dtype)
         logits, _ = model.forward(
             params, bn_state, sigs, enc_kmers, train=False
         )
-        return logits
+        return logits.astype(jnp.float32)
 
     return lambda sigs, enc_kmers: _eval(
         jnp.asarray(sigs), jnp.asarray(enc_kmers)
     )
+
+
+def _cast_state(params, bn_state, compute_dtype):
+    if compute_dtype is None:
+        return params, bn_state
+    # jnp (not numpy) leaves: numpy's promotion rules would silently
+    # float32-promote bf16 arrays when combined with python scalars
+    cast = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: jnp.asarray(x).astype(compute_dtype)
+        if np.asarray(x).dtype == np.float32
+        else jnp.asarray(x),
+        t,
+    )
+    return cast(params), cast(bn_state)
 
 
 class ModelHandle:
@@ -713,12 +736,16 @@ class ModelHandle:
     the dominant cost of the device stage at production batch sizes.
     """
 
-    def __init__(self, model, params, bn_state, metadata):
+    def __init__(self, model, params, bn_state, metadata,
+                 compute_dtype=None):
         self.model = model
         self.params = params
         self.bn_state = bn_state
         self.metadata = metadata
-        self.eval_fn = make_model_eval_fn(model, params, bn_state)
+        self.compute_dtype = compute_dtype
+        self.eval_fn = make_model_eval_fn(
+            model, params, bn_state, compute_dtype
+        )
         self._raw = None
 
     def eval_raw(self, sigs, seqs, maps, lens):
@@ -729,15 +756,20 @@ class ModelHandle:
 
             bb, ab = self.metadata["kmer_context_bases"]
             chunk_len = self.metadata["chunk_len"]
-            model, params, bn_state = self.model, self.params, self.bn_state
+            model = self.model
+            cd = self.compute_dtype
+            params, bn_state = _cast_state(self.params, self.bn_state, cd)
 
             @jax.jit
             def _eval(sigs, seqs, maps, lens):
-                enc = dev_enc(bb, ab, seqs, maps, lens, chunk_len)
+                enc = dev_enc(bb, ab, seqs, maps, lens, chunk_len,
+                              out_dtype=cd)
+                if cd is not None:
+                    sigs = sigs.astype(cd)
                 logits, _ = model.forward(
                     params, bn_state, sigs, enc, train=False
                 )
-                return logits
+                return logits.astype(jnp.float32)
 
             self._raw = _eval
         return self._raw(
@@ -748,8 +780,9 @@ class ModelHandle:
         )
 
     @classmethod
-    def load(cls, path):
+    def load(cls, path, compute_dtype=None):
         from remora_tpu.models import model_io
 
         model, params, bn_state, meta = model_io.load_model(path)
-        return cls(model, params, bn_state, meta)
+        return cls(model, params, bn_state, meta,
+                   compute_dtype=compute_dtype)

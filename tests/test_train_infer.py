@@ -120,6 +120,31 @@ def inferred_bam(tmpdir_factory, trained_model):
     return str(out)
 
 
+def test_bf16_eval_close_to_f32(trained_model):
+    """ModelHandle compute_dtype=bf16: logits close to f32, raw path too."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from remora_tpu.infer.infer import ModelHandle
+
+    h32 = ModelHandle.load(trained_model)
+    h16 = ModelHandle.load(trained_model, compute_dtype=jnp.bfloat16)
+    meta = h32.metadata
+    W = meta["chunk_len"]
+    K = meta["kmer_len"]
+    rng = np.random.default_rng(0)
+    B = 8
+    sigs = rng.normal(size=(B, 1, W)).astype(np.float32)
+    enc = (rng.random((B, 4 * K, W)) < 0.25).astype(np.float32)
+    l32 = np.asarray(h32.eval_fn(sigs, enc))
+    l16 = np.asarray(h16.eval_fn(sigs, enc))
+    assert l16.dtype == np.float32
+    np.testing.assert_allclose(l16, l32, atol=0.25)
+    # argmax calls should agree on confident chunks
+    conf = np.abs(l32[:, 0] - l32[:, 1]) > 0.5
+    assert (l16.argmax(1)[conf] == l32.argmax(1)[conf]).all()
+
+
 def test_infer_output_tags(inferred_bam):
     from remora_tpu.io.bam import FastBamScanner
 
