@@ -459,6 +459,13 @@ def register_model_train(ssub):
                       help="host:port for jax.distributed (multi-host)")
     dist.add_argument("--num-processes", type=int)
     dist.add_argument("--process-id", type=int)
+    dist.add_argument(
+        "--sync-bn", action="store_true",
+        help="global-batch BatchNorm under data parallelism "
+        "(bit-matches single-device training; extra per-layer "
+        "collectives). Default: per-device BN with one fused "
+        "collective per step",
+    )
     p.set_defaults(func=run_model_train)
 
 
@@ -531,6 +538,7 @@ def run_model_train(args):
         resume_from_checkpoint=args.resume_from_checkpoint,
         bf16_compute=args.bf16,
         mesh=mesh,
+        sync_bn=args.sync_bn,
     )
 
 

@@ -576,20 +576,24 @@ def infer_from_pod5_and_bam(
         q_maxsize=10,
     )
 
+    stage_errors = {}
+
     def serial_stage(target, prof_path, out_maxsize, out_name, *extra):
         out_q = NamedQueue(maxsize=out_maxsize, name=out_name)
         wrapped = _maybe_profile(prof_path)(target)
 
         def guarded(*a):
             # a crashed serial stage must still emit its end sentinel,
-            # or every downstream stage (and the main loop) deadlocks
+            # or every downstream stage (and the main loop) deadlocks;
+            # the error is recorded so the driver raises after draining
             try:
                 wrapped(*a)
-            except BaseException:
+            except BaseException as e:
                 LOGGER.exception(
                     f"{target.__name__} stage failed; shutting pipeline "
                     "down"
                 )
+                stage_errors[target.__name__] = e
                 put_item(StopIteration, out_q)
                 raise
 
@@ -681,8 +685,17 @@ def infer_from_pod5_and_bam(
         )
         lines = (f"{num:>7} : {why:<80}" for why, num in by_count)
         LOGGER.info("Unsuccessful read reasons:\n" + "\n".join(lines))
-    batch_reads_t.join()
-    call_batches_t.join()
+    # bounded joins: a crashed downstream stage can leave its upstream
+    # producer blocked on a full queue (daemon threads, so a timed-out
+    # join is safe to abandon) — never hang the driver on it
+    batch_reads_t.join(timeout=None if not stage_errors else 10)
+    call_batches_t.join(timeout=None if not stage_errors else 10)
+    if stage_errors:
+        name, err = next(iter(stage_errors.items()))
+        raise RemoraError(
+            f"inference pipeline stage '{name}' failed after {n_written} "
+            f"records were written: {err!r}"
+        ) from err
     return n_written
 
 

@@ -75,7 +75,11 @@ def _tile_plan(B, C, H, itemsize, backward, want_cs=True):
         prefs = [(512, 8), (256, 8), (128, 8)]
     else:
         prefs = [(1024, 4), (512, 8), (256, 8), (128, 8)]
-    scale = max(1, (max(C, H) + 63) // 64)
+    # scale batch tiles down by the per-row working set relative to the
+    # measured geometry: x/h/dh blocks cost ~(C + 2H) per row and the
+    # gate temporaries ~8H, all roughly linear in the row footprint
+    row_cost = C + 10 * H
+    scale = max(1, -(-row_cost // (64 + 10 * 64)))
     for BT, KT in prefs:
         BT //= scale
         if BT >= 8 and B % BT == 0:
@@ -380,7 +384,11 @@ def default_to_fused():
     try:
         dd = jax.config.jax_default_device
         if dd is not None:
-            return getattr(dd, "platform", "cpu") not in ("cpu",)
+            plat = dd if isinstance(dd, str) else getattr(
+                dd, "platform", None
+            )
+            if plat is not None:
+                return plat not in ("cpu",)
         return jax.default_backend() not in ("cpu",)
     except Exception:
         return False

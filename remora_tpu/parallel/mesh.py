@@ -107,7 +107,13 @@ def make_dp_train_step(model, tx, mesh, axis_name=DEFAULT_MESH_AXIS,
     standard unsynced-BN data-parallel recipe); running stats are
     averaged every step, so checkpoints remain topology-independent.
     Gradient-clip maxima are taken on the reduced (global) gradients, so
-    no extra collective is needed for them either.
+    no extra collective is needed for them either. The
+    high-confidence-incorrect filter computes its dynamic threshold per
+    device shard (shuffled batches make the per-shard top-k an unbiased
+    stand-in for the global one), but the loss/gradient weighting of the
+    surviving chunks is EXACT: the collective reduces the loss sum and
+    kept count, and the global masked mean is reconstructed after it.
+    ``sync_bn=True`` restores fully global semantics for everything.
 
     ``sync_bn=True``: global-batch BN via jit sharding constraints — XLA
     inserts per-layer stat reductions; bit-matches single-device
@@ -157,10 +163,15 @@ def make_dp_train_step(model, tx, mesh, axis_name=DEFAULT_MESH_AXIS,
             donate_argnums=(0, 1, 2),
         )
 
+    # With the filter active, per-shard masked MEANS would weight shards
+    # equally regardless of how many chunks each filtered; reducing the
+    # loss SUM + kept count instead reconstructs the exact global masked
+    # mean (and its gradients) after the collective.
     loss_fn = make_loss_fn(
         model,
         high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
         compute_dtype=compute_dtype,
+        reduction="sum",
     )
     if raw:
         from remora_tpu.kernels.encoded_kmers import (
@@ -180,7 +191,7 @@ def make_dp_train_step(model, tx, mesh, axis_name=DEFAULT_MESH_AXIS,
         else:
             sigs, kmers, labels = rest[:3]
         grad_threshs = rest[n_data_args] if use_grad_clip else None
-        (loss, (new_bn, n_filt)), grads = jax.value_and_grad(
+        (loss_sum, (new_bn, n_filt, n_kept)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, bn_state, sigs, kmers, labels)
         flat_g, unravel_g = ravel_pytree(grads)
@@ -189,18 +200,20 @@ def make_dp_train_step(model, tx, mesh, axis_name=DEFAULT_MESH_AXIS,
             [
                 flat_g,
                 flat_bn,
-                loss[None],
+                loss_sum[None],
+                n_kept[None],
                 n_filt.astype(jnp.float32)[None],
             ]
         )
         packed = jax.lax.pmean(packed, axis_name)  # the ONE collective
         ng = flat_g.shape[0]
         nb = flat_bn.shape[0]
-        grads = unravel_g(packed[:ng])
+        kept_mean = packed[ng + nb + 1]  # global kept / n_devs
+        grads = unravel_g(packed[:ng] / kept_mean)
         new_bn = unravel_bn(packed[ng : ng + nb])
-        loss = packed[ng + nb]
+        loss = packed[ng + nb] / kept_mean
         n_devs = jax.lax.axis_size(axis_name)
-        n_filt = jnp.round(packed[ng + nb + 1] * n_devs).astype(jnp.int32)
+        n_filt = jnp.round(packed[ng + nb + 2] * n_devs).astype(jnp.int32)
         if use_grad_clip:
             grad_maxs = jax.tree.map(lambda g: jnp.max(jnp.abs(g)), grads)
             if grad_threshs is not None:

@@ -77,10 +77,16 @@ def make_train_step_raw(model, tx, kmer_context_bases, chunk_width,
 
 
 def make_loss_fn(model, high_conf_incorrect_thr_frac=None,
-                 compute_dtype=None):
+                 compute_dtype=None, reduction="mean"):
     """CE loss closure shared by the single-device and data-parallel
     steps: ``loss_fn(params, bn_state, sigs, enc_kmers, labels) ->
-    (loss, (new_bn_state, n_filtered))``."""
+    (loss, (new_bn_state, n_filtered))``.
+
+    ``reduction="sum"`` returns the SUM of kept per-example losses and
+    an extra aux element ``n_kept`` — the DP step uses it to reconstruct
+    the exact global masked mean after the cross-device reduction
+    (per-shard masked means would weight shards equally regardless of
+    how many chunks each filtered)."""
 
     def outer_loss_fn(params, bn_state, sigs, enc_kmers, labels):
         def loss_fn(p):
@@ -109,7 +115,12 @@ def make_loss_fn(model, high_conf_incorrect_thr_frac=None,
             logp = jax.nn.log_softmax(logits)
             per_ex = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
             if high_conf_incorrect_thr_frac is None:
-                loss = jnp.mean(per_ex)
+                n_kept = jnp.float32(per_ex.shape[0])
+                loss = (
+                    jnp.sum(per_ex)
+                    if reduction == "sum"
+                    else jnp.mean(per_ex)
+                )
                 n_filt = jnp.zeros((), jnp.int32)
             else:
                 conf_thresh, max_frac_skip = high_conf_incorrect_thr_frac
@@ -130,7 +141,12 @@ def make_loss_fn(model, high_conf_incorrect_thr_frac=None,
                 )
                 mask = jnp.logical_or(cl_match, highest_preds < dyn_thresh)
                 n_filt = (bsz - jnp.sum(mask)).astype(jnp.int32)
-                loss = jnp.sum(per_ex * mask) / jnp.maximum(jnp.sum(mask), 1)
+                n_kept = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float32)
+                loss = jnp.sum(per_ex * mask)
+                if reduction != "sum":
+                    loss = loss / n_kept
+            if reduction == "sum":
+                return loss, (new_bn, n_filt, n_kept)
             return loss, (new_bn, n_filt)
 
         return loss_fn(params)
@@ -242,6 +258,7 @@ def train_model(
     featurize_on_device=True,
     resume_from_checkpoint=None,
     bf16_compute=False,
+    sync_bn=False,
 ):
     from remora_tpu.jax_setup import ensure_compilation_cache
 
@@ -451,6 +468,7 @@ def train_model(
             high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
             compute_dtype=compute_dtype,
             use_grad_clip=use_grad_clip,
+            sync_bn=sync_bn,
             featurize_args=(
                 (
                     dataset.metadata.kmer_context_bases,

@@ -98,6 +98,42 @@ def test_dp_step_single_fused_collective():
     assert float(loss) < float(loss0)
 
 
+def test_dp_step_sync_bn():
+    """sync_bn=True: global-batch BN via jit shardings — trains, and its
+    loss matches an unsharded single-device step exactly."""
+    import jax
+    import numpy as np
+    import optax
+
+    from remora_tpu.models.registry import get_model
+    from remora_tpu.parallel import mesh as M
+    from remora_tpu.train.train import make_train_step
+
+    model = get_model("Conv_w_ref")
+    tx = optax.adamw(1e-3)
+    mesh = M.make_mesh()
+    dsh = M.data_sharding(mesh)
+    rng = np.random.default_rng(2)
+    B, W = 16, 100
+    sigs = rng.normal(size=(B, 1, W)).astype(np.float32)
+    kmers = rng.normal(size=(B, 36, W)).astype(np.float32)
+    labels = rng.integers(0, 2, B)
+
+    params, bn = model.init(
+        jax.random.PRNGKey(0), size=8, kmer_len=9, num_out=2
+    )
+    single = make_train_step(model, tx, donate=False)
+    _, _, _, loss_ref, _, _ = single(
+        params, bn, tx.init(params), sigs, kmers, labels
+    )
+
+    step = M.make_dp_train_step(model, tx, mesh, sync_bn=True)
+    p, b_, o = (M.replicate(mesh, t) for t in (params, bn, tx.init(params)))
+    data = [jax.device_put(x, dsh) for x in (sigs, kmers, labels)]
+    p, b_, o, loss, _nf, _gm = step(p, b_, o, *data)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-6)
+
+
 def test_dp_step_grad_clip():
     """Grad-clip support in the fused DP step: maxima come back from the
     reduced grads (no extra collective) and thresholds clip the update."""

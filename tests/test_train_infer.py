@@ -145,6 +145,30 @@ def test_bf16_eval_close_to_f32(trained_model):
     assert (l16.argmax(1)[conf] == l32.argmax(1)[conf]).all()
 
 
+def test_infer_device_stage_crash_fails_fast(tmpdir_factory, trained_model):
+    """A crashed device stage must surface as an error, not a clean exit
+    with a truncated BAM (and must not deadlock the pipeline)."""
+    import pytest
+
+    from remora_tpu import RemoraError
+    from remora_tpu.infer.infer import ModelHandle, infer_from_pod5_and_bam
+
+    h = ModelHandle.load(trained_model)
+
+    def bad_eval(sigs, enc_kmers):
+        raise RuntimeError("device exploded")
+
+    out = tmpdir_factory.mktemp("crash_out") / "crash.bam"
+    with pytest.raises(RemoraError, match="call_batches.*device exploded"):
+        infer_from_pod5_and_bam(
+            pod5_path=f"{DATA}/can_reads.pod5",
+            in_bam_path=f"{DATA}/can_mappings.bam",
+            models=[(bad_eval, h.metadata)],
+            out_bam_path=str(out),
+            batch_size=128,
+        )
+
+
 def test_infer_output_tags(inferred_bam):
     from remora_tpu.io.bam import FastBamScanner
 
