@@ -45,6 +45,7 @@ def plot_signal_at_ref_region(
     sig_map_refiner=None,
     max_reads=50,
     highlight_positions=None,
+    highlight_color="yellow",
     levels_table=None,
     figsize=(18, 5),
 ):
@@ -76,8 +77,54 @@ def plot_signal_at_ref_region(
         levels,
         out_path=out_path,
         highlight_positions=highlight_positions,
+        highlight_color=highlight_color,
         figsize=figsize,
     )
+
+
+def plot_ref_regions_bed(
+    pod5_and_bams,
+    ref_regions_bed,
+    plots_filename,
+    sig_map_refiner=None,
+    max_reads=50,
+    highlight_ranges=None,
+    highlight_color="orange",
+    figsize=(18, 5),
+):
+    """Multi-page PDF: one page per BED record (reference
+    ``analyze plot ref_region`` surface, parsers.py:2005-2093)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib.backends.backend_pdf import PdfPages
+
+    from remora_tpu.io.refregion import parse_bed_lines
+
+    regions = list(parse_bed_lines(ref_regions_bed))
+    if not regions:
+        raise RemoraError(f"No regions parsed from {ref_regions_bed}")
+    import matplotlib.pyplot as plt
+
+    with PdfPages(plots_filename) as pdf:
+        for reg in regions:
+            strands = (reg.strand,) if reg.strand else ("+", "-")
+            for strand in strands:
+                reg_str = f"{reg.ctg}:{reg.start + 1}-{reg.end}:{strand}"
+                fig = plot_signal_at_ref_region(
+                    pod5_and_bams,
+                    reg_str,
+                    out_path=None,
+                    sig_map_refiner=sig_map_refiner,
+                    max_reads=max_reads,
+                    highlight_positions=highlight_ranges,
+                    highlight_color=highlight_color,
+                    figsize=figsize,
+                )
+                pdf.savefig(fig)
+                plt.close(fig)
+    LOGGER.info(f"Region plots written to {plots_filename}")
+    return plots_filename
 
 
 def plot_ref_region_reads(
@@ -88,6 +135,7 @@ def plot_ref_region_reads(
     out_path=None,
     sample_names=None,
     highlight_positions=None,
+    highlight_color="yellow",
     figsize=(18, 5),
 ):
     """Plot already-extracted read signals over a reference region
@@ -145,7 +193,7 @@ def plot_ref_region_reads(
         hl = parse_bed(highlight_positions)
         for pos in hl.get((ref_reg.ctg, ref_reg.strand), ()):
             if ref_reg.start <= pos < ref_reg.end:
-                ax.axvspan(pos, pos + 1, color="yellow", alpha=0.3)
+                ax.axvspan(pos, pos + 1, color=highlight_color, alpha=0.3)
     ax.set_xlim(ref_reg.start, ref_reg.end)
     ax.set_xlabel(f"{ref_reg.ctg} ({ref_reg.strand})")
     ax.set_ylabel("Normalized signal")

@@ -67,9 +67,12 @@ def register_dataset_prepare(ssub):
         "--max-chunks-per-read", type=int,
         default=constants.DEFAULT_MAX_CHUNKS_PER_READ,
     )
-    data.add_argument("--chunk-extract-offset", type=int, default=0)
     data.add_argument(
-        "--chunk-extract-base-start", action="store_true",
+        "--chunk-extract-offset", "--offset", type=int, default=0
+    )
+    data.add_argument(
+        "--chunk-extract-base-start", "--base-start-justify",
+        action="store_true",
         help="extract chunks justified at the start of the focus base",
     )
     data.add_argument("--num-reads", type=int)
@@ -81,7 +84,7 @@ def register_dataset_prepare(ssub):
         help="flush dataset every N chunks",
     )
     data.add_argument(
-        "--basecall-model",
+        "--basecall-model", "--picoamp-scaling-basecall-model",
         help="Dorado basecall model dir for pA scaling (config.toml)",
     )
     refine = p.add_argument_group("Signal Mapping Refine Arguments")
@@ -106,7 +109,7 @@ def register_dataset_prepare(ssub):
         metavar=("TARGET", "LIMIT", "WEIGHT"),
     )
     refine.add_argument(
-        "--refine-rough-rescale-method",
+        "--refine-rough-rescale-method", "--rough-rescale-method",
         default=constants.DEFAULT_ROUGH_RESCALE_METHOD,
         choices=constants.ROUGH_RESCALE_METHODS,
     )
@@ -210,22 +213,51 @@ def register_dataset_make_config(ssub):
     )
     p.add_argument("out_path")
     p.add_argument(
-        "--dataset", nargs=2, action="append", required=True,
-        metavar=("PATH", "WEIGHT"),
+        "datasets", nargs="*",
+        help="core dataset (or config) paths; weights via "
+        "--dataset-weights (default: dataset sizes)",
     )
+    p.add_argument(
+        "--dataset-weights", type=float, nargs="+",
+        help="weight per positional dataset (same length)",
+    )
+    p.add_argument(
+        "--dataset", nargs=2, action="append",
+        metavar=("PATH", "WEIGHT"),
+        help="alternative (PATH, WEIGHT) pair form; may repeat",
+    )
+    p.add_argument("--log-filename")
     p.add_argument("--skip-hash", action="store_true")
     p.set_defaults(func=run_dataset_make_config)
 
 
 def run_dataset_make_config(args):
+    from remora_tpu import RemoraError, log
     from remora_tpu.data.dataset import CoreDataset
 
+    if args.log_filename:
+        log.init_logger(args.log_filename)
+    pairs = [(p, float(w)) for p, w in (args.dataset or [])]
+    if args.datasets:
+        weights = args.dataset_weights
+        if weights is None:
+            # reference default: weight each dataset by its size
+            weights = [
+                float(CoreDataset(p).size) for p in args.datasets
+            ]
+        if len(weights) != len(args.datasets):
+            raise RemoraError(
+                "--dataset-weights must match the number of datasets"
+            )
+        pairs.extend(zip(args.datasets, (float(w) for w in weights)))
+    if not pairs:
+        raise RemoraError("No datasets given")
     cfg = []
-    for path, weight in args.dataset:
+    for path, weight in pairs:
         if args.skip_hash:
-            cfg.append([path, float(weight)])
+            cfg.append([path, weight])
         else:
-            cfg.append([path, float(weight), CoreDataset.hash(path)])
+            cfg.append([path, weight, CoreDataset.hash(path)])
     with open(args.out_path, "w") as fh:
         json.dump(cfg, fh)
 
@@ -316,27 +348,40 @@ def register_dataset_head(ssub):
     p.add_argument("num_chunks", type=int)
     p.add_argument("input_dataset")
     p.add_argument("output_dataset")
+    p.add_argument("--overwrite", action="store_true")
     p.set_defaults(func=run_dataset_head)
 
 
 def run_dataset_head(args):
-    _copy_dataset(args.input_dataset, args.output_dataset, args.num_chunks)
+    _copy_dataset(args.input_dataset, args.output_dataset, args.num_chunks,
+                  overwrite=args.overwrite)
 
 
 def register_dataset_copy(ssub):
     p = ssub.add_parser("copy", help="copy a dataset (compacting allocation)")
     p.add_argument("input_dataset")
     p.add_argument("output_dataset")
+    p.add_argument("--overwrite", action="store_true")
     p.set_defaults(func=run_dataset_copy)
 
 
 def run_dataset_copy(args):
-    _copy_dataset(args.input_dataset, args.output_dataset, None)
+    _copy_dataset(args.input_dataset, args.output_dataset, None,
+                  overwrite=args.overwrite)
 
 
-def _copy_dataset(in_path, out_path, num_chunks):
+def _copy_dataset(in_path, out_path, num_chunks, overwrite=False):
+    import shutil
+
     from remora_tpu import RemoraError
     from remora_tpu.data.dataset import CoreDataset
+
+    if os.path.exists(out_path):
+        if not overwrite:
+            raise RemoraError(
+                f"{out_path} exists; use --overwrite to replace it"
+            )
+        shutil.rmtree(out_path)
 
     src = CoreDataset(in_path)
     size = src.size if num_chunks is None else min(num_chunks, src.size)
@@ -388,15 +433,21 @@ def register_model_train(ssub):
         default=constants.DEFAULT_NUM_TEST_CHUNKS,
     )
     data.add_argument(
-        "--filt-frac", type=float, default=constants.DEFAULT_FILT_FRAC
+        "--filt-frac", "--filter-fraction", type=float,
+        default=constants.DEFAULT_FILT_FRAC,
     )
     data.add_argument(
         "--super-batch-size", type=int,
         default=constants.DEFAULT_SUPER_BATCH_SIZE,
     )
     data.add_argument(
-        "--super-batch-sample-frac", type=float,
-        default=constants.DEFAULT_SUPER_BATCH_SAMPLE_FRAC,
+        "--super-batch-sample-frac", "--super-batch-sample-fraction",
+        type=float, default=constants.DEFAULT_SUPER_BATCH_SAMPLE_FRAC,
+    )
+    data.add_argument(
+        "--read-batches-from-disk", action="store_true",
+        help="re-stream validation batches from disk each epoch instead "
+        "of caching them in memory",
     )
     data.add_argument("--ext-val", nargs="+")
     data.add_argument("--ext-val-names", nargs="+")
@@ -417,7 +468,7 @@ def register_model_train(ssub):
     trn.add_argument("--optimizer", default=constants.DEFAULT_OPTIMIZER)
     trn.add_argument("--lr", type=float, default=constants.DEFAULT_LR)
     trn.add_argument(
-        "--opt-kwargs", nargs=3, action="append",
+        "--opt-kwargs", "--optimizer-kwargs", nargs=3, action="append",
         metavar=("NAME", "VALUE", "TYPE"),
         help="typed optimizer kwarg passthrough, e.g. weight_decay 1e-5 float",
     )
@@ -426,14 +477,14 @@ def register_model_train(ssub):
         metavar=("NAME", "VALUE", "TYPE"),
     )
     trn.add_argument(
-        "--scheduler", default=constants.DEFAULT_SCHEDULER
+        "--scheduler", "--lr-scheduler", default=constants.DEFAULT_SCHEDULER
     )
     trn.add_argument(
         "--lr-cool-down-epochs", type=int,
         default=constants.DEFAULT_SCH_COOL_DOWN_EPOCHS,
     )
     trn.add_argument(
-        "--lr-cool-down-lr", type=float,
+        "--lr-cool-down-lr", "--lr-cool-down-learning-rate", type=float,
         default=constants.DEFAULT_SCH_COOL_DOWN_LR,
     )
     trn.add_argument(
@@ -449,6 +500,11 @@ def register_model_train(ssub):
     trn.add_argument(
         "--bf16", action="store_true",
         help="run forward/backward in bfloat16 against f32 master weights",
+    )
+    p.add_argument(
+        "--device",
+        help="JAX device to run on: an integer index into jax.devices() "
+        "or a platform name (e.g. cpu). Default: first device",
     )
     dist = p.add_argument_group("Distributed Arguments")
     dist.add_argument(
@@ -471,9 +527,11 @@ def register_model_train(ssub):
 
 def run_model_train(args):
     from remora_tpu.core.util import prepare_out_dir
+    from remora_tpu.jax_setup import select_device
     from remora_tpu.train.optim import TrainOpts
     from remora_tpu.train.train import train_model
 
+    select_device(args.device)
     prepare_out_dir(args.output_path, args.overwrite)
     mesh = None
     if args.data_parallel or args.num_processes:
@@ -539,19 +597,26 @@ def run_model_train(args):
         bf16_compute=args.bf16,
         mesh=mesh,
         sync_bn=args.sync_bn,
+        read_batches_from_disk=args.read_batches_from_disk,
     )
 
 
 def register_model_inspect(ssub):
     p = ssub.add_parser("inspect", help="show model metadata")
     p.add_argument("checkpoint_path")
+    p.add_argument(
+        "--model-path",
+        help="model architecture .py override (default: from checkpoint)",
+    )
     p.set_defaults(func=run_model_inspect)
 
 
 def run_model_inspect(args):
     from remora_tpu.models import model_io
 
-    _model, params, _bn, meta = model_io.load_model(args.checkpoint_path)
+    _model, params, _bn, meta = model_io.load_model(
+        args.checkpoint_path, model_path=args.model_path
+    )
     from remora_tpu.models.layers import param_count
 
     print(model_io.repr_model_metadata(meta))
@@ -567,6 +632,10 @@ def register_model_export(ssub):
     p.add_argument(
         "--format", default="dorado", choices=("dorado", "torchscript")
     )
+    p.add_argument(
+        "--model-path",
+        help="model architecture .py override (default: from checkpoint)",
+    )
     p.set_defaults(func=run_model_export)
 
 
@@ -574,10 +643,14 @@ def run_model_export(args):
     from remora_tpu.models import export as export_mod
 
     if args.format == "dorado":
-        export_mod.export_model_dorado(args.checkpoint_path, args.output_path)
+        export_mod.export_model_dorado(
+            args.checkpoint_path, args.output_path,
+            model_path=args.model_path,
+        )
     else:
         export_mod.export_model_torchscript(
-            args.checkpoint_path, args.output_path
+            args.checkpoint_path, args.output_path,
+            model_path=args.model_path,
         )
 
 
@@ -587,6 +660,8 @@ def register_model_list_pretrained(ssub):
     p.add_argument("--basecall-model-type")
     p.add_argument("--basecall-model-version")
     p.add_argument("--modified-bases", nargs="+")
+    p.add_argument("--remora-model-type")
+    p.add_argument("--remora-model-version", type=int)
     p.set_defaults(func=run_list_pretrained)
 
 
@@ -598,6 +673,8 @@ def run_list_pretrained(args):
         basecall_model_type=args.basecall_model_type,
         basecall_model_version=args.basecall_model_version,
         modified_bases=args.modified_bases,
+        remora_model_type=args.remora_model_type,
+        remora_model_version=args.remora_model_version,
     )
     widths = [
         max(len(str(r[i])) for r in rows + [header]) for i in range(len(header))
@@ -612,6 +689,8 @@ def register_model_download(ssub):
     p.add_argument("--basecall-model-type")
     p.add_argument("--basecall-model-version")
     p.add_argument("--modified-bases", nargs="+")
+    p.add_argument("--remora-model-type")
+    p.add_argument("--remora-model-version", type=int)
     p.set_defaults(func=run_download)
 
 
@@ -623,6 +702,8 @@ def run_download(args):
         basecall_model_type=args.basecall_model_type,
         basecall_model_version=args.basecall_model_version,
         modified_bases=args.modified_bases,
+        remora_model_type=args.remora_model_type,
+        remora_model_version=args.remora_model_version,
     )
 
 
@@ -650,6 +731,14 @@ def _add_infer_model_args(p):
     mdl.add_argument("--basecall-model-type")
     mdl.add_argument("--basecall-model-version")
     mdl.add_argument("--modified-bases", nargs="+")
+    mdl.add_argument("--remora-model-type",
+                     help="model motif (sequence context)")
+    mdl.add_argument("--remora-model-version", type=int)
+    mdl.add_argument(
+        "--device",
+        help="JAX device: integer index into jax.devices() or a "
+        "platform name (e.g. cpu)",
+    )
     mdl.add_argument(
         "--bf16", action="store_true",
         help="bfloat16 model compute (~1.8x device throughput; "
@@ -684,6 +773,9 @@ def register_infer_from_pod5_and_bam(ssub):
 def load_models_kw_args(args):
     """Load one or more model checkpoints -> [ModelHandle]."""
     from remora_tpu.infer.infer import ModelHandle
+    from remora_tpu.jax_setup import select_device
+
+    select_device(getattr(args, "device", None))
 
     model_paths = args.model
     if not model_paths:
@@ -695,6 +787,10 @@ def load_models_kw_args(args):
                 basecall_model_type=args.basecall_model_type,
                 basecall_model_version=args.basecall_model_version,
                 modified_bases=args.modified_bases,
+                remora_model_type=getattr(args, "remora_model_type", None),
+                remora_model_version=getattr(
+                    args, "remora_model_version", None
+                ),
             )
         ]
     compute_dtype = None
@@ -823,14 +919,35 @@ def register_validate_from_dataset(ssub):
         "from_remora_dataset", help="validate a model on a dataset"
     )
     p.add_argument("remora_dataset_path")
-    p.add_argument("--model", required=True)
+    p.add_argument(
+        "--model",
+        help="model checkpoint; or select a pretrained model via the "
+        "--pore/--basecall-model-*/--modified-bases flags",
+    )
+    p.add_argument("--pore")
+    p.add_argument("--basecall-model-type")
+    p.add_argument("--basecall-model-version")
+    p.add_argument("--modified-bases", nargs="+")
+    p.add_argument("--remora-model-type")
+    p.add_argument("--remora-model-version", type=int)
     p.add_argument(
         "--batch-size", type=int, default=constants.DEFAULT_BATCH_SIZE
     )
-    p.add_argument("--filt-frac", type=float, default=10.0,
+    p.add_argument("--filt-frac", "--pct-filt", type=float, default=10.0,
                    help="percent of lowest-confidence calls to filter")
     p.add_argument("--out-file")
     p.add_argument("--full-results-filename")
+    p.add_argument("--log-filename")
+    p.add_argument(
+        "--device",
+        help="JAX device: integer index into jax.devices() or a "
+        "platform name (e.g. cpu)",
+    )
+    p.add_argument(
+        "--read-batches-from-disk", action="store_true",
+        help="accepted for compatibility; single-pass validation always "
+        "streams batches from disk",
+    )
     p.set_defaults(func=run_validate_from_dataset)
 
 
@@ -839,12 +956,29 @@ def run_validate_from_dataset(args):
 
     import numpy as np
 
+    from remora_tpu import log
     from remora_tpu.data.dataset import ComposedDataset, CoreDataset, load_dataset
     from remora_tpu.infer.infer import make_model_eval_fn
+    from remora_tpu.jax_setup import select_device
     from remora_tpu.models import model_io
     from remora_tpu.train.validate import ValidationLogger
 
-    model, params, bn_state, meta = model_io.load_model(args.model)
+    if args.log_filename:
+        log.init_logger(args.log_filename)
+    select_device(args.device)
+    model_file = args.model
+    if model_file is None:
+        from remora_tpu.models.pretrained import resolve_pretrained_model
+
+        model_file = resolve_pretrained_model(
+            pore=args.pore,
+            basecall_model_type=args.basecall_model_type,
+            basecall_model_version=args.basecall_model_version,
+            modified_bases=args.modified_bases,
+            remora_model_type=args.remora_model_type,
+            remora_model_version=args.remora_model_version,
+        )
+    model, params, bn_state, meta = model_io.load_model(model_file)
     override_metadata = {
         "extra_arrays": {},
         "chunk_context": list(meta["chunk_context"]),
@@ -914,12 +1048,22 @@ def register_validate_from_modbams(ssub):
     p.add_argument("--seed", type=int)
     p.add_argument("--extra-bases")
     p.add_argument("--out-file")
+    p.add_argument("--max-sites-per-read", type=int)
+    p.add_argument(
+        "--explicit-mod-tag-used", action="store_true",
+        help="acknowledge the MM tags use the explicit (?) specifier "
+        "(implicit-style (.) tags yield invalid probabilities)",
+    )
+    p.add_argument("--log-filename")
     p.set_defaults(func=run_validate_from_modbams)
 
 
 def run_validate_from_modbams(args):
+    from remora_tpu import log
     from remora_tpu.validate_modbam import validate_modbams
 
+    if args.log_filename:
+        log.init_logger(args.log_filename)
     validate_modbams(
         bams_and_beds=args.bam_and_bed,
         full_results_path=args.full_results_filename,
@@ -927,6 +1071,7 @@ def run_validate_from_modbams(args):
         pct_filt=args.pct_filt,
         allow_unbalanced=args.allow_unbalanced,
         seed=args.seed,
+        max_sites_per_read=args.max_sites_per_read,
         extra_bases=args.extra_bases,
         out_file=args.out_file,
     )
@@ -943,6 +1088,7 @@ def register_analyze(subparsers):
     ssub = parser.add_subparsers(title="analyze commands")
     register_estimate_kmer_levels(ssub)
     register_plot_ref_region(ssub)
+    register_analyze_plot(ssub)
 
 
 def register_estimate_kmer_levels(ssub):
@@ -970,6 +1116,77 @@ def run_estimate_kmer_levels(args):
         chunk_len=args.chunk_len,
         max_chunk_coverage=args.max_chunk_coverage,
         num_workers=args.num_workers,
+    )
+
+
+
+def register_analyze_plot(ssub):
+    """Reference-form nested group: ``analyze plot ref_region``
+    (multi-page PDF over a BED of regions)."""
+    grp = ssub.add_parser("plot", help="plotting commands")
+    grp.set_defaults(func=lambda args: grp.print_help())
+    sub = grp.add_subparsers(title="plot commands")
+    p = sub.add_parser(
+        "ref_region", help="plot raw signal at reference regions (PDF)"
+    )
+    p.add_argument(
+        "--pod5-and-bam", nargs=2, action="append", required=True,
+        metavar=("POD5", "BAM"),
+    )
+    p.add_argument(
+        "--ref-regions", required=True,
+        help="BED of regions; one page per record",
+    )
+    p.add_argument("--highlight-ranges", help="BED of regions to highlight")
+    p.add_argument("--highlight-color", default="orange")
+    p.add_argument("--max-reads", type=int, default=50)
+    refine = p.add_argument_group("Signal Mapping Refine Arguments")
+    refine.add_argument("--refine-kmer-level-table")
+    refine.add_argument("--refine-rough-rescale", action="store_true")
+    refine.add_argument("--refine-scale-iters", type=int, default=0)
+    refine.add_argument(
+        "--refine-half-bandwidth", type=int,
+        default=constants.DEFAULT_REFINE_HBW,
+    )
+    refine.add_argument(
+        "--refine-algo", default=constants.DEFAULT_REFINE_ALGO,
+        choices=constants.REFINE_ALGOS,
+    )
+    refine.add_argument(
+        "--refine-short-dwell-parameters", nargs=3, type=float,
+        default=constants.DEFAULT_REFINE_SHORT_DWELL_PARAMS,
+        metavar=("TARGET", "LIMIT", "WEIGHT"),
+    )
+    refine.add_argument(
+        "--refine-rough-rescale-method", "--rough-rescale-method",
+        default=constants.DEFAULT_ROUGH_RESCALE_METHOD,
+        choices=constants.ROUGH_RESCALE_METHODS,
+    )
+    out = p.add_argument_group("Output Arguments")
+    out.add_argument(
+        "--plots-filename", default="remora_raw_signal_plot.pdf"
+    )
+    out.add_argument("--log-filename")
+    p.set_defaults(func=run_analyze_plot_ref_regions)
+
+
+def run_analyze_plot_ref_regions(args):
+    from remora_tpu import log
+    from remora_tpu.analyze.plot import plot_ref_regions_bed
+
+    if args.log_filename:
+        log.init_logger(args.log_filename)
+    refiner = None
+    if args.refine_kmer_level_table is not None or args.refine_rough_rescale:
+        refiner = _build_refiner(args)
+    plot_ref_regions_bed(
+        pod5_and_bams=args.pod5_and_bam,
+        ref_regions_bed=args.ref_regions,
+        plots_filename=args.plots_filename,
+        sig_map_refiner=refiner,
+        max_reads=args.max_reads,
+        highlight_ranges=args.highlight_ranges,
+        highlight_color=args.highlight_color,
     )
 
 

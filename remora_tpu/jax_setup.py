@@ -45,3 +45,21 @@ def honor_platform_env():
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass
+
+
+def select_device(device):
+    """Steer computation to a device: an integer index into
+    ``jax.devices()`` or a platform name (e.g. "cpu"). Reference analog:
+    the ``--device`` GPU selector (``util.py:81``)."""
+    if device is None:
+        return
+    import jax
+
+    try:
+        idx = int(device)
+    except (TypeError, ValueError):
+        jax.config.update(
+            "jax_default_device", jax.devices(str(device))[0]
+        )
+        return
+    jax.config.update("jax_default_device", jax.devices()[idx])

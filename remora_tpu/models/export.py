@@ -83,12 +83,14 @@ def write_toml(path, data):
                     fh.write(f"{k} = {_toml_value(v)}\n")
 
 
-def export_model_dorado(checkpoint_path, save_dir):
+def export_model_dorado(checkpoint_path, save_dir, model_path=None):
     """Export a native checkpoint to the Dorado modbase-model directory."""
     import torch
     from torch import nn
 
-    model, params, bn_state, meta = model_io.load_model(checkpoint_path)
+    model, params, bn_state, meta = model_io.load_model(
+        checkpoint_path, model_path=model_path
+    )
     save_dir = os.path.expanduser(save_dir)
     os.makedirs(save_dir, exist_ok=True)
 
@@ -282,11 +284,14 @@ def _build_torch_module(model, params, bn_state, meta):
     return net
 
 
-def export_model_torchscript(checkpoint_path, save_filename):
+def export_model_torchscript(checkpoint_path, save_filename,
+                             model_path=None):
     """Export a native checkpoint as reference-compatible TorchScript."""
     import torch
 
-    model, params, bn_state, meta = model_io.load_model(checkpoint_path)
+    model, params, bn_state, meta = model_io.load_model(
+        checkpoint_path, model_path=model_path
+    )
     net = _build_torch_module(model, params, bn_state, meta)
     m = torch.jit.script(net)
 

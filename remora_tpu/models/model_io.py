@@ -179,11 +179,13 @@ def _json_default(obj):
     raise TypeError(f"Cannot serialize {type(obj)}")
 
 
-def load_model(path, quiet=True):
+def load_model(path, quiet=True, model_path=None):
     """Load any supported model artifact.
 
     Returns (model_module, params, bn_state, metadata) — metadata has all
     derived fields set (kmer_len, chunk_len, can_base, sig_map_refiner...).
+    ``model_path`` overrides the architecture recorded in the checkpoint
+    (a builtin name or a model .py file).
     """
     path = str(path)
     if path.endswith((".pt", ".ts")):
@@ -204,7 +206,9 @@ def load_model(path, quiet=True):
         if k.startswith("meta_arr/"):
             meta[k[len("meta_arr/") :]] = data[k]
     meta = add_derived_metadata(meta)
-    model = get_model(meta.get("model_name", "ConvLSTM_w_ref"))
+    model = get_model(
+        model_path or meta.get("model_name", "ConvLSTM_w_ref")
+    )
     if not quiet:
         LOGGER.debug(f"Loaded model metadata:\n{repr_model_metadata(meta)}")
     return model, params, bn_state, meta

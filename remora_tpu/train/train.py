@@ -190,6 +190,25 @@ def make_train_step(model, tx, high_conf_incorrect_thr_frac=None,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+class _BatchCache:
+    """Replays a finite dataset's batches from memory.
+
+    Validation iterates the same chunks every epoch; caching them avoids
+    re-reading the memmaps + re-featurizing each pass (reference default;
+    ``--read-batches-from-disk`` restores streaming for low-RAM runs).
+    """
+
+    def __init__(self, dataset):
+        self._ds = dataset
+        self.metadata = dataset.metadata
+        self._cache = None
+
+    def __iter__(self):
+        if self._cache is None:
+            self._cache = list(self._ds)
+        return iter(self._cache)
+
+
 def _write_batch_line(batch_fp, entry, high_conf_incorrect_thr_frac):
     """Write one batch.log row, converting the (lagged) device scalars."""
     it, loss, n_filt = entry
@@ -259,6 +278,7 @@ def train_model(
     resume_from_checkpoint=None,
     bf16_compute=False,
     sync_bn=False,
+    read_batches_from_disk=False,
 ):
     from remora_tpu.jax_setup import ensure_compilation_cache
 
@@ -396,6 +416,9 @@ def train_model(
     val_trn_ds = trn_ds.head(num_test_chunks, override_metadata=override_metadata)
     val_trn_ds.super_batch_sample_frac = None
     val_trn_ds.do_check_super_batches = True
+    if not read_batches_from_disk:
+        val_ds = _BatchCache(val_ds)
+        val_trn_ds = _BatchCache(val_trn_ds)
 
     ext_datasets = []
     if ext_val:
@@ -418,6 +441,8 @@ def train_model(
                 batch_size=batch_size,
             )
             e_ds.update_metadata(dataset)
+            if not read_batches_from_disk:
+                e_ds = _BatchCache(e_ds)
             ext_datasets.append((e_name, e_ds))
 
     use_grad_clip = gradient_clip_num_mads is not None

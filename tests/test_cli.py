@@ -350,3 +350,68 @@ def test_cli_validate_from_modbams(cli_model, tmp_path):
     )
     body = out_file.read_text()
     assert "acc" in body.lower() or "sample" in body.lower(), body
+
+
+def test_cli_plot_ref_regions_bed(tmp_path):
+    """Reference-form nested command: analyze plot ref_region over a BED
+    (multi-page PDF)."""
+    out = tmp_path / "regions.pdf"
+    run_cli(
+        "analyze", "plot", "ref_region",
+        "--pod5-and-bam", f"{DATA}/can_reads.pod5",
+        f"{DATA}/can_mappings.bam",
+        "--ref-regions", f"{DATA}/ref_regions.bed",
+        "--plots-filename", out,
+        timeout=420,
+    )
+    assert out.exists() and out.stat().st_size > 10_000
+
+
+def test_cli_flag_surface_matches_reference():
+    """Every reference CLI option string exists on the corresponding
+    remora_tpu subcommand (drop-in compatibility contract)."""
+    import argparse
+    import sys
+
+    def collect(parser, prefix=""):
+        out, opts = {}, set()
+        for a in parser._actions:
+            opts.update(a.option_strings)
+            if hasattr(a, "choices") and isinstance(a.choices, dict):
+                for name, sub in a.choices.items():
+                    out.update(collect(sub, f"{prefix}{name} "))
+        out[prefix.strip()] = opts
+        return out
+
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        import remora.parsers as rp
+
+        refp = argparse.ArgumentParser(prog="remora")
+        sub = refp.add_subparsers()
+        for reg in (rp.register_dataset, rp.register_model,
+                    rp.register_infer, rp.register_validate,
+                    rp.register_analyze):
+            reg(sub)
+        ref = collect(refp)
+    finally:
+        sys.path.remove("/root/reference/src")
+        for m in [k for k in list(sys.modules) if k.startswith("remora.")
+                  or k == "remora"]:
+            del sys.modules[m]
+
+    from remora_tpu.cli.main import build_parser
+
+    ours = collect(build_parser())
+    gaps = {}
+    for key, ref_opts in ref.items():
+        if not key:
+            continue
+        o = ours.get(key)
+        if o is None:
+            gaps[key] = "missing subcommand"
+            continue
+        missing = sorted(s for s in ref_opts - o if s.startswith("--"))
+        if missing:
+            gaps[key] = missing
+    assert not gaps, gaps
