@@ -345,9 +345,10 @@ def run_dataset_merge(args):
 
 def register_dataset_head(ssub):
     p = ssub.add_parser("head", help="copy the first N chunks to a new dataset")
-    p.add_argument("num_chunks", type=int)
-    p.add_argument("input_dataset")
+    # reference argument order (parsers.py "dataset head")
     p.add_argument("output_dataset")
+    p.add_argument("input_dataset")
+    p.add_argument("num_chunks", type=int)
     p.add_argument("--overwrite", action="store_true")
     p.set_defaults(func=run_dataset_head)
 

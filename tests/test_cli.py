@@ -71,7 +71,7 @@ def test_cli_dataset_inspect(cli_can_chunks, tmp_path):
 def test_cli_dataset_head_copy(cli_can_chunks, tmp_path):
     from remora_tpu.data.dataset import CoreDataset
 
-    run_cli("dataset", "head", 20, cli_can_chunks, tmp_path / "head_ds")
+    run_cli("dataset", "head", tmp_path / "head_ds", cli_can_chunks, 20)
     assert CoreDataset(str(tmp_path / "head_ds")).size == 20
     run_cli("dataset", "copy", cli_can_chunks, tmp_path / "copy_ds")
     assert CoreDataset(str(tmp_path / "copy_ds")).size == 205
@@ -374,13 +374,18 @@ def test_cli_flag_surface_matches_reference():
     import sys
 
     def collect(parser, prefix=""):
-        out, opts = {}, set()
+        out, opts, pos = {}, set(), []
         for a in parser._actions:
             opts.update(a.option_strings)
+            if not a.option_strings and not isinstance(
+                a, argparse._SubParsersAction
+            ):
+                # positional arity ("v" for variadic) — names may differ
+                pos.append("v" if a.nargs in ("*", "+") else a.nargs)
             if hasattr(a, "choices") and isinstance(a.choices, dict):
                 for name, sub in a.choices.items():
                     out.update(collect(sub, f"{prefix}{name} "))
-        out[prefix.strip()] = opts
+        out[prefix.strip()] = (opts, pos)
         return out
 
     sys.path.insert(0, "/root/reference/src")
@@ -404,14 +409,16 @@ def test_cli_flag_surface_matches_reference():
 
     ours = collect(build_parser())
     gaps = {}
-    for key, ref_opts in ref.items():
+    for key, (ref_opts, ref_pos) in ref.items():
         if not key:
             continue
-        o = ours.get(key)
-        if o is None:
+        if key not in ours:
             gaps[key] = "missing subcommand"
             continue
-        missing = sorted(s for s in ref_opts - o if s.startswith("--"))
+        our_opts, our_pos = ours[key]
+        missing = sorted(s for s in ref_opts - our_opts if s.startswith("--"))
         if missing:
             gaps[key] = missing
+        if ref_pos != our_pos:
+            gaps[f"{key} (positionals)"] = (ref_pos, our_pos)
     assert not gaps, gaps
