@@ -67,7 +67,44 @@ def _throughput(fwd, args, device, iters, warmup=1, repeats=1):
     return samples if repeats > 1 else samples[0]
 
 
+def _start_watchdog():
+    """Emit an error JSON line and exit if the device never comes up.
+
+    A tunneled TPU backend can hang indefinitely on init/compile when
+    its relay is wedged; the driver needs a parseable failure rather
+    than a silent hang. REMORA_TPU_BENCH_TIMEOUT (seconds) overrides.
+    """
+    import os
+    import threading
+
+    seconds = float(os.environ.get("REMORA_TPU_BENCH_TIMEOUT", 2400))
+
+    def boom():
+        print(
+            json.dumps(
+                {
+                    "metric": "infer_fwd_chunks_per_s_per_chip",
+                    "value": 0.0,
+                    "unit": "chunks/s",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        f"bench did not complete in {seconds:.0f}s "
+                        "(TPU backend unavailable/wedged?)"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    timer = threading.Timer(seconds, boom)
+    timer.daemon = True
+    timer.start()
+    return timer
+
+
 def main():
+    watchdog = _start_watchdog()
     import jax
     from remora_tpu.jax_setup import ensure_compilation_cache
 
@@ -122,6 +159,7 @@ def main():
     vs_baseline = (
         dev_tp / (5.0 * cpu_tp) if cpu_tp else float("nan")
     )
+    watchdog.cancel()
     print(
         json.dumps(
             {
