@@ -422,3 +422,16 @@ def test_cli_flag_surface_matches_reference():
         if ref_pos != our_pos:
             gaps[f"{key} (positionals)"] = (ref_pos, our_pos)
     assert not gaps, gaps
+
+
+def test_cli_device_flag(cli_model, tmp_path):
+    """--device cpu routes inference through an explicit device scope."""
+    out = tmp_path / "dev_infer.bam"
+    run_cli(
+        "infer", "from_pod5_and_bam",
+        f"{DATA}/can_reads.pod5", f"{DATA}/can_mappings.bam",
+        "--model", cli_model, "--device", "cpu",
+        "--batch-size", "128", "--out-bam", out,
+        timeout=420,
+    )
+    assert out.exists() and out.stat().st_size > 1000
