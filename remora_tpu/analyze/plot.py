@@ -93,7 +93,11 @@ def plot_ref_regions_bed(
     figsize=(18, 5),
 ):
     """Multi-page PDF: one page per BED record (reference
-    ``analyze plot ref_region`` surface, parsers.py:2005-2093)."""
+    ``analyze plot ref_region`` surface, parsers.py:2005-2093).
+    Strandless records default to the forward strand. POD5/BAM readers
+    are opened ONCE and reused across pages — region-indexing the BAM
+    is a full scan, so per-page reopening would multiply runtime by the
+    number of records."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -106,23 +110,37 @@ def plot_ref_regions_bed(
         raise RemoraError(f"No regions parsed from {ref_regions_bed}")
     import matplotlib.pyplot as plt
 
+    pairs = [
+        (DatasetReader(pod5_path), RegionIndexedBam(bam_path))
+        for pod5_path, bam_path in pod5_and_bams
+    ]
     with PdfPages(plots_filename) as pdf:
         for reg in regions:
-            strands = (reg.strand,) if reg.strand else ("+", "-")
-            for strand in strands:
-                reg_str = f"{reg.ctg}:{reg.start + 1}-{reg.end}:{strand}"
-                fig = plot_signal_at_ref_region(
-                    pod5_and_bams,
-                    reg_str,
-                    out_path=None,
-                    sig_map_refiner=sig_map_refiner,
-                    max_reads=max_reads,
-                    highlight_positions=highlight_ranges,
-                    highlight_color=highlight_color,
-                    figsize=figsize,
-                )
-                pdf.savefig(fig)
-                plt.close(fig)
+            if reg.strand is None:
+                reg = RefRegion(reg.ctg, "+", reg.start, reg.end)
+            samples_regs, all_bam_reads = get_reads_reference_regions(
+                reg,
+                pairs,
+                sig_map_refiner=sig_map_refiner,
+                max_reads=max_reads,
+            )
+            seq, levels = get_ref_seq_and_levels_from_reads(
+                reg,
+                [r for br in all_bam_reads for r in br],
+                sig_map_refiner,
+            )
+            fig = plot_ref_region_reads(
+                reg,
+                samples_regs,
+                seq,
+                levels,
+                out_path=None,
+                highlight_positions=highlight_ranges,
+                highlight_color=highlight_color,
+                figsize=figsize,
+            )
+            pdf.savefig(fig)
+            plt.close(fig)
     LOGGER.info(f"Region plots written to {plots_filename}")
     return plots_filename
 

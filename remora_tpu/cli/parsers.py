@@ -239,17 +239,29 @@ def run_dataset_make_config(args):
         log.init_logger(args.log_filename)
     pairs = [(p, float(w)) for p, w in (args.dataset or [])]
     if args.datasets:
+        from remora_tpu.data.dataset import load_dataset
+
         weights = args.dataset_weights
-        if weights is None:
-            # reference default: weight each dataset by its size
-            weights = [
-                float(CoreDataset(p).size) for p in args.datasets
-            ]
-        if len(weights) != len(args.datasets):
+        if weights is not None and len(weights) != len(args.datasets):
             raise RemoraError(
                 "--dataset-weights must match the number of datasets"
             )
-        pairs.extend(zip(args.datasets, (float(w) for w in weights)))
+        for i, ds_path in enumerate(args.datasets):
+            # a positional input may itself be a config: expand it to
+            # its core datasets (reference run_dataset_make_config)
+            core_paths, core_props, _hashes = load_dataset(ds_path)
+            if weights is not None:
+                w = float(weights[i])
+                total = sum(core_props)
+                pairs.extend(
+                    (p, w * prop / total)
+                    for p, prop in zip(core_paths, core_props)
+                )
+            else:
+                # reference default: weight each core dataset by size
+                pairs.extend(
+                    (p, float(CoreDataset(p).size)) for p in core_paths
+                )
     if not pairs:
         raise RemoraError("No datasets given")
     cfg = []
@@ -382,7 +394,10 @@ def _copy_dataset(in_path, out_path, num_chunks, overwrite=False):
             raise RemoraError(
                 f"{out_path} exists; use --overwrite to replace it"
             )
-        shutil.rmtree(out_path)
+        if os.path.isdir(out_path):
+            shutil.rmtree(out_path)
+        else:
+            os.unlink(out_path)
 
     src = CoreDataset(in_path)
     size = src.size if num_chunks is None else min(num_chunks, src.size)
@@ -1075,6 +1090,7 @@ def run_validate_from_modbams(args):
         max_sites_per_read=args.max_sites_per_read,
         extra_bases=args.extra_bases,
         out_file=args.out_file,
+        explicit_mod_tag_used=args.explicit_mod_tag_used,
     )
 
 

@@ -50,7 +50,12 @@ def honor_platform_env():
 def select_device(device):
     """Steer computation to a device: an integer index into
     ``jax.devices()`` or a platform name (e.g. "cpu"). Reference analog:
-    the ``--device`` GPU selector (``util.py:81``)."""
+    the ``--device`` GPU selector (``util.py:81``).
+
+    Platform names set ``jax_platforms`` (NOT ``jax_default_device``):
+    ``jax.devices("cpu")`` would initialize every registered backend,
+    so ``--device cpu`` could hang on a wedged TPU tunnel — the very
+    situation the flag is for."""
     if device is None:
         return
     import jax
@@ -58,8 +63,6 @@ def select_device(device):
     try:
         idx = int(device)
     except (TypeError, ValueError):
-        jax.config.update(
-            "jax_default_device", jax.devices(str(device))[0]
-        )
+        jax.config.update("jax_platforms", str(device).lower())
         return
     jax.config.update("jax_default_device", jax.devices()[idx])

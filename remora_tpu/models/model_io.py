@@ -189,6 +189,11 @@ def load_model(path, quiet=True, model_path=None):
     """
     path = str(path)
     if path.endswith((".pt", ".ts")):
+        if model_path is not None:
+            LOGGER.warning(
+                "--model-path is ignored for TorchScript artifacts "
+                "(the architecture is embedded in the program)"
+            )
         return load_torchscript_model(path, quiet=quiet)
     data = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(data["__meta__"]).decode())

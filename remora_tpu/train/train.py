@@ -190,25 +190,6 @@ def make_train_step(model, tx, high_conf_incorrect_thr_frac=None,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-class _BatchCache:
-    """Replays a finite dataset's batches from memory.
-
-    Validation iterates the same chunks every epoch; caching them avoids
-    re-reading the memmaps + re-featurizing each pass (reference default;
-    ``--read-batches-from-disk`` restores streaming for low-RAM runs).
-    """
-
-    def __init__(self, dataset):
-        self._ds = dataset
-        self.metadata = dataset.metadata
-        self._cache = None
-
-    def __iter__(self):
-        if self._cache is None:
-            self._cache = list(self._ds)
-        return iter(self._cache)
-
-
 def _write_batch_line(batch_fp, entry, high_conf_incorrect_thr_frac):
     """Write one batch.log row, converting the (lagged) device scalars."""
     it, loss, n_filt = entry
@@ -417,8 +398,8 @@ def train_model(
     val_trn_ds.super_batch_sample_frac = None
     val_trn_ds.do_check_super_batches = True
     if not read_batches_from_disk:
-        val_ds = _BatchCache(val_ds)
-        val_trn_ds = _BatchCache(val_trn_ds)
+        val_ds.load_all_batches()
+        val_trn_ds.load_all_batches()
 
     ext_datasets = []
     if ext_val:
@@ -442,7 +423,7 @@ def train_model(
             )
             e_ds.update_metadata(dataset)
             if not read_batches_from_disk:
-                e_ds = _BatchCache(e_ds)
+                e_ds.load_all_batches()
             ext_datasets.append((e_name, e_ds))
 
     use_grad_clip = gradient_clip_num_mads is not None

@@ -136,13 +136,38 @@ class _WarnOnce:
             LOGGER.warning(message)
 
 
+def _has_implicit_mod_tags(read):
+    """True when any MM item uses the implicit ('.' or bare) tag type:
+    unlisted positions then carry an implied canonical call that per-site
+    probability extraction does not represent."""
+    try:
+        mm = read.get_tag("MM")
+    except KeyError:
+        return False
+    for item in mm.rstrip(";").split(";"):
+        if not item:
+            continue
+        head = item.split(",", 1)[0]
+        if not head.endswith("?"):
+            return True
+    return False
+
+
 def parse_mod_bam(bam_path, site_labels, site_spans, alphabet, detail_fh,
-                  context_bases=5, max_sites=None):
+                  context_bases=5, max_sites=None,
+                  explicit_mod_tag_used=False):
     probs, labels = [], []
     warn_once = _WarnOnce()
     for read in FastBamScanner(bam_path):
         if read.modified_bases is None:
             continue
+        if not explicit_mod_tag_used and _has_implicit_mod_tags(read):
+            raise RemoraError(
+                "Implicit ('.') modified-base tag types found (e.g. from "
+                "all-context models); per-site probabilities would be "
+                "invalid. Pass --explicit-mod-tag-used to force "
+                "validation anyway."
+            )
         usable = False
         for mod_name, _values in _mods_on_called_strand(read):
             if mod_name in alphabet:
@@ -219,6 +244,7 @@ def validate_modbams(
     max_sites_per_read=None,
     extra_bases=None,
     out_file=None,
+    explicit_mod_tag_used=False,
 ):
     if seed is None:
         seed = int(np.random.randint(0, 2**32 - 1))
@@ -243,6 +269,7 @@ def validate_modbams(
         probs, labels = parse_mod_bam(
             bam_path, sites, ranges, alphabet, detail_fh,
             max_sites=max_sites_per_read,
+            explicit_mod_tag_used=explicit_mod_tag_used,
         )
         sample_probs.append(probs)
         sample_labels.append(labels)

@@ -490,3 +490,23 @@ def test_train_bf16_compute(tmpdir_factory, chunks_config):
     leaves = jax_leaves(p)
     assert all(np.asarray(x).dtype == np.float32 for x in leaves)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+def test_implicit_mod_tag_gate():
+    """Implicit ('.') MM tag types are rejected unless the user forces
+    validation with explicit_mod_tag_used (reference gate analog)."""
+    from remora_tpu.validate_modbam import _has_implicit_mod_tags
+
+    class FakeRead:
+        def __init__(self, mm):
+            self._mm = mm
+
+        def get_tag(self, name):
+            if name == "MM":
+                return self._mm
+            raise KeyError(name)
+
+    assert not _has_implicit_mod_tags(FakeRead("C+m?,1,3;"))
+    assert _has_implicit_mod_tags(FakeRead("C+m.,1,3;"))
+    assert _has_implicit_mod_tags(FakeRead("C+m,1,3;"))
+    assert _has_implicit_mod_tags(FakeRead("C+m?,1;A+a.,2;"))
