@@ -185,3 +185,50 @@ def test_read_index_fetch_region(can_mappings):
     assert all(f.is_forward for f in fwd)
     assert all(r.is_reverse for r in rev)
     assert list(idx.fetch("chrUnknown", 0, 1000)) == []
+
+
+def test_mm_ml_roundtrip_fuzz():
+    """Fuzz: format_mm_ml_tags output parsed back by the independent
+    io.bam MM/ML parser recovers exactly the formatted calls."""
+    import numpy as np
+
+    from remora_tpu.core.tags import format_mm_ml_tags
+    from remora_tpu.io.bam import BamRecord
+
+    rng = np.random.default_rng(11)
+    bases = np.array(list("ACGT"))
+    for trial in range(40):
+        seq = "".join(rng.choice(bases, size=rng.integers(30, 300)))
+        can_base = rng.choice(list("ACGT"))
+        mod_bases = (
+            ["m"] if trial % 3 == 0
+            else (["27551"] if trial % 3 == 1 else ["m", "h"])
+        )
+        cand = [i for i, b in enumerate(seq) if b == can_base]
+        if not cand:
+            continue
+        n = min(len(cand), int(rng.integers(1, 12)))
+        poss = sorted(rng.choice(cand, size=n, replace=False).tolist())
+        probs = rng.random((n, len(mod_bases))).astype(np.float64)
+        mm, ml = format_mm_ml_tags(
+            seq, poss, probs, mod_bases, str(can_base)
+        )
+
+        rec = BamRecord.__new__(BamRecord)
+        rec.query_sequence = seq
+        rec.flag = 0
+        rec._tags = {"MM": mm, "ML": ml}
+        rec.get_tag = lambda name, _t=rec: _t._tags[name]
+        mb = BamRecord.modified_bases.fget(rec)
+        assert mb is not None
+        got_by_mod = {}
+        for (cb, strand, mod), calls in mb.items():
+            assert cb == can_base and strand == 0
+            got_by_mod[mod] = calls
+        assert set(got_by_mod) == set(mod_bases)
+        for mi, mod in enumerate(mod_bases):
+            got = got_by_mod[mod]
+            assert [p for p, _q in got] == poss
+            exp_quals = [int(np.floor(p * 256)) for p in probs[:, mi]]
+            exp_quals = [min(q, 255) for q in exp_quals]
+            assert [q for _p, q in got] == exp_quals, (mod, trial)
