@@ -237,6 +237,55 @@ def test_dp_step_raw_featurization_matches_host():
         )
 
 
+def test_dp_step_option_combinations():
+    """The least-covered DP-step option corners compile and run: raw
+    featurization combined with the filter, and sync_bn with raw + grad
+    clipping (every flag reaches a different jit signature)."""
+    import jax
+    import numpy as np
+    import optax
+
+    from remora_tpu.models.registry import get_model
+    from remora_tpu.parallel import mesh as M
+
+    model = get_model("Conv_w_ref")
+    tx = optax.adamw(1e-3)
+    mesh = M.make_mesh()
+    dsh = M.data_sharding(mesh)
+    B, W, K, S = 16, 100, 9, 20
+    rng = np.random.default_rng(0)
+    signal = rng.normal(size=(B, 1, W)).astype(np.float32)
+    seq_lens = rng.integers(S // 2, S + 1, B).astype(np.int16)
+    seqs = rng.integers(0, 4, (B, S + K - 1)).astype(np.int8)
+    maps = np.zeros((B, S + 1), np.int16)
+    for b in range(B):
+        sl = seq_lens[b]
+        maps[b, 1:sl] = np.sort(rng.integers(0, W + 1, sl - 1))
+        maps[b, sl] = W
+    labels = rng.integers(0, 2, B)
+    data = [signal, seqs, maps, seq_lens, labels]
+
+    for sync, clip, hc in (
+        (False, False, (0.9, 0.1)),
+        (True, True, (0.9, 0.1)),
+    ):
+        params, bn = model.init(
+            jax.random.PRNGKey(0), size=8, kmer_len=K, num_out=2
+        )
+        step = M.make_dp_train_step(
+            model, tx, mesh, sync_bn=sync, use_grad_clip=clip,
+            high_conf_incorrect_thr_frac=hc,
+            featurize_args=((4, 4), W),
+        )
+        p, b_, o = (
+            M.replicate(mesh, t) for t in (params, bn, tx.init(params))
+        )
+        d = [jax.device_put(x, dsh) for x in data]
+        extra = (None,) if clip else ()
+        p, b_, o, loss, _nf, _gm = step(p, b_, o, *d, *extra)
+        assert np.isfinite(float(loss)), (sync, clip, hc)
+
+
 def test_sharded_input_matches_single_process(can_chunks):
     """Distinct-shard DP training across 2 processes equals single-process
     training on the concatenated per-shard batches (the multihost input
