@@ -10,15 +10,45 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "chunks/s", "vs_baseline": N}
 where vs_baseline = device_throughput / (5 * cpu_throughput): >= 1.0
 means the BASELINE.md target (>=5x CPU per chip) is met.
+
+Capture is supervised: the measurement runs in a child process (fresh
+JAX backend init per attempt); the parent retries with backoff through
+transient tunnel outages (observed minutes-to-hours — see PERF.md) and
+ALWAYS emits a parseable record — a real value, or a structured error
+with per-attempt diagnostics after the retry budget is exhausted. The
+child additionally converts both hangs (watchdog thread) and fast
+init/compile raises (try/except) into the same error-JSON schema.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+METRIC = "infer_fwd_chunks_per_s_per_chip"
+_CHILD_ENV = "_REMORA_TPU_BENCH_CHILD"
 
-def _throughput(fwd, args, device, iters, warmup=1, repeats=1):
+
+def _emit(record):
+    print(json.dumps(record), flush=True)
+
+
+def _error_record(error, **extra):
+    rec = {
+        "metric": METRIC,
+        "value": 0.0,
+        "unit": "chunks/s",
+        "vs_baseline": 0.0,
+        "error": str(error)[:2000],
+    }
+    rec.update(extra)
+    return rec
+
+
+def _throughput(fwd, args, device, iters, repeats=1):
     """Time `iters` chained forward passes inside ONE jitted fori_loop.
 
     The loop carries a scalar data dependency between iterations, so the
@@ -74,27 +104,15 @@ def _start_watchdog():
     its relay is wedged; the driver needs a parseable failure rather
     than a silent hang. REMORA_TPU_BENCH_TIMEOUT (seconds) overrides.
     """
-    import os
     import threading
 
-    seconds = float(os.environ.get("REMORA_TPU_BENCH_TIMEOUT", 2400))
+    seconds = float(os.environ.get("REMORA_TPU_BENCH_TIMEOUT", 1500))
 
     def boom():
-        print(
-            json.dumps(
-                {
-                    "metric": "infer_fwd_chunks_per_s_per_chip",
-                    "value": 0.0,
-                    "unit": "chunks/s",
-                    "vs_baseline": 0.0,
-                    "error": (
-                        f"bench did not complete in {seconds:.0f}s "
-                        "(TPU backend unavailable/wedged?)"
-                    ),
-                }
-            ),
-            flush=True,
-        )
+        _emit(_error_record(
+            f"bench did not complete in {seconds:.0f}s "
+            "(TPU backend unavailable/wedged?)"
+        ))
         os._exit(3)
 
     timer = threading.Timer(seconds, boom)
@@ -103,8 +121,16 @@ def _start_watchdog():
     return timer
 
 
-def main():
-    watchdog = _start_watchdog()
+def measure():
+    """One measurement attempt (runs in the child process)."""
+    if os.environ.get("REMORA_TPU_BENCH_FAIL"):
+        # capture-path self-test hook: lets tests verify that a raising
+        # child still yields a parseable error record from the supervisor
+        raise RuntimeError(os.environ["REMORA_TPU_BENCH_FAIL"])
+    if os.environ.get("REMORA_TPU_BENCH_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     from remora_tpu.jax_setup import ensure_compilation_cache
 
@@ -152,26 +178,149 @@ def main():
     except RuntimeError:
         cpu_dev = None
     if on_accel and cpu_dev is not None:
-        cpu_tp = _throughput(fwd, args, cpu_dev, iters=2, warmup=1)
+        cpu_tp = _throughput(fwd, args, cpu_dev, iters=2)
     else:
         cpu_tp = dev_tp if not on_accel else None
 
     vs_baseline = (
         dev_tp / (5.0 * cpu_tp) if cpu_tp else float("nan")
     )
+    return {
+        "metric": METRIC,
+        "value": round(dev_tp, 1),
+        "unit": "chunks/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "spread_frac": round(spread, 3),
+        "samples": [round(x, 1) for x in dev_samples],
+        "platform": main_dev.platform,
+    }
+
+
+def _child_main():
+    watchdog = _start_watchdog()
+    try:
+        record = measure()
+    except BaseException as exc:  # noqa: BLE001 — every failure must parse
+        watchdog.cancel()
+        _emit(_error_record(f"{type(exc).__name__}: {exc}"))
+        sys.exit(4)
     watchdog.cancel()
-    print(
-        json.dumps(
-            {
-                "metric": "infer_fwd_chunks_per_s_per_chip",
-                "value": round(dev_tp, 1),
-                "unit": "chunks/s",
-                "vs_baseline": round(vs_baseline, 3),
-                "spread_frac": round(spread, 3),
-                "samples": [round(x, 1) for x in dev_samples],
-            }
+    _emit(record)
+
+
+def _last_json_line(text):
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def _run_child(timeout_s, extra_env=None):
+    """One child attempt. Returns (record-or-None, diagnostic-string)."""
+    env = dict(os.environ)
+    env[_CHILD_ENV] = "1"
+    env["REMORA_TPU_BENCH_TIMEOUT"] = str(timeout_s)
+    if extra_env:
+        env.update(extra_env)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            # the child's own watchdog fires first and exits cleanly;
+            # this backstop only triggers if the watchdog itself wedged
+            timeout=timeout_s + 240,
         )
+    except subprocess.TimeoutExpired:
+        return None, f"child exceeded hard timeout ({timeout_s + 240:.0f}s)"
+    rec = _last_json_line(proc.stdout)
+    if rec is None:
+        tail = (proc.stderr or proc.stdout or "").strip()[-400:]
+        return None, f"rc={proc.returncode}, no JSON line; tail: {tail}"
+    if "error" in rec:
+        return rec, f"rc={proc.returncode}, {rec['error'][:400]}"
+    return rec, "ok"
+
+
+def _probe_device(timeout_s=240):
+    """Cheap backend-liveness probe in its own process (a wedged tunnel
+    hangs even jax.devices(); never risk the full bench on a dead one)."""
+    code = (
+        "import jax\n"
+        "from remora_tpu.jax_setup import honor_platform_env\n"
+        "honor_platform_env()\n"
+        "print([d.platform for d in jax.devices()])\n"
     )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _supervise():
+    t_start = time.monotonic()
+    budget = float(os.environ.get("REMORA_TPU_BENCH_TOTAL_BUDGET", 5400))
+    per_attempt = float(os.environ.get("REMORA_TPU_BENCH_TIMEOUT", 1500))
+    deadline = t_start + budget
+    attempts = []
+    attempt_no = 0
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining < 120:
+            break
+        attempt_no += 1
+        timeout_s = max(120.0, min(remaining - 60.0, per_attempt))
+        record, diag = _run_child(timeout_s)
+        if record is not None and "error" not in record:
+            record["attempts"] = attempt_no
+            record["elapsed_s"] = round(time.monotonic() - t_start, 1)
+            _emit(record)
+            return 0
+        attempts.append(f"attempt {attempt_no}: {diag}")
+        print(attempts[-1], file=sys.stderr, flush=True)
+        # backoff, then wait for the backend to answer a cheap probe
+        # before burning another full attempt (wedges last minutes to
+        # hours; probing every ~5min matches observed recovery)
+        base = float(os.environ.get("REMORA_TPU_BENCH_BACKOFF", 30.0))
+        backoff = min(300.0, base * (2 ** (attempt_no - 1)))
+        time.sleep(min(backoff, max(0.0, deadline - time.monotonic())))
+        while time.monotonic() < deadline - 180:
+            if _probe_device():
+                break
+            time.sleep(min(300.0, max(0.0, deadline - time.monotonic())))
+    # retry budget exhausted: grab a CPU-only figure so the record still
+    # carries a measurement, then emit the structured error
+    cpu_value = None
+    cpu_rec, _cpu_diag = _run_child(
+        600, extra_env={"REMORA_TPU_BENCH_FORCE_CPU": "1"}
+    )
+    if cpu_rec is not None and "error" not in cpu_rec:
+        cpu_value = cpu_rec.get("value")
+    _emit(_error_record(
+        f"TPU bench failed after {attempt_no} attempts in "
+        f"{time.monotonic() - t_start:.0f}s",
+        attempts=attempts[-8:],
+        cpu_fallback_chunks_per_s=cpu_value,
+    ))
+    return 3
+
+
+def main():
+    if os.environ.get(_CHILD_ENV):
+        _child_main()
+    else:
+        sys.exit(_supervise())
 
 
 if __name__ == "__main__":
