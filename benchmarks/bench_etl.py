@@ -15,6 +15,12 @@ def main():
     )
     parser.add_argument("--levels", help="optional refine levels table")
     parser.add_argument("--refine-scale-iters", type=int, default=1)
+    parser.add_argument(
+        "--refine-backend", default="auto",
+        choices=("auto", "native", "numpy", "device"),
+        help="banded-DP backend; 'device' batches reads' DPs into "
+        "shared Pallas launches on the accelerator",
+    )
     parser.add_argument("--repeat", type=int, default=3)
     parser.add_argument("--workers", type=int, default=2)
     args = parser.parse_args()
@@ -29,6 +35,7 @@ def main():
             do_rough_rescale=True,
             scale_iters=args.refine_scale_iters,
             do_fix_guage=True,
+            backend=args.refine_backend,
         )
     else:
         smr = SigMapRefiner()
@@ -64,7 +71,11 @@ def main():
             ]
             total_reads += len(set(rids.tolist()))
     dt = time.time() - t0
-    refined = "refined" if args.levels else "unrefined"
+    refined = (
+        f"refined, backend={args.refine_backend}"
+        if args.levels
+        else "unrefined"
+    )
     print(
         f"ETL ({refined}): {total_reads / dt:.1f} reads/s, "
         f"{total_chunks / dt:.1f} chunks/s ({dt:.1f}s total)"

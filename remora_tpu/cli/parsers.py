@@ -113,6 +113,14 @@ def register_dataset_prepare(ssub):
         default=constants.DEFAULT_ROUGH_RESCALE_METHOD,
         choices=constants.ROUGH_RESCALE_METHODS,
     )
+    refine.add_argument(
+        "--refine-backend", default=constants.REFINE_BACKEND_AUTO,
+        choices=constants.REFINE_BACKENDS,
+        help="Banded-DP execution backend: auto (native C++ core when "
+        "built, else NumPy), native, numpy, or device (batched "
+        "single-launch Pallas TPU kernels). Routing only; results are "
+        "identical across backends",
+    )
     comp = p.add_argument_group("Compute Arguments")
     comp.add_argument("--num-extract-alignment-workers", type=int, default=1)
     comp.add_argument("--num-extract-chunks-workers", type=int, default=1)
@@ -131,6 +139,7 @@ def _build_refiner(args):
         sd_params=tuple(args.refine_short_dwell_parameters),
         do_fix_guage=True,
         rough_rescale_method=args.refine_rough_rescale_method,
+        backend=args.refine_backend,
     )
 
 
@@ -783,6 +792,13 @@ def register_infer_from_pod5_and_bam(ssub):
     comp.add_argument(
         "--batch-size", type=int, default=constants.DEFAULT_BATCH_SIZE
     )
+    comp.add_argument(
+        "--refine-backend", default=None,
+        choices=constants.REFINE_BACKENDS,
+        help="Override the banded-DP backend of the models' embedded "
+        "refiners: auto/native/numpy run on host workers; device "
+        "batches reads' DPs into shared Pallas TPU launches",
+    )
     p.set_defaults(func=run_infer_from_pod5_and_bam)
 
 
@@ -870,6 +886,7 @@ def run_infer_from_pod5_and_bam(args):
         batch_size=args.batch_size,
         skip_non_primary=not args.include_non_primary,
         ref_anchored=args.reference_anchored,
+        refine_backend=args.refine_backend,
     )
 
 
@@ -1178,6 +1195,14 @@ def register_analyze_plot(ssub):
         "--refine-rough-rescale-method", "--rough-rescale-method",
         default=constants.DEFAULT_ROUGH_RESCALE_METHOD,
         choices=constants.ROUGH_RESCALE_METHODS,
+    )
+    refine.add_argument(
+        "--refine-backend", default=constants.REFINE_BACKEND_AUTO,
+        choices=constants.REFINE_BACKENDS,
+        help="Banded-DP execution backend: auto (native C++ core when "
+        "built, else NumPy), native, numpy, or device (batched "
+        "single-launch Pallas TPU kernels). Routing only; results are "
+        "identical across backends",
     )
     out = p.add_argument_group("Output Arguments")
     out.add_argument(

@@ -56,6 +56,22 @@ DEFAULT_REFINE_ALGO = REFINE_ALGO_DWELL_PEN_NAME
 ROUGH_RESCALE_LEAST_SQUARES = "least_squares"
 ROUGH_RESCALE_THEIL_SEN = "theil_sen"
 ROUGH_RESCALE_METHODS = (ROUGH_RESCALE_LEAST_SQUARES, ROUGH_RESCALE_THEIL_SEN)
+# execution backends for the banded refinement DP (a runtime routing
+# choice, not part of dataset/model metadata): auto = native C++ when
+# built, else NumPy; device = the single-launch Pallas TPU kernels
+REFINE_BACKEND_AUTO = "auto"
+REFINE_BACKEND_NATIVE = "native"
+REFINE_BACKEND_NUMPY = "numpy"
+REFINE_BACKEND_DEVICE = "device"
+REFINE_BACKENDS = (
+    REFINE_BACKEND_AUTO,
+    REFINE_BACKEND_NATIVE,
+    REFINE_BACKEND_NUMPY,
+    REFINE_BACKEND_DEVICE,
+)
+# reads per micro-batch for the device DP stage (amortizes Pallas
+# launches + host<->device transfers across reads)
+REFINE_DEVICE_READ_BATCH = 64
 DEFAULT_ROUGH_RESCALE_METHOD = ROUGH_RESCALE_LEAST_SQUARES
 
 PA_TO_NORM_SCALING_FACTOR = 1.4826

@@ -164,6 +164,34 @@ def _worker_loop(name, func, prep_func, in_q, out_q, args, kwargs):
     put_item(_STOP, out_q)
 
 
+def _batch_iter(iterator, batch_size):
+    """Group an iterator into lists of up to ``batch_size`` items."""
+    buf = []
+    for item in iterator:
+        buf.append(item)
+        if len(buf) >= batch_size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def _batch_worker_loop(name, func, in_q, out_q, args, kwargs):
+    LOGGER.debug(f"{name}: batch worker up")
+
+    def run():
+        for batch in queue_iter(in_q):
+            _run_guarded(
+                "PIPELINE_ITEM_ERROR",
+                name,
+                lambda b=batch: _pump(func(b, *args, **kwargs), out_q),
+            )
+
+    _run_guarded("PIPELINE_WORKER_ERROR", name, run, with_tb=False)
+    LOGGER.debug(f"{name}: batch worker done")
+    put_item(_STOP, out_q)
+
+
 def _producer_loop(name, func, out_q, args, kwargs):
     LOGGER.debug(f"{name}: producer up")
     _run_guarded(
@@ -249,3 +277,38 @@ class map_stage(_Stage):
                 f"{name}_{idx}",
                 use_process,
             )
+
+
+class batch_map_stage(_Stage):
+    """Map ``func`` over MICRO-BATCHES of upstream items.
+
+    ``func`` receives a list of up to ``batch_size`` items and returns
+    one output per item; the outputs are re-flattened into the stage's
+    output queue, so consumers see the same per-item stream that
+    ``map_stage`` would produce. Runs a single worker — built for
+    stages that own an accelerator (e.g. the device banded-DP refine
+    path) where batching amortizes kernel launches/transfers and a
+    single process must hold the device.
+    """
+
+    def __init__(self, func, iterator, batch_size, *, args=(), kwargs=None,
+                 name="batch_map", q_maxsize=DEFAULT_QUEUE_SIZE,
+                 use_mp_queue=True, use_process=False):
+        self.name = name
+        self._n_senders = 1
+        make_q = partial(StageQueue, q_maxsize, cross_process=use_mp_queue)
+        self.out_q = make_q(name=name + ":out")
+        in_q = make_q(name=name + ":in")
+        filler = Thread(
+            target=_fill_queue,
+            args=(_batch_iter(iterator, batch_size), in_q, 1),
+            name=f"{name}_filler",
+            daemon=True,
+        )
+        filler.start()
+        _launch(
+            _batch_worker_loop,
+            (name, func, in_q, self.out_q, list(args), kwargs or {}),
+            f"{name}_0",
+            use_process,
+        )

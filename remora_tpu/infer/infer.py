@@ -21,6 +21,7 @@ import numpy as np
 from remora_tpu import RemoraError, constants, log
 from remora_tpu.core.pipeline import (
     NamedQueue,
+    batch_map_stage,
     map_stage,
     put_item,
     queue_iter,
@@ -67,14 +68,18 @@ def _maybe_profile(prof_path):
     return outer
 
 
-def _chunks_for_model(remora_read, md, motifs):
+def _model_read(remora_read, motifs):
+    """Per-model working copy with its motif focus bases selected."""
+    mdl_read = remora_read.copy()
+    mdl_read.set_motif_focus_bases(motifs)
+    return mdl_read
+
+
+def _model_chunks(mdl_read, md, motifs):
     """Padded chunk-array dict for one canonical-base model, or None when
     the read yields no focus hits for its motifs."""
     from remora_tpu.data.chunk_batch import extract_chunks_batch
 
-    mdl_read = remora_read.copy()
-    mdl_read.set_motif_focus_bases(motifs)
-    mdl_read.refine_signal_mapping(md["sig_map_refiner"])
     # per-read padded widths bounded by the chunk width
     result = extract_chunks_batch(
         mdl_read,
@@ -86,6 +91,12 @@ def _chunks_for_model(remora_read, md, motifs):
         motifs=motifs,
     )
     return None if result is None else result[0]
+
+
+def _chunks_for_model(remora_read, md, motifs):
+    mdl_read = _model_read(remora_read, motifs)
+    mdl_read.refine_signal_mapping(md["sig_map_refiner"])
+    return _model_chunks(mdl_read, md, motifs)
 
 
 def prepare_reads(read_errs, models_metadata, ref_anchored):
@@ -125,6 +136,75 @@ def prepare_reads(read_errs, models_metadata, ref_anchored):
                 per_base_arrays[cb] = chunks
         prepped.append((io_read, per_base_arrays, None))
     return prepped
+
+
+def prepare_reads_batched(batch_read_errs, models_metadata, ref_anchored):
+    """``prepare_reads`` over a read micro-batch, with all models' DP
+    refinement batched across reads on the device
+    (``SigMapRefiner.refine_reads_batch``, refine backend=device).
+
+    Returns one ``prepare_reads``-shaped output list per upstream item
+    (the batch_map_stage worker re-flattens them)."""
+    motifs = {
+        md["can_base"]: [Motif(*mot) for mot in md["motifs"]]
+        for md in models_metadata
+    }
+    outputs = [[] for _ in batch_read_errs]
+    # alignment entries in arrival order: [slot, io_read, per_base, errs]
+    entries = []
+    jobs = []  # (entry, md, mdl_read)
+    for slot, read_errs in enumerate(batch_read_errs):
+        for io_read, err in read_errs:
+            if err is None:
+                try:
+                    remora_read = io_read.into_remora_read(ref_anchored)
+                except RemoraError as e:
+                    err = f"Read prep error: {e}"
+                except Exception as e:  # noqa: BLE001 — keep stream alive
+                    err = f"Unexpected error: {e}"
+            io_read.prune(drop_move_tag=False)
+            if err is not None:
+                LOGGER.debug(f"{io_read.child_read_id} {err}")
+                outputs[slot].append((io_read, None, err))
+                continue
+            entry = [slot, io_read, {}, []]
+            entries.append(entry)
+            for md in models_metadata:
+                jobs.append(
+                    (entry, md, _model_read(remora_read, motifs[md["can_base"]]))
+                )
+    # one batched refine per distinct refiner (models may share one)
+    by_refiner = {}
+    for job in jobs:
+        smr = job[1]["sig_map_refiner"]
+        by_refiner.setdefault(id(smr), (smr, []))[1].append(job)
+    for smr, ref_jobs in by_refiner.values():
+        if smr is None or not smr.is_loaded:
+            refine_errs = [None] * len(ref_jobs)
+        else:
+            refine_errs = smr.refine_reads_batch(
+                [mdl_read for _e, _md, mdl_read in ref_jobs]
+            )
+        for (entry, md, mdl_read), rerr in zip(ref_jobs, refine_errs):
+            _slot, io_read, per_base, errs = entry
+            cb = md["can_base"]
+            if rerr is not None:
+                why = f"Read prep error: {rerr}"
+                LOGGER.debug(f"{io_read.child_read_id} {why}")
+                errs.append(why)
+                continue
+            chunks = _model_chunks(mdl_read, md, motifs[cb])
+            if chunks is None:
+                why = f"No {cb} mod calls"
+                LOGGER.debug(f"{io_read.child_read_id} {why}")
+                errs.append(why)
+            else:
+                per_base[cb] = chunks
+    for slot, io_read, per_base, errs in entries:
+        for why in errs:
+            outputs[slot].append((io_read, None, why))
+        outputs[slot].append((io_read, per_base, None))
+    return outputs
 
 
 def _host_featurize(arrays):
@@ -508,6 +588,7 @@ def infer_from_pod5_and_bam(
     batch_size=constants.DEFAULT_BATCH_SIZE,
     skip_non_primary=True,
     ref_anchored=False,
+    refine_backend=None,
 ):
     """Run the full streaming inference pipeline.
 
@@ -515,6 +596,11 @@ def infer_from_pod5_and_bam(
         models: list of ModelHandle (preferred; enables on-device
             featurization from compact raw arrays) or legacy
             (eval_fn(sigs, enc_kmers) -> logits, model_metadata) pairs.
+        refine_backend: override the banded-DP execution backend of the
+            models' metadata-embedded refiners (auto/native/numpy/
+            device). ``device`` replaces the process-parallel read-prep
+            stage with a single in-process worker that batches all
+            reads' DP refinements into shared Pallas launches.
     """
     # initialize the JAX backend from the MAIN thread before any stage
     # threads start: plugin-registered backends (e.g. the tunneled TPU)
@@ -533,6 +619,11 @@ def infer_from_pod5_and_bam(
     with DatasetReader(pod5_path) as pod5_dr:
         read_ids, num_reads = get_read_ids(bam_idx, pod5_dr, num_reads)
     models_metadata, eval_fns, raw = _resolve_models(models)
+    if refine_backend is not None:
+        for md in models_metadata:
+            if md.get("sig_map_refiner") is not None:
+                md["sig_map_refiner"].backend = refine_backend
+    device_refine = refine_backend == constants.REFINE_BACKEND_DEVICE
 
     signals = source_stage(
         iter_signal,
@@ -556,15 +647,28 @@ def infer_from_pod5_and_bam(
         q_maxsize=queue_max,
         use_process=True,
     )
-    prepped_reads = map_stage(
-        prepare_reads,
-        reads,
-        name="PrepReadData",
-        num_workers=num_prep_read_workers,
-        args=(models_metadata, ref_anchored),
-        q_maxsize=100,
-        use_process=True,
-    )
+    if device_refine:
+        # the device DP stage owns the (single) accelerator: one
+        # in-process worker over read micro-batches, DP refinement for
+        # the whole batch in shared Pallas launches
+        prepped_reads = batch_map_stage(
+            prepare_reads_batched,
+            reads,
+            constants.REFINE_DEVICE_READ_BATCH,
+            name="PrepReadData",
+            args=(models_metadata, ref_anchored),
+            q_maxsize=100,
+        )
+    else:
+        prepped_reads = map_stage(
+            prepare_reads,
+            reads,
+            name="PrepReadData",
+            num_workers=num_prep_read_workers,
+            args=(models_metadata, ref_anchored),
+            q_maxsize=100,
+            use_process=True,
+        )
     prepped_nn_input = map_stage(
         prep_nn_input,
         prepped_reads,

@@ -15,9 +15,9 @@ from typing import Optional
 
 import numpy as np
 
-from remora_tpu import RemoraError, log
+from remora_tpu import RemoraError, constants, log
 from remora_tpu.core import coords
-from remora_tpu.core.pipeline import map_stage, source_stage
+from remora_tpu.core.pipeline import batch_map_stage, map_stage, source_stage
 from remora_tpu.data.chunk_batch import extract_chunks_batch
 from remora_tpu.data.dataset import CoreDataset
 from remora_tpu.data.metadata import DatasetMetadata
@@ -96,6 +96,46 @@ def _training_read(io_read, params):
     return t_read
 
 
+def _alignment_training_read(io_read, err, params):
+    """(t_read, err) for one alignment — everything before refinement."""
+    if err is not None:
+        return None, err
+    if io_read.ref_seq is None:
+        return None, "No reference sequence (missing MD tag)"
+    return _training_read(io_read, params), None
+
+
+def _alignment_chunks(t_read, io_read, align_idx, params):
+    """Post-refinement tail: downsample, check, vectorized extraction.
+
+    Returns ``((arrays, n_long), err)`` or None to silently drop the
+    alignment (failed read check).
+    """
+    t_read.downsample_focus_bases(params.max_chunks_per_read)
+    try:
+        t_read.check()
+    except RemoraError as e:
+        LOGGER.debug(f"training-read build rejected: {e}")
+        return None
+    res = extract_chunks_batch(
+        t_read,
+        params.chunk_context,
+        params.kmer_context_bases,
+        params.max_seq_len,
+        base_start_justify=params.base_start_justify,
+        offset=params.offset,
+        motifs=params.motifs,
+        check_chunks=True,
+    )
+    if res is None:
+        return (None, 0), None
+    arrays, n_long = res
+    n = arrays["sequence_lengths"].size
+    arrays["read_ids"] = np.full(n, io_read.read_id, READ_ID_DTYPE)
+    LOGGER.debug(f"alignment {align_idx} of {io_read.read_id}: {n} chunks")
+    return (arrays, n_long), None
+
+
 def extract_chunks(read_errs, params):
     """Dataset-format chunk arrays for every alignment of one read.
 
@@ -108,43 +148,50 @@ def extract_chunks(read_errs, params):
     """
     per_alignment = []
     for align_idx, (io_read, err) in enumerate(read_errs):
+        t_read, err = _alignment_training_read(io_read, err, params)
         if err is not None:
             per_alignment.append((None, err))
             continue
-        if io_read.ref_seq is None:
-            per_alignment.append(
-                (None, "No reference sequence (missing MD tag)")
+        t_read.refine_signal_mapping(params.sig_map_refiner)
+        out = _alignment_chunks(t_read, io_read, align_idx, params)
+        if out is not None:
+            per_alignment.append(out)
+    return per_alignment
+
+
+def extract_chunks_batched(batch_read_errs, params):
+    """``extract_chunks`` over a micro-batch of reads, with every
+    alignment's banded-DP refinement sharing single device launches
+    (``SigMapRefiner.refine_reads_batch``, refine backend=device).
+
+    Returns one ``extract_chunks``-shaped output list per read (the
+    batch_map_stage worker re-flattens them). Per-read refine failures
+    drop that alignment, matching the per-item pipeline guard on the
+    single-read path.
+    """
+    outputs = [[] for _ in batch_read_errs]
+    built = []  # (read_slot, align_idx, io_read, t_read)
+    for slot, read_errs in enumerate(batch_read_errs):
+        for align_idx, (io_read, err) in enumerate(read_errs):
+            t_read, err = _alignment_training_read(io_read, err, params)
+            if err is not None:
+                outputs[slot].append((None, err))
+                continue
+            built.append((slot, align_idx, io_read, t_read))
+    refine_errs = params.sig_map_refiner.refine_reads_batch(
+        [t_read for *_fields, t_read in built]
+    )
+    for (slot, align_idx, io_read, t_read), rerr in zip(built, refine_errs):
+        if rerr is not None:
+            LOGGER.debug(
+                f"PIPELINE_ITEM_ERROR in ExtractChunks (batched refine, "
+                f"{io_read.read_id}): '{rerr}'"
             )
             continue
-        t_read = _training_read(io_read, params)
-        t_read.refine_signal_mapping(params.sig_map_refiner)
-        t_read.downsample_focus_bases(params.max_chunks_per_read)
-        try:
-            t_read.check()
-        except RemoraError as e:
-            LOGGER.debug(f"training-read build rejected: {e}")
-            continue
-        res = extract_chunks_batch(
-            t_read,
-            params.chunk_context,
-            params.kmer_context_bases,
-            params.max_seq_len,
-            base_start_justify=params.base_start_justify,
-            offset=params.offset,
-            motifs=params.motifs,
-            check_chunks=True,
-        )
-        if res is None:
-            per_alignment.append(((None, 0), None))
-            continue
-        arrays, n_long = res
-        n = arrays["sequence_lengths"].size
-        arrays["read_ids"] = np.full(n, io_read.read_id, READ_ID_DTYPE)
-        LOGGER.debug(
-            f"alignment {align_idx} of {io_read.read_id}: {n} chunks"
-        )
-        per_alignment.append(((arrays, n_long), None))
-    return per_alignment
+        out = _alignment_chunks(t_read, io_read, align_idx, params)
+        if out is not None:
+            outputs[slot].append(out)
+    return outputs
 
 
 def _new_output_dataset(out_path, num_reads, params, *, mod_base,
@@ -213,6 +260,19 @@ def _build_stages(pod5_path, bam_idx, read_ids, num_reads, params, *,
         q_maxsize=1000,
         name="AddAlignments",
     )
+    smr = params.sig_map_refiner
+    if smr is not None and smr.backend == constants.REFINE_BACKEND_DEVICE:
+        # the device DP stage must own the (single) accelerator, so it
+        # runs one in-process worker over read micro-batches — batching
+        # across reads is what amortizes kernel launches/transfers
+        return batch_map_stage(
+            extract_chunks_batched,
+            reads,
+            constants.REFINE_DEVICE_READ_BATCH,
+            args=(params,),
+            q_maxsize=1000,
+            name="ExtractChunks",
+        )
     return map_stage(
         extract_chunks,
         reads,

@@ -19,6 +19,11 @@ from remora_tpu.constants import (
     DEFAULT_REFINE_SHORT_DWELL_PARAMS,
     DEFAULT_ROUGH_RESCALE_METHOD,
     REFINE_ALGO_DWELL_PEN_NAME,
+    REFINE_BACKEND_AUTO,
+    REFINE_BACKEND_DEVICE,
+    REFINE_BACKEND_NATIVE,
+    REFINE_BACKEND_NUMPY,
+    REFINE_BACKENDS,
     ROUGH_RESCALE_LEAST_SQUARES,
     ROUGH_RESCALE_METHODS,
     ROUGH_RESCALE_THEIL_SEN,
@@ -68,6 +73,26 @@ def _banded_search_space(seq_to_sig_map, levels, sig_len, bhw, min_step):
     return seq_band
 
 
+def _device_dp_interpret():
+    """Pallas kernels need interpret mode off-TPU (tests/CPU hosts)."""
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+def _device_dp_paths(read_tuples, short_dwell_pen, refine_algo):
+    """Batched banded DP on the accelerator: list of
+    (norm_signal_f32, levels_f32, seq_band) -> list of int32 paths."""
+    from remora_tpu.kernels.pallas_dp import refine_batch_pallas
+
+    return refine_batch_pallas(
+        read_tuples,
+        short_dwell_pen,
+        algo=refine_algo,
+        interpret=_device_dp_interpret(),
+    )
+
+
 def refine_signal_mapping(
     signal,
     seq_to_sig_map,
@@ -77,12 +102,19 @@ def refine_signal_mapping(
     short_dwell_pen=DEFAULT_REFINE_SHORT_DWELL_PEN,
     band_half_width=DEFAULT_REFINE_HBW,
     adjust_band_min_step=2,
+    backend=REFINE_BACKEND_AUTO,
 ):
     """Refine one read's signal mapping against expected levels.
 
     Returns (path + sig offset, all_scores, traceback, seq_band,
-    base_offsets); score/traceback entries are None when the native DP
-    fast path is taken.
+    base_offsets); score/traceback entries are None except on the NumPy
+    path (the native/device fast paths return the path only).
+
+    ``backend`` routes the DP: ``auto`` takes the native C++ core when
+    built (falling back to NumPy), ``native``/``numpy`` force those, and
+    ``device`` runs the single-launch Pallas TPU kernels (batch of one
+    here — ``SigMapRefiner.refine_reads_batch`` is the batched entry
+    point that amortizes launches/transfers across reads).
     """
     # rebase everything so base 0 starts at signal index 0
     origin = int(seq_to_sig_map[0])
@@ -100,12 +132,25 @@ def refine_signal_mapping(
     sig_f32 = signal.astype(np.float32)
     lvl_f32 = np.nan_to_num(levels, nan=0.0).astype(np.float32)
 
-    # native C++ DP when available (same semantics, ~70x the NumPy path)
-    from remora_tpu.io.native import banded_dp_path
-
-    path = banded_dp_path(sig_f32, lvl_f32, seq_band, short_dwell_pen, refine_algo)
-    if path is not None:
+    if backend == REFINE_BACKEND_DEVICE:
+        (path,) = _device_dp_paths(
+            [(sig_f32, lvl_f32, seq_band)], short_dwell_pen, refine_algo
+        )
         return path + origin, None, None, seq_band, None
+    if backend != REFINE_BACKEND_NUMPY:
+        # native C++ DP when available (same semantics, ~70x NumPy)
+        from remora_tpu.io.native import banded_dp_path
+
+        path = banded_dp_path(
+            sig_f32, lvl_f32, seq_band, short_dwell_pen, refine_algo
+        )
+        if path is not None:
+            return path + origin, None, None, seq_band, None
+        if backend == REFINE_BACKEND_NATIVE:
+            raise RemoraError(
+                "refine backend 'native' requested but the native DP "
+                "core is unavailable (csrc build failed?)"
+            )
     all_scores, path, traceback, base_offsets = dp_mod.seq_banded_dp(
         sig_f32, lvl_f32, seq_band, short_dwell_pen, refine_algo
     )
@@ -126,6 +171,10 @@ class SigMapRefiner:
     algo: "str" = DEFAULT_REFINE_ALGO
     half_bandwidth: "int" = DEFAULT_REFINE_HBW
     sd_params: Optional[tuple] = None
+    # DP execution backend — a runtime routing choice (auto/native/
+    # numpy/device); NOT serialized with dataset/model metadata and
+    # excluded from __eq__, since it cannot change results
+    backend: "str" = REFINE_BACKEND_AUTO
     do_fix_guage: "bool" = False
     sd_arr: np.ndarray = field(default_factory=lambda: _default_sd_pen())
     # loaded/derived state
@@ -159,6 +208,11 @@ class SigMapRefiner:
             raise RemoraError(
                 f"rough_rescale_method {self.rough_rescale_method!r} "
                 f"not one of: {known}"
+            )
+        if self.backend not in REFINE_BACKENDS:
+            known = ", ".join(REFINE_BACKENDS)
+            raise RemoraError(
+                f"refine backend {self.backend!r} not one of: {known}"
             )
 
     def _ingest_levels(self):
@@ -347,6 +401,7 @@ class SigMapRefiner:
                 refine_algo=self.algo,
                 short_dwell_pen=self.sd_arr,
                 band_half_width=self.half_bandwidth,
+                backend=self.backend,
             )[0]
             if not rescale_each_round:
                 continue
@@ -362,6 +417,211 @@ class SigMapRefiner:
                 LOGGER.debug(f"precise re-scale skipped: {err}")
                 break
         return seq_to_sig_map + origin, shift, scale
+
+    def refine_reads_batch(self, reads):
+        """Batched ``RemoraRead.refine_signal_mapping`` on the device DP.
+
+        Semantically equivalent to ``read.refine_signal_mapping(self)``
+        per read (rough rescale stays on host; per-read IndexError keeps
+        the original mapping, matching ``data/read.py:225–236``), but
+        every scale iteration runs the banded DP for ALL reads in one
+        Pallas launch, and each read's signal is staged to the device
+        ONCE across the ``scale_iters`` loop — only the (small) band
+        arrays and per-read shift/scale scalars travel per iteration.
+
+        Returns a list (len(reads)) of per-read errors: ``None`` on
+        success/no-op, otherwise the exception that the single-read path
+        would have raised out of ``refine_signal_mapping`` (callers drop
+        those reads, mirroring the pipeline's per-item guard).
+
+        Reference analog: the per-read ``refine_sig_map`` loop
+        (``src/remora/refine_signal_map.py:471–495``) — the reference
+        has no batched form; this entry point exists so prepare/infer
+        pipelines can amortize device launches/transfers across reads.
+
+        Exactness: with a single DP round (``scale_iters <= 0``) the
+        normalization is computed on host with the exact single-read
+        float semantics, so paths are bit-identical to the host
+        backends. With ``scale_iters > 0`` the per-round normalization
+        ``(dacs - shift) / scale`` runs on device in float32 (that is
+        the point of staging the signal once); results can differ from
+        the host path by DP ties on <=1-ulp signal differences.
+        """
+        errs = [None] * len(reads)
+        if not self.is_loaded:
+            return errs
+        if self.do_rough_rescale:
+            for idx, rd in enumerate(reads):
+                try:
+                    rd.shift, rd.scale = self.rough_rescale(
+                        dacs=rd.dacs,
+                        int_seq=rd.int_seq,
+                        seq_to_sig_map=rd.seq_to_sig_map,
+                        shift=rd.shift,
+                        scale=rd.scale,
+                    )
+                    rd._reset_cache()
+                except Exception as e:  # noqa: BLE001 — per-read guard
+                    errs[idx] = e
+        if self.scale_iters < 0:
+            return errs
+        states = []
+        for idx, rd in enumerate(reads):
+            if errs[idx] is not None:
+                continue
+            origin = int(rd.seq_to_sig_map[0])
+            states.append(
+                {
+                    "idx": idx,
+                    "read": rd,
+                    "levels": self.extract_levels(rd.int_seq),
+                    "origin": origin,
+                    "dacs": rd.dacs[origin : rd.seq_to_sig_map[-1]],
+                    "map": rd.seq_to_sig_map - origin,
+                    "shift": rd.shift,
+                    "scale": rd.scale,
+                    "done": False,
+                    "err": None,
+                }
+            )
+        if states:
+            self._device_refine_loop(states)
+        for st in states:
+            rd = st["read"]
+            err = st["err"]
+            if err is not None:
+                if isinstance(err, IndexError):
+                    # single-read parity: IndexError keeps the original
+                    # mapping and carries on (data/read.py:233)
+                    LOGGER.debug(
+                        f"DP refinement IndexError ({rd.read_id}): {err}"
+                    )
+                else:
+                    errs[st["idx"]] = err
+                continue
+            rd.seq_to_sig_map = st["map"] + st["origin"]
+            rd.shift, rd.scale = st["shift"], st["scale"]
+            rd._reset_cache()
+        return errs
+
+    def _device_refine_loop(self, states):
+        """Run the scale_iters refine loop for many reads at once.
+
+        Mutates each state's ``map``/``shift``/``scale`` in place; sets
+        ``err`` on per-read failure (band build), ``done`` when a read
+        stops early (precise rescale rejected — the single-read loop
+        breaks there but keeps the refined map)."""
+        import jax
+        import jax.numpy as jnp
+
+        from remora_tpu.kernels.pallas_dp import banded_dp_batch_pallas
+
+        interpret = _device_dp_interpret()
+        n_iters = max(self.scale_iters, 1)
+        rescale_each = self.scale_iters > 0
+        single_round = n_iters == 1
+
+        sig_dev = lvl_dev = None
+        if not single_round:
+            # stage raw signal + levels on device once for the whole loop
+            R = len(states)
+            s_max = max(st["dacs"].size for st in states)
+            n_max = max(st["levels"].size for st in states)
+            sig_host = np.zeros((R, s_max), np.float32)
+            lvl_host = np.zeros((R, n_max), np.float32)
+            for r, st in enumerate(states):
+                sig_host[r, : st["dacs"].size] = st["dacs"]
+                lvl = np.nan_to_num(st["levels"], nan=0.0)
+                lvl_host[r, : lvl.size] = lvl
+            sig_dev = jax.device_put(jnp.asarray(sig_host))
+            lvl_dev = jax.device_put(jnp.asarray(lvl_host))
+
+        for _ in range(n_iters):
+            active = []
+            bands = []
+            for r, st in enumerate(states):
+                if st["done"] or st["err"] is not None:
+                    continue
+                try:
+                    bands.append(
+                        _banded_search_space(
+                            st["map"],
+                            st["levels"],
+                            st["dacs"].size,
+                            self.half_bandwidth,
+                            2,
+                        )
+                    )
+                    active.append(r)
+                except Exception as e:  # noqa: BLE001 — per-read guard
+                    st["err"] = e
+            if not active:
+                break
+            n_act = max(states[r]["levels"].size for r in active)
+            starts = np.zeros((len(active), n_act), np.int32)
+            widths = np.ones((len(active), n_act), np.int32)
+            seq_lens = np.zeros(len(active), np.int32)
+            for a, (r, bd) in enumerate(zip(active, bands)):
+                n = states[r]["levels"].size
+                starts[a, :n] = bd[0]
+                widths[a, :n] = bd[1] - bd[0]
+                if n < n_act:
+                    starts[a, n:] = bd[1][-1] - 1
+                seq_lens[a] = n
+            if single_round:
+                # exact single-read normalization semantics (host float64
+                # broadcast then float32 cast) — bit-identical paths
+                s_act = max(states[r]["dacs"].size for r in active)
+                norm = np.zeros((len(active), s_act), np.float32)
+                lvls = np.zeros((len(active), n_act), np.float32)
+                for a, r in enumerate(active):
+                    st = states[r]
+                    norm[a, : st["dacs"].size] = (
+                        st["dacs"] - st["shift"]
+                    ) / st["scale"]
+                    lv = np.nan_to_num(st["levels"], nan=0.0)
+                    lvls[a, : lv.size] = lv
+            else:
+                rows = jnp.asarray(np.asarray(active, np.int32))
+                shifts = jnp.asarray(
+                    np.asarray([states[r]["shift"] for r in active],
+                               np.float32)
+                )
+                scales = jnp.asarray(
+                    np.asarray([states[r]["scale"] for r in active],
+                               np.float32)
+                )
+                norm = (sig_dev[rows] - shifts[:, None]) / scales[:, None]
+                lvls = lvl_dev[rows, :n_act]
+            paths, _tb, _ = banded_dp_batch_pallas(
+                norm,
+                lvls,
+                starts,
+                widths,
+                seq_lens,
+                jnp.asarray(self.sd_arr, jnp.float32),
+                algo=self.algo,
+                w_max=int(widths.max()),
+                interpret=interpret,
+            )
+            paths = np.asarray(paths)
+            for a, r in enumerate(active):
+                st = states[r]
+                # int32, matching the single-read path's return dtype
+                st["map"] = paths[a, : seq_lens[a] + 1].copy()
+                if not rescale_each:
+                    continue
+                try:
+                    st["shift"], st["scale"] = self.rescale(
+                        st["levels"],
+                        st["dacs"],
+                        st["shift"],
+                        st["scale"],
+                        st["map"],
+                    )
+                except RemoraError as err:
+                    LOGGER.debug(f"precise re-scale skipped: {err}")
+                    st["done"] = True
 
     # --- (de)serialization ---
     # metadata key <-> constructor kwarg; key names are the on-disk

@@ -141,3 +141,53 @@ def test_remora_read_refine_integration():
     assert abs(read.shift - 50) < 2
     assert abs(read.scale - 15) < 1
     read.check()
+
+
+def _synthetic_read(rng, smr, n):
+    from remora_tpu.data.read import RemoraRead
+
+    int_seq = rng.integers(0, 4, n)
+    levels = smr.extract_levels(int_seq)
+    dwells = rng.integers(3, 11, n)
+    s2s = np.concatenate([[0], np.cumsum(dwells)])
+    sig = np.repeat(levels, dwells) + rng.normal(0, 0.12, s2s[-1])
+    dacs = sig * 15 + 50
+    return RemoraRead(
+        dacs=dacs,
+        shift=45.0 + rng.normal(0, 2),
+        scale=18.0 + rng.normal(0, 1),
+        seq_to_sig_map=s2s.copy(),
+        int_seq=int_seq,
+    )
+
+
+@pytest.mark.parametrize("scale_iters", [0, 1, 2])
+def test_refine_reads_batch_matches_per_read(scale_iters):
+    """The batched device-DP entry point reproduces per-read results.
+
+    scale_iters<=1 runs a single DP round, which is bit-identical by
+    construction (host-exact normalization). scale_iters>=2 stages the
+    signal on device and normalizes there in f32; DP ties on <=1-ulp
+    signal differences can move a few path boundaries, which shifts the
+    (discrete) Theil-Sen rescale slightly — compared with tolerance.
+    """
+    rng = np.random.default_rng(11)
+    smr = _synthetic_refiner(scale_iters=scale_iters)
+    reads = [_synthetic_read(rng, smr, n) for n in (120, 200, 80, 150)]
+    singles = [rd.copy() for rd in reads]
+    for rd in singles:
+        rd.refine_signal_mapping(smr)
+    errs = smr.refine_reads_batch(reads)
+    assert errs == [None] * len(reads)
+    for got, want in zip(reads, singles):
+        if scale_iters <= 1:
+            assert got.shift == want.shift and got.scale == want.scale
+            assert np.array_equal(got.seq_to_sig_map, want.seq_to_sig_map)
+        else:
+            assert np.isclose(got.shift, want.shift, rtol=0.01, atol=0.2)
+            assert np.isclose(got.scale, want.scale, rtol=0.02)
+            diffs = np.abs(
+                got.seq_to_sig_map.astype(np.int64)
+                - want.seq_to_sig_map.astype(np.int64)
+            )
+            assert (diffs > 0).mean() < 0.10 and diffs.max() <= 8

@@ -224,3 +224,62 @@ def test_pallas_lstm_interpret_multitile(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(r), np.asarray(o), rtol=1e-4, atol=1e-4
         )
+
+
+def _prepare_with_backend(tmpdir_factory, levels_table, backend, tag):
+    from remora_tpu.core.seq import Motif
+    from remora_tpu.prepare import extract_chunk_dataset
+    from remora_tpu.refine.refiner import SigMapRefiner
+
+    smr = SigMapRefiner(
+        kmer_model_filename=levels_table,
+        do_rough_rescale=True,
+        scale_iters=1,
+        do_fix_guage=True,
+        backend=backend,
+    )
+    out = tmpdir_factory.mktemp(f"refined_{tag}") / "chunks"
+    extract_chunk_dataset(
+        bam_path=f"{DATA}/can_mappings.bam",
+        pod5_path=f"{DATA}/can_reads.pod5",
+        out_path=str(out),
+        mod_base=None,
+        mod_base_control=True,
+        motifs=[Motif("CG", 0)],
+        focus_ref_pos=None,
+        chunk_context=(100, 100),
+        min_samps_per_base=5,
+        # no focus-base downsampling: it draws from the global NumPy RNG,
+        # whose stream differs between the forked host worker and the
+        # in-process device stage (sampling nondeterminism, not DP drift)
+        max_chunks_per_read=100_000,
+        pa_scaling=None,
+        sig_map_refiner=smr,
+        kmer_context_bases=(2, 2),
+        base_start_justify=False,
+        offset=0,
+        num_reads=1,
+        skip_shuffle=True,
+    )
+    return out
+
+
+def test_prepare_device_refine_backend_matches_host(
+    tmpdir_factory, levels_table
+):
+    """E2E: `--refine-backend device` routes dataset prepare through the
+    batched Pallas DP stage (interpret mode off-TPU) and produces a
+    bit-identical dataset to the host backend (scale_iters=1 is the
+    host-exact single-round path)."""
+    from remora_tpu.data.dataset import CoreDataset
+
+    host = _prepare_with_backend(tmpdir_factory, levels_table, "auto", "host")
+    dev = _prepare_with_backend(tmpdir_factory, levels_table, "device", "dev")
+    ds_h = CoreDataset(str(host))
+    ds_d = CoreDataset(str(dev))
+    assert ds_d.size == ds_h.size and ds_h.size > 0
+    for name in ("signal", "sequence", "sequence_to_signal_mapping",
+                 "sequence_lengths", "labels"):
+        a = getattr(ds_h, name)[: ds_h.size]
+        b = getattr(ds_d, name)[: ds_d.size]
+        assert np.array_equal(a, b), name

@@ -169,6 +169,37 @@ def test_infer_device_stage_crash_fails_fast(tmpdir_factory, trained_model):
         )
 
 
+def test_infer_device_refine_backend_stage(
+    tmpdir_factory, trained_model, inferred_bam
+):
+    """refine_backend="device" swaps the read-prep stage for the single
+    in-process batched worker (prepare_reads_batched); with this model's
+    unloaded refiner the refine is a no-op, so the output MM/ML tags
+    must be identical to the host-path BAM."""
+    from remora_tpu.infer.infer import ModelHandle, infer_from_pod5_and_bam
+    from remora_tpu.io.bam import FastBamScanner
+
+    handle = ModelHandle.load(trained_model)
+    out = tmpdir_factory.mktemp("infer_dev") / "can_infer_dev.bam"
+    n = infer_from_pod5_and_bam(
+        pod5_path=f"{DATA}/can_reads.pod5",
+        in_bam_path=f"{DATA}/can_mappings.bam",
+        models=[handle],
+        out_bam_path=str(out),
+        batch_size=128,
+        refine_backend="device",
+    )
+    assert n == 14
+
+    def tags_by_read(path):
+        return {
+            rec.query_name: (rec.get_tag("MM"), tuple(rec.get_tag("ML")))
+            for rec in FastBamScanner(path)
+        }
+
+    assert tags_by_read(str(out)) == tags_by_read(inferred_bam)
+
+
 def test_infer_output_tags(inferred_bam):
     from remora_tpu.io.bam import FastBamScanner
 
