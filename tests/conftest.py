@@ -7,16 +7,19 @@ import pytest
 
 # force CPU with a virtual 8-device mesh for sharding tests; must be set
 # before jax backend init anywhere in the test session (note: the axon
-# TPU plugin ignores the JAX_PLATFORMS env var, so also set the config)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-import jax  # noqa: E402
+# TPU plugin ignores the JAX_PLATFORMS env var, so also set the config).
+# REMORA_TPU_HW_TESTS=1 keeps the real accelerator visible instead — use
+# with `-m tpu` to run the hardware parity suite (test_tpu_hardware.py)
+if not os.environ.get("REMORA_TPU_HW_TESTS"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
