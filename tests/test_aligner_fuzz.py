@@ -102,7 +102,7 @@ def _full_score(res, query, ref, gap_open=10, gap_extend=2):
 @pytest.mark.skipif(get_lib() is None, reason="native library unavailable")
 def test_native_matches_numpy_and_gotoh_fuzz():
     rng = np.random.default_rng(1234)
-    for trial in range(40):
+    for trial in range(75):
         n = int(rng.integers(20, 220))
         ref = _rand_seq(rng, n)
         query = _mutate(rng, ref)
@@ -122,7 +122,7 @@ def test_native_matches_numpy_and_gotoh_fuzz():
 
 def test_simplex_duplex_mapping_fuzz():
     rng = np.random.default_rng(99)
-    for trial in range(25):
+    for trial in range(75):
         n = int(rng.integers(200, 2000))
         duplex = _rand_seq(rng, n)
         simplex = _mutate(rng, duplex)
