@@ -165,9 +165,12 @@ def measure():
 
     main_dev = jax.devices()[0]
     on_accel = main_dev.platform != "cpu"
-    # variance control: 5 timed blocks, report the median + spread
+    # variance control: 5 timed blocks, report the median + spread.
+    # iters per block must amortize the per-block fence (the remote d2h
+    # fetch costs ~20ms over the tunnel — at 20 iters that silently
+    # under-reported throughput by ~25%; 100 iters bounds it at <3%)
     dev_samples = _throughput(
-        fwd, args, main_dev, iters=20 if on_accel else 3,
+        fwd, args, main_dev, iters=100 if on_accel else 3,
         repeats=5 if on_accel else 2,
     )
     dev_tp = float(np.median(dev_samples))

@@ -15,7 +15,9 @@ def main():
     parser.add_argument("--chunk-width", type=int, default=400)
     parser.add_argument("--kmer-len", type=int, default=9)
     parser.add_argument("--size", type=int, default=64)
-    parser.add_argument("--iters", type=int, default=20)
+    # iters per timed trial must amortize the ~20ms per-trial completion
+    # fence on a tunneled backend (20 iters under-reported by ~1ms/step)
+    parser.add_argument("--iters", type=int, default=100)
     parser.add_argument("--model", default="ConvLSTM_w_ref")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute with f32 master weights")

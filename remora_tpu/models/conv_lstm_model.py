@@ -49,11 +49,11 @@ def forward(params, bn_state, sigs, seqs, train=False):
     ns = {}
 
     def cbs(conv_name, bn_name, x, stride=1):
-        x = L.conv1d(params[conv_name], x, stride)
-        x, ns[bn_name] = L.batchnorm(
-            params[bn_name], bn_state[bn_name], x, train
+        x, ns[bn_name] = L.conv_bn_swish(
+            params[conv_name], params[bn_name], bn_state[bn_name], x,
+            stride=stride, train=train,
         )
-        return L.swish(x)
+        return x
 
     sigs_x = cbs("sig_conv1", "sig_bn1", sigs)
     sigs_x = cbs("sig_conv2", "sig_bn2", sigs_x)
@@ -66,10 +66,13 @@ def forward(params, bn_state, sigs, seqs, train=False):
     z = cbs("merge_conv1", "merge_bn", z)
 
     z = jnp.transpose(z, (2, 0, 1))  # (T, B, C)
-    z = L.swish(L.lstm(params["lstm1"], z))
-    # The reference takes flip(swish(lstm2(flip(z))))[-1], i.e. only the
-    # FIRST step of the reverse LSTM on the final forward timestep ever
-    # reaches the head — so the whole reverse scan collapses to a single
-    # zero-state cell step (verified bit-identical to the full form).
-    z = L.swish(L.lstm_cell_step0(params["lstm2"], z[-1]))
+    # The reference takes flip(swish(lstm2(swish(lstm1(z))))[-1], i.e.
+    # only the FIRST step of the reverse LSTM on the final forward
+    # timestep ever reaches the head — so the whole reverse scan
+    # collapses to a single zero-state cell step, and the elementwise
+    # swish between the layers only needs the final timestep
+    # (swish(h)[-1] == swish(h[-1]); both verified bit-identical to the
+    # full form, saving two (T, B, H) passes per train step).
+    z = L.swish(L.lstm(params["lstm1"], z)[-1])
+    z = L.swish(L.lstm_cell_step0(params["lstm2"], z))
     return L.linear(params["fc"], z), ns

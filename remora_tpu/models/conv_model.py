@@ -52,11 +52,11 @@ def forward(params, bn_state, sigs, seqs, train=False):
     ns = {}
 
     def cbs(conv_name, bn_name, x, stride=1):
-        x = L.conv1d(params[conv_name], x, stride)
-        x, ns[bn_name] = L.batchnorm(
-            params[bn_name], bn_state[bn_name], x, train
+        x, ns[bn_name] = L.conv_bn_swish(
+            params[conv_name], params[bn_name], bn_state[bn_name], x,
+            stride=stride, train=train,
         )
-        return L.swish(x)
+        return x
 
     sigs_x = cbs("sig_conv1", "sig_bn1", sigs)
     sigs_x = cbs("sig_conv2", "sig_bn2", sigs_x)

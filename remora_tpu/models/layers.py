@@ -14,7 +14,9 @@ Initializers replicate torch defaults (kaiming-uniform fan-in bounds) so
 training dynamics are comparable.
 """
 
+import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +87,168 @@ def batchnorm(params, state, x, train, momentum=0.1, eps=1e-5):
     out = (x - mean[None, :, None]) * inv[None, :, None] + params["beta"][
         None, :, None
     ]
+    return out, new_state
+
+
+# ------------- fused Conv1d + BatchNorm1d(train) + swish -------------
+#
+# The conv->BN->swish block is the training step's top cost after the
+# LSTM pair (reference structure: BN after every conv,
+# ``models/ConvLSTM_w_ref.py:39–57``). Under plain autodiff XLA
+# materialises the conv output AND the pre-swish activation as backward
+# residuals and differentiates through mean/var literally, emitting four
+# big reduction passes per block. This fused block:
+#   * runs the conv WITHOUT bias — an additive bias cancels exactly in
+#     (y - mean(y)), so it only shifts the running-mean update (added
+#     back on the host-side state update) and its gradient is the sum of
+#     the conv-output cotangent (computed in one fused reduction);
+#   * saves only (x, mu, r) — backward recomputes the conv (FLOP-cheap
+#     small-channel 1D convs) instead of storing (B, C, T) residuals;
+#   * reduces ONLY dgamma/dbeta and reconstructs the conv-output
+#     cotangent with the folded BN-backward identity
+#       dy = gamma*r * (dz - dbeta/N - xhat * dgamma/N)
+#     (mean(dxhat) = gamma*dbeta/N, mean(dxhat*xhat) = gamma*dgamma/N),
+#     halving the backward reduction count.
+# Numerics match the unfused path to fp-rounding (different association
+# only); REMORA_TPU_CONVBN=plain|remat|fused overrides the default
+# (fused on accelerators, plain on CPU).
+
+
+def _conv_nobias(w, x, stride):
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+
+
+def _cbs_math(stride, eps, w, gamma, beta, x):
+    y = _conv_nobias(w, x, stride)
+    mu = jnp.mean(y, (0, 2))
+    var = jnp.var(y, (0, 2))
+    r = jax.lax.rsqrt(var + eps)
+    xhat = (y - mu[None, :, None]) * r[None, :, None]
+    z = gamma[None, :, None] * xhat + beta[None, :, None]
+    out = z * jax.nn.sigmoid(z)
+    return out, mu, var, r
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _cbs_core(stride, eps, w, b, gamma, beta, x):
+    """Returns (out, mu, var) of swish(BN_train(conv(x, w))).
+
+    ``b`` does not enter the output (it cancels in the normalization);
+    it is an argument only so its gradient (sum of the conv-output
+    cotangent) flows from the same VJP. ``mu``/``var`` are biasless
+    batch stats for the running-state update — that path is
+    non-differentiable (their cotangents are ignored), exactly like the
+    aux-returned BN state in the unfused step.
+    """
+    del b
+    out, mu, var, _r = _cbs_math(stride, eps, w, gamma, beta, x)
+    return out, mu, var
+
+
+def _cbs_fwd(stride, eps, w, b, gamma, beta, x):
+    del b
+    out, mu, var, r = _cbs_math(stride, eps, w, gamma, beta, x)
+    return (out, mu, var), (w, gamma, beta, x, mu, r)
+
+
+def _cbs_bwd(stride, eps, res, cts):
+    dout = cts[0]  # mu/var feed the (non-differentiable) state update
+    w, gamma, beta, x, mu, r = res
+    y = _conv_nobias(w, x, stride)  # recompute: cheaper than residuals
+    xhat = (y - mu[None, :, None]) * r[None, :, None]
+    z = gamma[None, :, None] * xhat + beta[None, :, None]
+    s = jax.nn.sigmoid(z)
+    dz = dout * (s + z * s * (1.0 - s))
+    dgamma = jnp.sum(dz * xhat, (0, 2))
+    dbeta = jnp.sum(dz, (0, 2))
+    n = y.shape[0] * y.shape[2]
+    gr = gamma * r
+    dy = gr[None, :, None] * (
+        dz
+        - (dbeta / n)[None, :, None]
+        - xhat * (dgamma / n)[None, :, None]
+    )
+    db = jnp.sum(dy, (0, 2))
+    _, conv_vjp = jax.vjp(
+        lambda w_, x_: _conv_nobias(w_, x_, stride), w, x
+    )
+    dw, dx = conv_vjp(dy)
+    return dw, db, dgamma, dbeta, dx
+
+
+_cbs_core.defvjp(_cbs_fwd, _cbs_bwd)
+
+
+def _convbn_impl():
+    mode = os.environ.get("REMORA_TPU_CONVBN", "auto")
+    if mode in ("plain", "remat", "fused"):
+        return mode
+    try:
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            plat = dd if isinstance(dd, str) else getattr(
+                dd, "platform", None
+            )
+            if plat is not None:
+                return "plain" if plat == "cpu" else "fused"
+        return "plain" if jax.default_backend() == "cpu" else "fused"
+    except Exception:
+        return "plain"
+
+
+def _cbs_plain(conv_params, bn_params, state, x, stride, momentum, eps):
+    y = conv1d(conv_params, x, stride)
+    y, ns = batchnorm(bn_params, state, y, True, momentum, eps)
+    return swish(y), ns
+
+
+def conv_bn_swish(conv_params, bn_params, state, x, stride=1, train=False,
+                  momentum=0.1, eps=1e-5, impl=None):
+    """swish(BatchNorm1d(Conv1d(x))) with running-state update.
+
+    Drop-in for the conv->batchnorm->swish sequence both model families
+    use after every conv. Returns (out, new_state).
+    """
+    if not train:
+        y = conv1d(conv_params, x, stride)
+        y, _ = batchnorm(bn_params, state, y, False, momentum, eps)
+        return swish(y), state
+    if impl is None:
+        impl = _convbn_impl()
+    if impl == "plain":
+        return _cbs_plain(
+            conv_params, bn_params, state, x, stride, momentum, eps
+        )
+    if impl == "remat":
+        return jax.checkpoint(
+            functools.partial(
+                _cbs_plain, stride=stride, momentum=momentum, eps=eps
+            )
+        )(conv_params, bn_params, state, x)
+    out, mu, var = _cbs_core(
+        stride,
+        eps,
+        conv_params["w"],
+        conv_params["b"],
+        bn_params["gamma"],
+        bn_params["beta"],
+        x,
+    )
+    mu = jax.lax.stop_gradient(mu) + conv_params["b"]
+    var = jax.lax.stop_gradient(var)
+    y_cols = (x.shape[2] - conv_params["w"].shape[2]) // stride + 1
+    n = x.shape[0] * y_cols
+    unbiased = var * n / max(n - 1, 1)
+    new_state = {
+        "mean": (1 - momentum) * state["mean"] + momentum * mu,
+        "var": (1 - momentum) * state["var"] + momentum * unbiased,
+    }
     return out, new_state
 
 

