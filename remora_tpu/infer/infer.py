@@ -379,8 +379,37 @@ def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata,
 
 
 def run_model_batched(batches_q, called_batches_q, eval_fns, batch_size):
-    """Device stage: jitted forward per canonical base, padded last batch."""
-    for cb, b_inputs, b_read_pos, b_reads in queue_iter(batches_q):
+    """Device stage: jitted forward per canonical base, padded last batch.
+
+    Dispatch is software-pipelined: jit calls return asynchronously, so
+    up to REMORA_TPU_INFER_INFLIGHT (default 2) batches stay in flight
+    and the d2h fetch of batch N overlaps the h2d + compute of batch
+    N+1. A synchronous per-batch fetch paid the full transfer+compute
+    round trip serially (~30ms/batch over a tunneled link, ~30x the
+    compute) and made this stage the pipeline bottleneck.
+    """
+    from collections import deque
+
+    inflight = max(1, int(os.getenv("REMORA_TPU_INFER_INFLIGHT", "2")))
+    pending = deque()
+    stats = {"batches": 0, "dispatch_s": 0.0, "fetch_s": 0.0,
+             "wait_s": 0.0}
+
+    def emit_oldest():
+        cb, out, live, b_read_pos, b_reads = pending.popleft()
+        t0 = time.monotonic()
+        nn_out = np.asarray(out)[:live]
+        stats["fetch_s"] += time.monotonic() - t0
+        put_item((cb, nn_out, b_read_pos, b_reads), called_batches_q)
+
+    batch_iter = queue_iter(batches_q)
+    while True:
+        t0 = time.monotonic()
+        item = next(batch_iter, None)
+        stats["wait_s"] += time.monotonic() - t0
+        if item is None:
+            break
+        cb, b_inputs, b_read_pos, b_reads = item
         live = b_read_pos.size
         if live != batch_size:
             # pad up to the compiled shape; slice the outputs back down
@@ -395,8 +424,23 @@ def run_model_batched(batches_q, called_batches_q, eval_fns, batch_size):
                 )
                 for arr in b_inputs
             )
-        nn_out = np.asarray(eval_fns[cb](*b_inputs))[:live]
-        put_item((cb, nn_out, b_read_pos, b_reads), called_batches_q)
+        t0 = time.monotonic()
+        out = eval_fns[cb](*b_inputs)
+        stats["dispatch_s"] += time.monotonic() - t0
+        stats["batches"] += 1
+        pending.append((cb, out, live, b_read_pos, b_reads))
+        if len(pending) > inflight:
+            emit_oldest()
+    while pending:
+        emit_oldest()
+    if os.getenv("REMORA_TPU_INFER_STAGE_STATS"):
+        n = max(stats["batches"], 1)
+        LOGGER.info(
+            f"Device stage: {stats['batches']} batches, per-batch "
+            f"dispatch {stats['dispatch_s'] / n * 1e3:.1f}ms, "
+            f"fetch {stats['fetch_s'] / n * 1e3:.1f}ms, "
+            f"input-wait {stats['wait_s'] / n * 1e3:.1f}ms"
+        )
     put_item(StopIteration, called_batches_q)
 
 
@@ -764,6 +808,46 @@ def infer_from_pod5_and_bam(
         cells = (f"{q.name}: {q.qsize()}/{q.maxsize}" for q in stage_qs)
         return "QueuesStatus: " + "\t".join(cells)
 
+    # REMORA_TPU_INFER_STAGE_STATS=1: sample queue depths on a timer and
+    # log an occupancy summary at the end — a stage whose INPUT queue is
+    # persistently full while its OUTPUT queue sits empty is the
+    # bottleneck (reference analog: per-read queue-status debug lines,
+    # inference.py:602–607, which are too verbose to eyeball at scale)
+    stats_stop = None
+    if os.getenv("REMORA_TPU_INFER_STAGE_STATS"):
+        import threading
+
+        stats_stop = threading.Event()
+        samples = {q.name: [] for q in stage_qs}
+
+        def _sampler():
+            while not stats_stop.wait(0.2):
+                for q in stage_qs:
+                    samples[q.name].append(q.qsize())
+
+        threading.Thread(
+            target=_sampler, name="StageStats", daemon=True
+        ).start()
+
+        def _stats_summary():
+            lines = []
+            for q in stage_qs:
+                vals = samples[q.name]
+                if not vals:
+                    continue
+                full_frac = sum(
+                    v >= max(q.maxsize, 1) for v in vals
+                ) / len(vals)
+                empty_frac = sum(v == 0 for v in vals) / len(vals)
+                mean_depth = sum(vals) / len(vals)
+                lines.append(
+                    f"{q.name:<16} mean {mean_depth:8.1f}  "
+                    f"empty {empty_frac:5.1%}  full {full_frac:5.1%}"
+                )
+            return "Stage queue occupancy:\n" + "\n".join(lines)
+    else:
+        _stats_summary = None
+
     skip_tally = defaultdict(int, bam_idx.skip_reasons)
     in_bam = FastBamScanner(in_bam_path)
     progress = _InferProgress(num_reads)
@@ -781,6 +865,9 @@ def infer_from_pod5_and_bam(
             out_bam.write(io_read.full_align)
             n_written += 1
     progress.close()
+    if stats_stop is not None:
+        stats_stop.set()
+        LOGGER.info(_stats_summary())
     rate, mag = human_format(progress.samples / progress.elapsed())
     LOGGER.info(f"Wrote {n_written} records ({rate:.1f} {mag}samples/s)")
     if skip_tally:

@@ -143,6 +143,71 @@ def _fwd_kernel_nocs(x_ref, w_ref, hs_ref, h_sc, c_sc, xh_sc, *, C, H, KT):
                 KT=KT)
 
 
+def _fwd_kernel_last(x_ref, w_ref, hl_ref, h_sc, c_sc, xh_sc, *, C, H, KT,
+                     T):
+    """Inference-only forward emitting ONLY the final hidden state.
+
+    The eval path consumes just h_{T-1} (the head reads the last
+    timestep), so the (T, B, H) output write of the full kernel is pure
+    HBM waste there. The single (1, BT, H) output block stays resident
+    across the whole time walk. Unlike the full kernel, padding steps in
+    the ragged tail MUST NOT touch the carries — the last real step's h
+    is the result — so every update is gated on t_global < T.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        h_sc[:] = jnp.zeros_like(h_sc)
+        c_sc[:] = jnp.zeros_like(c_sc)
+        xh_sc[:, C + H :] = jnp.ones_like(xh_sc[:, C + H :])
+
+    for k in range(KT):
+        t_global = t * KT + k
+        real = t_global < T
+        xh_sc[:, :C] = jnp.where(
+            real, x_ref[k].astype(xh_sc.dtype), 0
+        )
+        xh_sc[:, C : C + H] = h_sc[:].astype(xh_sc.dtype)
+        z = _dot(xh_sc[:], w_ref[:])
+        i, f, g, o = _split_gates(z, H)
+        c = f * c_sc[:] + i * g
+        h = o * jnp.tanh(c)
+        h_sc[:] = jnp.where(real, h, h_sc[:])
+        c_sc[:] = jnp.where(real, c, c_sc[:])
+    hl_ref[0] = h_sc[:].astype(hl_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fwd_last_call(x, w_aug, interpret=False):
+    T, B, C = x.shape
+    H = w_aug.shape[1] // 4
+    BT, KT = _tile_plan(
+        B, C, H, x.dtype.itemsize, backward=False, want_cs=False
+    )
+    CA = C + H + 1
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_last, C=C, H=H, KT=KT, T=T),
+        grid=(B // BT, pl.cdiv(T, KT)),
+        in_specs=[
+            pl.BlockSpec((KT, BT, C), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((CA, 4 * H), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, BT, H), lambda b, t: (0, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, B, H), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BT, H), jnp.float32),
+            pltpu.VMEM((BT, H), jnp.float32),
+            pltpu.VMEM((BT, CA), w_aug.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, w_aug)
+    return out[0]
+
+
 def _bwd_kernel(x_ref, hs_ref, hp_ref, cs_ref, cp_ref, dh_ref, w_ref,
                 wt_ref, dx_ref, dw_ref, dh_sc, dc_sc, xh_sc, *, C, H, KT,
                 NC, T):
@@ -362,6 +427,27 @@ def lstm_fused(params, x, reverse=False, interpret=False):
     if reverse:
         hs = jnp.flip(hs, axis=0)
     return hs
+
+
+def lstm_last_fused(params, x, interpret=False):
+    """Final hidden state h_{T-1} only, (B, H); inference path (no VJP).
+
+    Drop-in for ``lstm(params, x)[-1]`` without materialising the
+    (T, B, H) output in HBM.
+    """
+    C = x.shape[2]
+    H = params["w_hh"].shape[1]
+    bias = (params["b_ih"] + params["b_hh"]).reshape(1, 4 * H)
+    w_aug = jnp.concatenate(
+        [
+            params["w_ih"].T.astype(x.dtype),
+            params["w_hh"].T.astype(x.dtype),
+            bias.astype(x.dtype),
+        ],
+        axis=0,
+    )
+    assert w_aug.shape[0] == C + H + 1
+    return _fwd_last_call(x, w_aug, interpret=interpret)
 
 
 def lstm_pallas(params, x, b_tile=None, interpret=False):

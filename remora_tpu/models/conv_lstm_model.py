@@ -73,6 +73,11 @@ def forward(params, bn_state, sigs, seqs, train=False):
     # swish between the layers only needs the final timestep
     # (swish(h)[-1] == swish(h[-1]); both verified bit-identical to the
     # full form, saving two (T, B, H) passes per train step).
-    z = L.swish(L.lstm(params["lstm1"], z)[-1])
+    if train:
+        z = L.swish(L.lstm(params["lstm1"], z)[-1])
+    else:
+        # inference: the fused last-only kernel skips the (T, B, H)
+        # hidden-state write entirely (no backward residuals needed)
+        z = L.swish(L.lstm_last(params["lstm1"], z))
     z = L.swish(L.lstm_cell_step0(params["lstm2"], z))
     return L.linear(params["fc"], z), ns

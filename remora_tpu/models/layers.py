@@ -174,6 +174,10 @@ def _cbs_bwd(stride, eps, res, cts):
         - (dbeta / n)[None, :, None]
         - xhat * (dgamma / n)[None, :, None]
     )
+    # XLA distributes the three dy terms through the weight-grad conv
+    # (three smaller convs per layer); measured FASTER than forcing a
+    # materialized dy with an optimization_barrier (390k vs 384k) — let
+    # the compiler keep that split.
     db = jnp.sum(dy, (0, 2))
     _, conv_vjp = jax.vjp(
         lambda w_, x_: _conv_nobias(w_, x_, stride), w, x
@@ -339,6 +343,24 @@ def lstm(params, x, reverse=False, impl=None):
     if reverse:
         hs = jnp.flip(hs, axis=0)
     return hs
+
+
+def lstm_last(params, x, impl=None):
+    """Final hidden state of a forward LSTM over (T, B, C): (B, H).
+
+    Equivalent to ``lstm(params, x)[-1]`` but the fused inference
+    kernel never materialises the (T, B, H) output in HBM. Used by the
+    eval path (only the last timestep reaches the head).
+    """
+    if impl is None or impl == "auto":
+        from remora_tpu.kernels.pallas_lstm import default_to_fused
+
+        impl = "fused" if default_to_fused() else "scan"
+    if impl == "fused":
+        from remora_tpu.kernels.pallas_lstm import lstm_last_fused
+
+        return lstm_last_fused(params, x)
+    return lstm(params, x, impl="scan")[-1]
 
 
 # ---------------- Linear ----------------

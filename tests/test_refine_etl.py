@@ -283,3 +283,25 @@ def test_prepare_device_refine_backend_matches_host(
         a = getattr(ds_h, name)[: ds_h.size]
         b = getattr(ds_d, name)[: ds_d.size]
         assert np.array_equal(a, b), name
+
+
+def test_pallas_lstm_last_only_interpret(monkeypatch):
+    """Inference-only last-timestep kernel == lstm(...)[-1], including a
+    ragged time tail (T not a multiple of the time chunk) where padding
+    steps must not clobber the final real h."""
+    import jax
+    import jax.numpy as jnp
+
+    from remora_tpu.kernels import pallas_lstm as PL
+    from remora_tpu.models import layers as L
+
+    monkeypatch.setattr(PL, "_tile_plan", lambda *a, **k: (128, 8))
+    for T in (21, 24, 7):  # ragged tail, exact multiple, single chunk
+        B, H = 256, 64
+        params = L.lstm_init(jax.random.PRNGKey(2), H, H)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+        ref = np.asarray(L.lstm(params, x, impl="scan"))[-1]
+        out = np.asarray(PL.lstm_last_fused(params, x, interpret=True))
+        assert out.shape == (B, H)
+        assert np.allclose(ref, out, atol=1e-5), T

@@ -233,3 +233,31 @@ def test_hw_refine_reads_batch_exact():
     for got, want in zip(reads, singles):
         assert got.shift == want.shift and got.scale == want.scale
         assert np.array_equal(got.seq_to_sig_map, want.seq_to_sig_map)
+
+
+def test_hw_lstm_last_only():
+    """Last-only inference kernel == full fused forward's final step on
+    hardware, across ragged time tails."""
+    import jax
+    import jax.numpy as jnp
+
+    from remora_tpu.kernels.pallas_lstm import lstm_fused, lstm_last_fused
+    from remora_tpu.models import layers as L
+
+    for T in (124, 128, 5):
+        B, H = 2048, 64
+        params = L.lstm_init(jax.random.PRNGKey(3), H, H)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+        full = np.asarray(
+            jax.jit(lambda p, xx: lstm_fused(p, xx))(params, x)
+        )[-1]
+        last = np.asarray(
+            jax.jit(lambda p, xx: lstm_last_fused(p, xx))(params, x)
+        )
+        n_diff = int(np.count_nonzero(full != last))
+        assert n_diff == 0, f"T={T}: {n_diff}/{full.size} diffs"
+        scan = np.asarray(
+            jax.jit(lambda p, xx: L.lstm(p, xx, impl="scan"))(params, x)
+        )[-1]
+        assert np.allclose(scan, last, atol=5e-5), T
