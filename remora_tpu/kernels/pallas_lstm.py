@@ -56,21 +56,27 @@ def _tile_plan(B, C, H, itemsize, backward, want_cs=True):
     blocked (512, 4) OOMs — so the plan is a measured preference table,
     scaled down for wider layers. Measured bf16: fwd (2048,4) 1.50ms vs
     (512,16) before; f+b 2.95ms vs 3.43."""
+    forced = os.environ.get(
+        "REMORA_TPU_LSTM_TILE_BWD" if backward else "REMORA_TPU_LSTM_TILE"
+    )
+    if forced:
+        bt, kt = (int(v) for v in forced.split(","))
+        if B % bt == 0:
+            return bt, kt
     if backward:
+        # (1024, 8) compiles under the raised vmem_limit_bytes allowance
+        # and measures ~1% faster than (512, 8) at production geometry
         prefs = (
-            [(512, 8), (256, 16), (128, 16)]
+            [(1024, 8), (512, 8), (256, 16), (128, 16)]
             if itemsize <= 2
             else [(128, 16), (64, 8)]
         )
     elif itemsize <= 2:
-        # the residual-saving (want_cs) forward carries a second output
-        # block; (2048, 4) compiles standalone but trips the scoped-vmem
-        # limit inside larger jits, so it is reserved for inference
-        prefs = (
-            [(1024, 4), (512, 8), (256, 8), (128, 8)]
-            if want_cs
-            else [(2048, 4), (1024, 4), (512, 8), (256, 8), (128, 8)]
-        )
+        # (2048, 4) used to trip the default scoped-vmem limit inside
+        # larger jits on the want_cs (train fwd) path; the raised
+        # vmem_limit_bytes allowance admits it and it measures ~1.5%
+        # faster than (1024, 4)
+        prefs = [(2048, 4), (1024, 4), (512, 8), (256, 8), (128, 8)]
     elif want_cs:
         prefs = [(512, 8), (256, 8), (128, 8)]
     else:
@@ -202,6 +208,10 @@ def _fwd_last_call(x, w_aug, interpret=False):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # allowance only (physical VMEM still binds): the default
+            # scoped-vmem budget rejects tile plans that in fact fit,
+            # e.g. the (2048, 4) forward tile inside the train jit
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, w_aug)
@@ -322,6 +332,10 @@ def _fwd_call(x, w_aug, want_cs=True, interpret=False):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # allowance only (physical VMEM still binds): the default
+            # scoped-vmem budget rejects tile plans that in fact fit,
+            # e.g. the (2048, 4) forward tile inside the train jit
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, w_aug)
@@ -374,6 +388,10 @@ def _bwd_call(x, w_aug, hs, cs, dhs, interpret=False):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # allowance only (physical VMEM still binds): the default
+            # scoped-vmem budget rejects tile plans that in fact fit,
+            # e.g. the (2048, 4) forward tile inside the train jit
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, hs, hs, cs, cs, dhs, w_aug, w_aug.T)

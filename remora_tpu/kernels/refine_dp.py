@@ -4,8 +4,17 @@ TPU-native formulation of the reference Cython DP
 (``refine_signal_map_core.pyx``): the recurrence over bases becomes a
 ``lax.scan``; within each base every (band-position, read) pair is a
 vector element, with the in-band stay recurrence solved as a min-plus
-prefix scan (one ``cummin`` per base — see remora_tpu.refine.dp for the
-derivation and the NumPy ground truth this kernel is tested against).
+prefix scan (one ``cummin`` per base): with band costs ``base`` and
+inclusive cumsum ``B``, ``curr[p] = B[p] + min_{q<=p}(entry[q] - B[q])``.
+
+Exactness caveat: the prefix-sum reassociation is exact in real
+arithmetic but not in f32 — at long-read/wide-band geometry a rare tie
+can flip a path position relative to the reference C association
+(observed ~1 per few thousand bases at bhw=9). The single-launch Pallas
+kernels (remora_tpu.kernels.pallas_dp) fold stays sequentially
+in-program and ARE bit-exact; they supersede this kernel on hardware.
+This module remains the portable XLA formulation (and the fallback when
+Mosaic is unavailable).
 
 Internal layout puts READS in the minor (128-lane) axis and the band
 position in sublanes — band widths are ~16 while batches are hundreds,

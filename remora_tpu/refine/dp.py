@@ -6,15 +6,19 @@ only on strictly smaller score; dwell candidates are scanned in
 ascending dwell order with strict improvement) and the invalid-entry
 sentinel ``LARGE_SCORE + prev[-1]``.
 
-The inner per-base recurrence is reformulated as a min-plus prefix scan:
-with band-local squared-error costs ``base`` and inclusive cumsum ``B``,
-
-    curr[p] = B[p] + min_{q<=p} (entry[q] - B[q])
-
-so each base is one vectorized cummin over the band — the exact
-structure the batched TPU kernel (remora_tpu.kernels.refine_dp) uses
-with ``jax.lax.scan`` over bases. This module is the NumPy ground truth
-the TPU kernel is tested against.
+Exactness note: the stay chain ``curr[p] = min(entry[p], curr[p-1] +
+base[p])`` is algebraically a min-plus prefix scan — ``curr[p] = B[p] +
+min_{q<=p}(entry[q] - B[q])`` with inclusive cumsum ``B`` — and that
+reformulation is what the batched lax.scan TPU kernel
+(remora_tpu.kernels.refine_dp) vectorizes. But in float32 the prefix-sum
+association differs from the C sequential adds, and at long-read/
+wide-band geometry a rare tie flips one path position (observed: 1 of
+1891 at max_seq=2000, bhw=9). This host module therefore runs the stay
+chains and stay-run sums SEQUENTIALLY in f32, matching the reference
+Cython association bit-for-bit (like the native C++ core and the
+single-launch Pallas kernels, which fold stays sequentially in-program);
+entry/move candidates stay vectorized — the band is only ~2*bhw+1 wide,
+so the per-base Python chain over it costs little on this fallback path.
 """
 
 import numpy as np
@@ -34,59 +38,11 @@ def _band_costs(signal, level):
     return d * d
 
 
-def _vit_step(prev_scores, level, curr_signal, bsd):
-    """One base of the standard Viterbi pass, vectorized via cummin.
-
-    Returns (curr_scores, curr_tb) of length len(curr_signal).
-    """
-    W = curr_signal.shape[0]
-    base = _band_costs(curr_signal, level).astype(np.float32)
-    B = np.cumsum(base, dtype=np.float32)
-    # entry[q]: score of moving into this base at band position q
-    entry = np.full(W, np.float32(np.inf), dtype=np.float32)
-    entry_tb = np.zeros(W, dtype=np.int32)
-    if bsd == 0:
-        entry[0] = LARGE_SCORE + prev_scores[-1]
-        entry_tb[0] = -1
-    else:
-        entry[0] = prev_scores[bsd - 1] + base[0]
-    n_move = min(prev_scores.shape[0] - bsd, W - 1)
-    if n_move > 0:
-        ps = np.arange(1, n_move + 1)
-        entry[ps] = prev_scores[ps - 1 + bsd] + base[ps]
-    # min-plus scan: curr[p] = B[p] + min_{q<=p}(entry[q] - B[q])
-    m = entry - B
-    cummin = np.minimum.accumulate(m)
-    curr = B + cummin
-    # argcummin (first occurrence) for traceback
-    qstar = np.zeros(W, dtype=np.int64)
-    best = m[0]
-    bq = 0
-    for p in range(1, W):
-        if m[p] < best:
-            best = m[p]
-            bq = p
-        qstar[p] = bq
-    tb = (np.arange(W) - qstar).astype(np.int32) + entry_tb[qstar]
-    return curr.astype(np.float32), tb
-
-
-def _argcummin(m):
-    """First-occurrence running argmin (vectorized)."""
-    cummin = np.minimum.accumulate(m)
-    # position is new argmin where m == cummin and cummin strictly dropped
-    is_new = np.empty(m.shape[0], dtype=bool)
-    is_new[0] = True
-    is_new[1:] = cummin[1:] < cummin[:-1]
-    idx = np.where(is_new, np.arange(m.shape[0]), 0)
-    return np.maximum.accumulate(idx), cummin
-
-
 def _vit_step_fast(prev_scores, level, curr_signal, bsd):
-    """Fully vectorized _vit_step (no Python loop)."""
+    """_vit_step with vectorized entries and an EXACT sequential stay
+    chain (f32 adds in reference order; the band is narrow)."""
     W = curr_signal.shape[0]
     base = _band_costs(curr_signal, level).astype(np.float32)
-    B = np.cumsum(base, dtype=np.float32)
     entry = np.full(W, np.float32(np.inf), dtype=np.float32)
     entry_tb0 = -1 if bsd == 0 else 0
     if bsd == 0:
@@ -97,12 +53,23 @@ def _vit_step_fast(prev_scores, level, curr_signal, bsd):
     if n_move > 0:
         ps = np.arange(1, n_move + 1)
         entry[ps] = prev_scores[ps - 1 + bsd] + base[ps]
-    m = entry - B
-    qstar, cummin = _argcummin(m)
-    curr = (B + cummin).astype(np.float32)
-    tb = (np.arange(W) - qstar).astype(np.int32)
-    if entry_tb0 == -1:
-        tb[qstar == 0] -= 1
+    curr = np.empty(W, dtype=np.float32)
+    tb = np.empty(W, dtype=np.int32)
+    curr[0] = entry[0]
+    tb[0] = entry_tb0
+    # sequential stay chain: curr[p] = min(entry[p], curr[p-1] + base[p])
+    # with move winning only on strict improvement — bit-exact vs the
+    # reference C association (a cummin-over-prefix-sums reformulation
+    # reassociates the adds and can flip rare ties)
+    for p in range(1, W):
+        stay = np.float32(curr[p - 1] + base[p])
+        mv = entry[p]
+        if mv < stay:
+            curr[p] = mv
+            tb[p] = 0
+        else:
+            curr[p] = stay
+            tb[p] = tb[p - 1] + 1
     return curr, tb
 
 
@@ -111,7 +78,6 @@ def _dwell_pen_step(prev_scores, level, curr_signal, bsd, sdp):
     W = curr_signal.shape[0]
     L = sdp.shape[0]
     base = _band_costs(curr_signal, level).astype(np.float32)
-    B0 = np.concatenate([[np.float32(0)], np.cumsum(base, dtype=np.float32)])
     # unpenalized Viterbi scores for the long-dwell fallback
     unpen, unpen_tb = _vit_step_fast(prev_scores, level, curr_signal, bsd)
 
@@ -124,8 +90,15 @@ def _dwell_pen_step(prev_scores, level, curr_signal, bsd, sdp):
     p0 = prev_scores.shape[0] - bsd + L
     main = p < p0
 
-    # penalized candidates for dwell_idx d (ascending; strict improvement)
+    # penalized candidates for dwell_idx d (ascending; strict
+    # improvement). run[p] accumulates base[p] + base[p-1] + ... +
+    # base[p-d] one term per round — the reference's
+    # running_pos_score association exactly (a prefix-sum difference
+    # reassociates and can flip rare ties)
+    run = base.copy()
     for d in range(L):
+        if d > 0:
+            run[d:] = run[d:] + base[: W - d]
         prev_idx = p - d - 1 + bsd
         valid = (
             main
@@ -138,28 +111,26 @@ def _dwell_pen_step(prev_scores, level, curr_signal, bsd, sdp):
         if not valid.any():
             continue
         vp = p[valid]
-        cand = (
-            prev_scores[prev_idx[valid]]
-            + (B0[vp + 1] - B0[vp - d])
-            + sdp[d]
-        )
+        cand = prev_scores[prev_idx[valid]] + run[vp] + sdp[d]
         upd = cand < curr[vp]
         curr[vp[upd]] = cand[upd]
         tb[vp[upd]] = d
-    # unpenalized long-dwell candidate
+    # unpenalized long-dwell candidate (run now holds the full L-term
+    # stay sums)
     long_ok = main & (p >= L)
     if long_ok.any():
         vp = p[long_ok]
-        cand = unpen[vp - L] + (B0[vp + 1] - B0[vp - L + 1])
+        cand = unpen[vp - L] + run[vp]
         upd = cand < curr[vp]
         curr[vp[upd]] = cand[upd]
         tb[vp[upd]] = unpen_tb[vp[upd] - L] + L
-    # stay-only suffix: accumulate from the last main position
+    # stay-only suffix: sequential accumulation from the last main
+    # position (reference order)
     if p0 < W:
         p0c = max(p0, 1)
-        sfx = np.arange(p0c, W)
-        curr[sfx] = curr[p0c - 1] + (B0[sfx + 1] - B0[p0c])
-        tb[sfx] = tb[p0c - 1] + (sfx - p0c + 1)
+        for q in range(p0c, W):
+            curr[q] = np.float32(curr[q - 1] + base[q])
+            tb[q] = tb[q - 1] + 1
     return curr, tb
 
 

@@ -285,6 +285,28 @@ def test_prepare_device_refine_backend_matches_host(
         assert np.array_equal(a, b), name
 
 
+def test_prepare_numpy_refine_backend_matches_native(
+    tmpdir_factory, levels_table
+):
+    """E2E: `--refine-backend numpy` == native through real dataset
+    prepare. Regression guard for the NumPy DP's f32 association (its
+    former min-plus formulation could flip rare wide-band ties)."""
+    from remora_tpu.data.dataset import CoreDataset
+
+    nat = _prepare_with_backend(tmpdir_factory, levels_table, "native",
+                                "nat")
+    npy = _prepare_with_backend(tmpdir_factory, levels_table, "numpy",
+                                "npy")
+    ds_a = CoreDataset(str(nat))
+    ds_b = CoreDataset(str(npy))
+    assert ds_a.size == ds_b.size and ds_a.size > 0
+    for name in ("signal", "sequence", "sequence_to_signal_mapping",
+                 "sequence_lengths", "labels"):
+        a = getattr(ds_a, name)[: ds_a.size]
+        b = getattr(ds_b, name)[: ds_b.size]
+        assert np.array_equal(a, b), name
+
+
 def test_pallas_lstm_last_only_interpret(monkeypatch):
     """Inference-only last-timestep kernel == lstm(...)[-1], including a
     ragged time tail (T not a multiple of the time chunk) where padding

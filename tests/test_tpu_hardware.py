@@ -109,7 +109,16 @@ def test_hw_pallas_dp_long_read_wide_band():
 
 
 def test_hw_fused_lstm_forward_and_grad():
-    """Fused Pallas LSTM: forward bit-identity + grad closeness vs scan."""
+    """Fused Pallas LSTM vs the XLA scan AT EQUAL MATMUL PRECISION.
+
+    The fused kernel forces Precision.HIGHEST for f32 operands; the
+    scan's dots follow the ambient default (bf16 passes on TPU, ~1e-3
+    off f32 truth — measured 1638376/1638400 element diffs), so the
+    scan leg must be pinned to HIGHEST for a meaningful comparison.
+    Bit-identity still isn't guaranteed — the fused layer computes one
+    concatenated [x;h;1] @ W_aug dot where the scan sums two separate
+    dots (different f32 accumulation split) — so assert tight closeness.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -122,18 +131,20 @@ def test_hw_fused_lstm_forward_and_grad():
     x = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
     probe = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
 
-    ref = np.asarray(jax.jit(lambda p, xx: L.lstm(p, xx, impl="scan"))(
-        params, x
-    ))
+    with jax.default_matmul_precision("highest"):
+        ref = np.asarray(jax.jit(
+            lambda p, xx: L.lstm(p, xx, impl="scan")
+        )(params, x))
     out = np.asarray(jax.jit(lambda p, xx: lstm_fused(p, xx))(params, x))
-    n_diff = int(np.count_nonzero(ref != out))
-    assert n_diff == 0, f"{n_diff}/{ref.size} forward element diffs"
+    np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-5)
 
     def loss(fn):
         return lambda p, xx: jnp.sum(fn(p, xx) * probe)
 
-    ref_g = jax.jit(jax.grad(loss(lambda p, xx: L.lstm(p, xx, impl="scan")),
-                             argnums=(0, 1)))(params, x)
+    with jax.default_matmul_precision("highest"):
+        ref_g = jax.jit(jax.grad(
+            loss(lambda p, xx: L.lstm(p, xx, impl="scan")), argnums=(0, 1)
+        ))(params, x)
     out_g = jax.jit(jax.grad(loss(lstm_fused), argnums=(0, 1)))(params, x)
     for r, o in zip(jax.tree.leaves(ref_g), jax.tree.leaves(out_g)):
         np.testing.assert_allclose(
@@ -257,7 +268,56 @@ def test_hw_lstm_last_only():
         )
         n_diff = int(np.count_nonzero(full != last))
         assert n_diff == 0, f"T={T}: {n_diff}/{full.size} diffs"
-        scan = np.asarray(
-            jax.jit(lambda p, xx: L.lstm(p, xx, impl="scan"))(params, x)
-        )[-1]
-        assert np.allclose(scan, last, atol=5e-5), T
+        # the scan leg must run at HIGHEST to be comparable (its default
+        # f32 dots are bf16 passes on TPU, ~1e-3 off)
+        with jax.default_matmul_precision("highest"):
+            scan = np.asarray(
+                jax.jit(lambda p, xx: L.lstm(p, xx, impl="scan"))(
+                    params, x
+                )
+            )[-1]
+        assert np.allclose(scan, last, atol=1e-5), T
+
+
+def test_hw_conv_bn_swish_fused_parity():
+    """Fused conv+BN+swish custom VJP vs the plain path on hardware:
+    output, state, and gradient closeness at f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from remora_tpu.models import layers as L
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    conv_p = L.conv1d_init(k1, 16, 64, 9)
+    bn_p, _ = L.batchnorm_init(64)
+    state = {
+        "mean": jnp.linspace(-1.0, 1.0, 64),
+        "var": jnp.linspace(0.5, 2.0, 64),
+    }
+    x = jax.random.normal(k2, (256, 16, 200))
+
+    def run(which):
+        @jax.jit
+        def f(cp, bp, xx):
+            def loss(cp, bp, xx):
+                out, ns = L.conv_bn_swish(
+                    cp, bp, state, xx, stride=3, train=True, impl=which
+                )
+                return jnp.mean(out ** 2), (out, ns)
+
+            return jax.value_and_grad(
+                loss, argnums=(0, 1, 2), has_aux=True
+            )(cp, bp, xx)
+
+        return f(conv_p, bn_p, x)
+
+    (l0, (o0, s0)), g0 = run("plain")
+    (l1, (o1, s1)), g1 = run("fused")
+    assert abs(float(l0 - l1)) <= 1e-5
+    assert float(jnp.max(jnp.abs(o0 - o1))) <= 1e-4
+    for key in ("mean", "var"):
+        assert float(jnp.max(jnp.abs(s0[key] - s1[key]))) <= 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-3
+        assert float(jnp.max(jnp.abs(a - b))) <= 1e-3 * scale + 1e-5
