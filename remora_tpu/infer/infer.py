@@ -426,6 +426,13 @@ def run_model_batched(batches_q, called_batches_q, eval_fns, batch_size):
             )
         t0 = time.monotonic()
         out = eval_fns[cb](*b_inputs)
+        # start the device->host copy NOW so it overlaps later batches'
+        # h2d + compute; the blocking np.asarray at pop time then finds
+        # the bytes already resident (the d2h round trip is pure latency
+        # on remote links — ~68ms/batch measured — and serializing it
+        # per batch bounded the whole stage)
+        if hasattr(out, "copy_to_host_async"):
+            out.copy_to_host_async()
         stats["dispatch_s"] += time.monotonic() - t0
         stats["batches"] += 1
         pending.append((cb, out, live, b_read_pos, b_reads))
