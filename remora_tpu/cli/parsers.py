@@ -526,6 +526,13 @@ def register_model_train(ssub):
         "--bf16", action="store_true",
         help="run forward/backward in bfloat16 against f32 master weights",
     )
+    trn.add_argument(
+        "--steps-per-launch", type=int, default=1,
+        help="optimizer steps per device launch (lax.scan over stacked "
+        "batches); amortizes dispatch latency on high-latency device "
+        "links. Requires the default raw single-host path; grad-clip "
+        "thresholds update once per launch",
+    )
     p.add_argument(
         "--device",
         help="JAX device to run on: an integer index into jax.devices() "
@@ -623,6 +630,7 @@ def run_model_train(args):
         mesh=mesh,
         sync_bn=args.sync_bn,
         read_batches_from_disk=args.read_batches_from_disk,
+        steps_per_launch=args.steps_per_launch,
     )
 
 

@@ -340,6 +340,7 @@ def train_model(
     bf16_compute=False,
     sync_bn=False,
     read_batches_from_disk=False,
+    steps_per_launch=1,
 ):
     from remora_tpu.jax_setup import ensure_compilation_cache
 
@@ -582,6 +583,34 @@ def train_model(
             use_grad_clip=use_grad_clip,
             compute_dtype=compute_dtype,
         )
+    multi_step = None
+    if steps_per_launch > 1:
+        if mesh is None and featurize_on_device:
+            # K optimizer steps per device launch over stacked raw
+            # batches — amortizes per-launch dispatch on high-latency
+            # client links; numerics per step identical (grad-clip
+            # thresholds frozen within each launch window)
+            multi_step = make_train_step_raw_multi(
+                model,
+                tx,
+                dataset.metadata.kmer_context_bases,
+                dataset.metadata.chunk_width,
+                steps_per_launch,
+                high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
+                use_grad_clip=use_grad_clip,
+                compute_dtype=compute_dtype,
+            )
+            LOGGER.info(
+                f"Launching {steps_per_launch} optimizer steps per "
+                "device dispatch"
+            )
+        else:
+            LOGGER.info(
+                "--steps-per-launch requires the raw (on-device "
+                "featurization) single-host path; running one step per "
+                "launch"
+            )
+            steps_per_launch = 1
     eval_step = make_eval_step(model)
 
     def eval_fn(sigs, enc_kmers):
@@ -640,8 +669,8 @@ def train_model(
         opt_state = set_learning_rate(opt_state, lr_schedule(epoch))
         t0 = time.monotonic()
         n_chunks = 0
-        for epoch_i in range(batches_per_epoch):
-            batch = next(trn_iter)
+        epoch_i = 0
+        while epoch_i < batches_per_epoch:
             if featurize_on_device:
                 names = (
                     "signal",
@@ -652,6 +681,56 @@ def train_model(
                 )
             else:
                 names = ("signal", "enc_kmers", "labels")
+            if (
+                multi_step is not None
+                and epoch_i + steps_per_launch <= batches_per_epoch
+            ):
+                batches = [next(trn_iter) for _ in range(steps_per_launch)]
+                step_inputs = tuple(
+                    jnp.asarray(np.stack([b[n] for b in batches]))
+                    for n in names
+                )
+                (params, bn_state, opt_state, losses, n_filts,
+                 grad_maxs) = multi_step(
+                    params,
+                    bn_state,
+                    opt_state,
+                    *step_inputs,
+                    *((grad_threshs,) if use_grad_clip else ()),
+                )
+                n_chunks += sum(b["labels"].shape[0] for b in batches) * (
+                    jax.process_count() if multihost else 1
+                )
+                if use_grad_clip:
+                    # one RollingMAD update per step, from the stacked
+                    # per-step grad maxima (thresholds were frozen
+                    # within the launch window)
+                    leaves = jax.tree_util.tree_leaves(grad_maxs)
+                    for j in range(steps_per_launch):
+                        threshs = rolling_mads.update(
+                            [float(g[j]) for g in leaves]
+                        )
+                    if threshs is not None:
+                        flat, treedef = jax.tree_util.tree_flatten(params)
+                        grad_threshs = jax.tree_util.tree_unflatten(
+                            treedef, [jnp.asarray(t) for t in threshs]
+                        )
+                for j in range(steps_per_launch):
+                    pending_losses.append(
+                        (
+                            epoch * batches_per_epoch + epoch_i + j,
+                            losses[j],
+                            n_filts[j],
+                        )
+                    )
+                    if len(pending_losses) > 8:
+                        _write_batch_line(
+                            batch_fp, pending_losses.popleft(),
+                            high_conf_incorrect_thr_frac,
+                        )
+                epoch_i += steps_per_launch
+                continue
+            batch = next(trn_iter)
             if multihost:
                 from remora_tpu.parallel.mesh import host_shard_to_global
 
@@ -694,6 +773,7 @@ def train_model(
                     batch_fp, pending_losses.popleft(),
                     high_conf_incorrect_thr_frac,
                 )
+            epoch_i += 1
         while pending_losses:
             _write_batch_line(
                 batch_fp, pending_losses.popleft(),

@@ -435,3 +435,27 @@ def test_cli_device_flag(cli_model, tmp_path):
         timeout=420,
     )
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_cli_train_steps_per_launch(cli_can_chunks, tmp_path):
+    """`model train --steps-per-launch 3` scans 3 optimizer steps per
+    device dispatch (plus a single-step tail) and still writes one
+    batch.log row per optimizer step and a loadable checkpoint."""
+    from remora_tpu.models import model_io
+
+    cfg = tmp_path / "spl.cfg"
+    cfg.write_text(json.dumps([[str(cli_can_chunks), 1.0]]))
+    out = tmp_path / "spl_train"
+    run_cli(
+        "model", "train", cfg, "--output-path", out,
+        "--model", "ConvLSTM_w_ref", "--size", "8", "--batch-size", "16",
+        "--epochs", "2", "--chunks-per-epoch", "64",
+        "--num-test-chunks", "16", "--early-stopping", "0",
+        "--chunk-context", "50", "50", "--steps-per-launch", "3",
+    )
+    # 64/16 = 4 batches/epoch x 2 epochs = 8 rows (+ header)
+    rows = (out / "batch.log").read_text().strip().splitlines()
+    assert len(rows) == 9, rows
+    iters = [int(r.split("\t")[0]) for r in rows[1:]]
+    assert iters == list(range(8))
+    model_io.load_model(str(out / "model_final.checkpoint"))
