@@ -350,14 +350,29 @@ class _BatchAssembler:
 
 
 def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata,
-                raw=False):
+                raw=False, stage_h2d=False):
     """Assemble fixed-size batches spanning read boundaries per can_base.
 
     Emits (can_base, input_arrays_tuple, read_pos, members); with
     ``raw=True`` the input tuple is (signal, sequence i8, mapping i16,
     seq_lens i32) padded to model-wide widths for on-device
     featurization, else (signal, enc_kmers).
+
+    ``stage_h2d=True`` ships each batch's arrays to the device from THIS
+    thread, so host-to-device transfer overlaps the model stage's
+    dispatch/fetch loop instead of serializing inside it (the sync h2d
+    cost ~12ms/batch on a tunneled link).
     """
+    if stage_h2d:
+        import jax
+
+        def emit(b):
+            cb, arrs, read_pos, members = b
+            arrs = tuple(jax.device_put(a) for a in arrs)
+            put_item((cb, arrs, read_pos, members), batches_q)
+    else:
+        emit = lambda b: put_item(b, batches_q)  # noqa: E731
+
     packers = {
         md["can_base"]: _BatchAssembler(md, batch_size, raw)
         for md in models_metadata
@@ -370,11 +385,11 @@ def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata,
                 continue
             for cb, r_chunks in bases_chunks.items():
                 for full_batch in packers[cb].add(io_read, r_chunks):
-                    put_item(full_batch, batches_q)
+                    emit(full_batch)
     for packer in packers.values():
         tail = packer.drain()
         if tail is not None:
-            put_item(tail, batches_q)
+            emit(tail)
     put_item(StopIteration, batches_q)
 
 
@@ -413,11 +428,12 @@ def run_model_batched(batches_q, called_batches_q, eval_fns, batch_size):
         live = b_read_pos.size
         if live != batch_size:
             # pad up to the compiled shape; slice the outputs back down
+            # (jnp handles both host arrays and pre-staged device arrays)
             b_inputs = tuple(
-                np.concatenate(
+                jnp.concatenate(
                     [
                         arr,
-                        np.zeros(
+                        jnp.zeros(
                             (batch_size - live,) + arr.shape[1:], arr.dtype
                         ),
                     ]
@@ -761,8 +777,16 @@ def infer_from_pod5_and_bam(
         th.start()
         return out_q, th
 
+    # stage h2d from the batcher thread on accelerators (env override)
+    stage_env = os.getenv("REMORA_TPU_INFER_STAGE_H2D")
+    if stage_env is not None:
+        stage_h2d = stage_env not in ("0", "false", "")
+    else:
+        stage_h2d = jax.default_backend() != "cpu"
+
     def _batcher(src, sink):
-        batch_reads(src, sink, batch_size, models_metadata, raw)
+        batch_reads(src, sink, batch_size, models_metadata, raw,
+                    stage_h2d=stage_h2d)
 
     _batcher.__name__ = "batch_reads"
     batches_q, batch_reads_t = serial_stage(
