@@ -254,3 +254,64 @@ def test_train_step_multi_launch_matches_singles():
     for a, b in zip(jax.tree_util.tree_leaves(s),
                     jax.tree_util.tree_leaves(s2)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_train_step_multi_launch_clip_and_filter():
+    """Multi-step launch with grad clipping AND high-conf-incorrect
+    filtering: per-step losses/filter counts match sequential single
+    steps (thresholds fixed across both, as within a launch window)."""
+    from remora_tpu.train.optim import TrainOpts
+    from remora_tpu.train.train import (
+        make_train_step_raw,
+        make_train_step_raw_multi,
+    )
+
+    M = conv_lstm_model
+    B, W, K, S, KS = 32, 100, 5, 20, 2
+    params, bn = M.init(jax.random.PRNGKey(1), size=8, kmer_len=K,
+                        num_out=2)
+    tx = TrainOpts().load_optimizer()
+    opt = tx.init(params)
+    rng = np.random.default_rng(1)
+    sig = jnp.asarray(rng.normal(size=(KS, B, 1, W)).astype(np.float32))
+    lens = rng.integers(S // 2, S + 1, (KS, B)).astype(np.int16)
+    seqs = jnp.asarray(
+        rng.integers(0, 4, (KS, B, S + K - 1)).astype(np.int8)
+    )
+    maps = np.zeros((KS, B, S + 1), np.int16)
+    for k in range(KS):
+        for b in range(B):
+            sl = lens[k, b]
+            maps[k, b, 1:sl] = np.sort(rng.integers(0, W + 1, sl - 1))
+            maps[k, b, sl] = W
+    maps = jnp.asarray(maps)
+    lens_j = jnp.asarray(lens)
+    labels = jnp.asarray(rng.integers(0, 2, (KS, B)).astype(np.int64))
+    bb = K // 2
+    kw = dict(
+        high_conf_incorrect_thr_frac=(0.4, 0.5),
+        use_grad_clip=True,
+        donate=False,
+    )
+    threshs = jax.tree.map(lambda p: jnp.full((), 0.05, jnp.float32),
+                           params)
+
+    single = make_train_step_raw(M, tx, (bb, K - 1 - bb), W, **kw)
+    multi = make_train_step_raw_multi(M, tx, (bb, K - 1 - bb), W, KS, **kw)
+
+    p, s, o = params, bn, opt
+    losses, filts = [], []
+    for k in range(KS):
+        p, s, o, loss, n_filt, _gm = single(
+            p, s, o, sig[k], seqs[k], maps[k], lens_j[k], labels[k],
+            threshs,
+        )
+        losses.append(float(loss))
+        filts.append(int(n_filt))
+    _p2, _s2, _o2, lm, nf, gm = multi(
+        params, bn, opt, sig, seqs, maps, lens_j, labels, threshs
+    )
+    assert np.allclose(np.asarray(lm), np.asarray(losses, np.float32),
+                       atol=1e-6)
+    assert np.array_equal(np.asarray(nf), np.asarray(filts))
+    assert jax.tree_util.tree_leaves(gm)[0].shape == (KS,)
