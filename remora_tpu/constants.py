@@ -72,6 +72,11 @@ REFINE_BACKENDS = (
 # reads per micro-batch for the device DP stage (amortizes Pallas
 # launches + host<->device transfers across reads)
 REFINE_DEVICE_READ_BATCH = 64
+# widest per-base band the single-launch Pallas DP accepts: the kernel's
+# VMEM blocks scale with the band width, and degenerate mappings (large
+# deletions/stays) can demand bands of thousands of columns that blow
+# the 16MB scoped-vmem budget — such batches fall back to the host DP
+REFINE_DEVICE_MAX_BAND = 512
 DEFAULT_ROUGH_RESCALE_METHOD = ROUGH_RESCALE_LEAST_SQUARES
 
 PA_TO_NORM_SCALING_FACTOR = 1.4826

@@ -24,6 +24,7 @@ from remora_tpu.constants import (
     REFINE_BACKEND_NATIVE,
     REFINE_BACKEND_NUMPY,
     REFINE_BACKENDS,
+    REFINE_DEVICE_MAX_BAND,
     ROUGH_RESCALE_LEAST_SQUARES,
     ROUGH_RESCALE_METHODS,
     ROUGH_RESCALE_THEIL_SEN,
@@ -385,8 +386,14 @@ class SigMapRefiner:
         seq_to_sig_map: np.ndarray,
         int_seq: np.ndarray,
         dacs: np.ndarray,
+        backend=None,
     ):
-        """scale_iters rounds of banded-DP refinement + precise rescale."""
+        """scale_iters rounds of banded-DP refinement + precise rescale.
+
+        ``backend`` overrides the refiner's routing for this call (the
+        batched device path falls back here with ``backend="auto"``).
+        """
+        backend = self.backend if backend is None else backend
         levels = self.extract_levels(int_seq)
         origin = seq_to_sig_map[0]
         dacs = dacs[origin : seq_to_sig_map[-1]]
@@ -401,7 +408,7 @@ class SigMapRefiner:
                 refine_algo=self.algo,
                 short_dwell_pen=self.sd_arr,
                 band_half_width=self.half_bandwidth,
-                backend=self.backend,
+                backend=backend,
             )[0]
             if not rescale_each_round:
                 continue
@@ -484,9 +491,72 @@ class SigMapRefiner:
                     "err": None,
                 }
             )
+        # per-read routing: reads whose INITIAL band already exceeds the
+        # device width cap (long stalls/deletions are common in real
+        # nanopore reads) go straight to the host DP; the rest share the
+        # device launches. The in-loop guard still catches bands that
+        # grow past the cap in later scale iterations.
+        host_states = []
         if states:
-            self._device_refine_loop(states)
-        for st in states:
+            device_states = []
+            for st in states:
+                try:
+                    bd = _banded_search_space(
+                        st["map"],
+                        st["levels"],
+                        st["dacs"].size,
+                        self.half_bandwidth,
+                        2,
+                    )
+                    wide = int((bd[1] - bd[0]).max()) > REFINE_DEVICE_MAX_BAND
+                except Exception:  # noqa: BLE001 — let the loop report it
+                    wide = False
+                (host_states if wide else device_states).append(st)
+            states = device_states
+            for st in host_states:
+                rd = st["read"]
+                try:
+                    new_map, st["shift"], st["scale"] = self.refine_sig_map(
+                        st["shift"],
+                        st["scale"],
+                        rd.seq_to_sig_map,
+                        rd.int_seq,
+                        rd.dacs,
+                        backend=REFINE_BACKEND_AUTO,
+                    )
+                    st["map"] = new_map - st["origin"]
+                except Exception as e:  # noqa: BLE001 — per-read guard
+                    st["err"] = e
+        if states:
+            try:
+                self._device_refine_loop(states)
+            except Exception as dev_err:  # noqa: BLE001 — degrade, not drop
+                # ANY device-path failure (infeasible band geometry, a
+                # Mosaic/VMEM compile error, a lost backend) falls back
+                # to the host DP per read — a refinement stage must
+                # never silently produce an empty dataset
+                LOGGER.warning(
+                    "device DP refinement failed "
+                    f"({type(dev_err).__name__}: {str(dev_err)[:200]}); "
+                    f"falling back to the host path for {len(states)} reads"
+                )
+                for st in states:
+                    rd = st["read"]
+                    try:
+                        new_map, st["shift"], st["scale"] = (
+                            self.refine_sig_map(
+                                st["shift"],
+                                st["scale"],
+                                rd.seq_to_sig_map,
+                                rd.int_seq,
+                                rd.dacs,
+                                backend=REFINE_BACKEND_AUTO,
+                            )
+                        )
+                        st["map"] = new_map - st["origin"]
+                    except Exception as e:  # noqa: BLE001 — per-read
+                        st["err"] = e
+        for st in states + host_states:
             rd = st["read"]
             err = st["err"]
             if err is not None:
@@ -557,6 +627,16 @@ class SigMapRefiner:
                     st["err"] = e
             if not active:
                 break
+            w_need = max(int((bd[1] - bd[0]).max()) for bd in bands)
+            if w_need > REFINE_DEVICE_MAX_BAND:
+                # raising BEFORE the launch avoids a doomed multi-minute
+                # Mosaic compile; refine_reads_batch catches this and
+                # reroutes the batch to the host DP
+                raise RemoraError(
+                    f"band width {w_need} exceeds the device DP limit "
+                    f"({REFINE_DEVICE_MAX_BAND}); read mapping likely "
+                    "contains large deletions/stays"
+                )
             n_act = max(states[r]["levels"].size for r in active)
             starts = np.zeros((len(active), n_act), np.int32)
             widths = np.ones((len(active), n_act), np.int32)

@@ -191,3 +191,73 @@ def test_refine_reads_batch_matches_per_read(scale_iters):
                 - want.seq_to_sig_map.astype(np.int64)
             )
             assert (diffs > 0).mean() < 0.10 and diffs.max() <= 8
+
+
+def test_device_refine_falls_back_to_host(monkeypatch):
+    """Any device-path failure inside refine_reads_batch degrades to the
+    host DP (same results as backend=auto) instead of dropping reads —
+    a refinement stage must never silently yield an empty dataset."""
+    from remora_tpu.refine.refiner import SigMapRefiner
+
+    rng = np.random.default_rng(9)
+    smr_dev = _synthetic_refiner(scale_iters=1)
+    smr_dev.backend = "device"
+    smr_host = _synthetic_refiner(scale_iters=1)
+    smr_host.backend = "auto"
+
+    reads_dev = [_synthetic_read(rng, smr_dev, n) for n in (120, 300)]
+    reads_host = [r.copy() for r in reads_dev]
+
+    def boom(self, states):
+        raise RuntimeError("simulated Mosaic VMEM OOM")
+
+    monkeypatch.setattr(SigMapRefiner, "_device_refine_loop", boom)
+    errs = smr_dev.refine_reads_batch(reads_dev)
+    assert errs == [None, None]
+    for rd in reads_host:
+        rd.refine_signal_mapping(smr_host)
+    for a, b in zip(reads_dev, reads_host):
+        assert np.array_equal(a.seq_to_sig_map, b.seq_to_sig_map)
+        assert a.shift == b.shift and a.scale == b.scale
+
+
+def test_device_refine_band_cap_reroutes():
+    """A read whose mapping demands a band wider than the device limit
+    makes the batch reroute to the host path BEFORE any launch (the
+    guard raises pre-compile), with results matching backend=auto."""
+    from remora_tpu.constants import REFINE_DEVICE_MAX_BAND
+
+    rng = np.random.default_rng(10)
+    smr_dev = _synthetic_refiner(scale_iters=1)
+    smr_dev.backend = "device"
+    smr_dev.do_rough_rescale = False  # keep the planted geometry
+    smr_host = _synthetic_refiner(scale_iters=1)
+    smr_host.backend = "auto"
+    smr_host.do_rough_rescale = False
+
+    def degenerate_read():
+        rd = _synthetic_read(rng, smr_dev, 60)
+        # one enormous stay in the middle -> band width >> device cap
+        m = rd.seq_to_sig_map.copy()
+        mid = len(m) // 2
+        stretch = int(REFINE_DEVICE_MAX_BAND * 3)
+        pad_sig = np.full(stretch, rd.dacs[int(m[mid])])
+        rd.dacs = np.concatenate(
+            [rd.dacs[: m[mid]], pad_sig, rd.dacs[m[mid]:]]
+        )
+        m[mid:] = m[mid:] + stretch
+        rd.seq_to_sig_map = m
+        rd._reset_cache()
+        return rd
+
+    rng = np.random.default_rng(10)
+    rd_dev = degenerate_read()
+    rng = np.random.default_rng(10)
+    rd_host = degenerate_read()
+
+    errs = smr_dev.refine_reads_batch([rd_dev])
+    assert errs == [None]
+    rd_host.refine_signal_mapping(smr_host)
+    assert np.array_equal(rd_dev.seq_to_sig_map, rd_host.seq_to_sig_map)
+    assert rd_dev.shift == rd_host.shift
+    assert rd_dev.scale == rd_host.scale
