@@ -328,6 +328,15 @@ def extract_chunk_dataset(
 
     anchor_kind = "basecall" if basecall_anchor else "reference"
     LOGGER.info(f"Making {anchor_kind}-anchored training data")
+    if (
+        sig_map_refiner is not None
+        and sig_map_refiner.backend == constants.REFINE_BACKEND_AUTO
+    ):
+        # probe the device link once: 'auto' routes the banded DP to the
+        # batched Pallas path on co-located accelerators, host otherwise
+        from remora_tpu.refine.autoselect import resolve_auto_backend
+
+        sig_map_refiner.backend = resolve_auto_backend(sig_map_refiner)
     params = ChunkExtractParams(
         int_label=0 if mod_base_control else 1,
         motifs=motifs,
