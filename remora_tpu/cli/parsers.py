@@ -807,6 +807,15 @@ def register_infer_from_pod5_and_bam(ssub):
         "refiners: auto/native/numpy run on host workers; device "
         "batches reads' DPs into shared Pallas TPU launches",
     )
+    dist = p.add_argument_group("Distributed Arguments")
+    dist.add_argument(
+        "--coordinator-address",
+        help="host:port for jax.distributed (multi-host inference: each "
+        "host streams a disjoint read stripe and process 0 merges the "
+        "per-host BAM parts)",
+    )
+    dist.add_argument("--num-processes", type=int)
+    dist.add_argument("--process-id", type=int)
     p.set_defaults(func=run_infer_from_pod5_and_bam)
 
 
@@ -879,6 +888,15 @@ def run_infer_from_pod5_and_bam(args):
 
     if args.log_filename:
         log.init_logger(args.log_filename)
+    if args.num_processes:
+        # before any device touch (load_models_kw_args initializes JAX)
+        from remora_tpu.parallel.mesh import init_multihost
+
+        init_multihost(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     models = load_models_kw_args(args)
     infer_from_pod5_and_bam(
         pod5_path=args.pod5,

@@ -46,6 +46,59 @@ _PROF_MODEL_FN = os.getenv("REMORA_TPU_INFER_RUN_MODEL_PROFILE_FILE")
 _PROF_UNBATCH_FN = os.getenv("REMORA_TPU_INFER_UNBATCH_PROFILE_FILE")
 
 
+def _infer_device_sharding(batch_size):
+    """(batch_sharding, replicated) over the local devices, or (None,
+    None) when the device stage should stay single-device.
+
+    The infer device stage is pure data parallelism: every chunk row is
+    independent in the eval forward (convs/LSTM read only their own
+    row; BatchNorm uses running statistics in eval mode), so splitting
+    the batch axis across chips cannot change any per-row value — the
+    sharded stage is bit-identical to the single-device one, just N
+    chips wide. SURVEY §2.3's inference scale-out plan; reference
+    anchor for the single-device pipeline being widened:
+    ``src/remora/inference.py:462–659``.
+
+    REMORA_TPU_INFER_DP overrides the device count: 0/1 disables
+    sharding, N uses the first N local devices (unset = all local
+    devices when more than one is attached).
+    """
+    import jax
+
+    from remora_tpu.parallel.mesh import (
+        data_sharding,
+        make_mesh,
+        replicated,
+    )
+
+    devs = jax.local_devices()
+    n_req = os.getenv("REMORA_TPU_INFER_DP")
+    if n_req is not None:
+        n = int(n_req)
+        if n <= 1:
+            return None, None
+        if n > len(devs):
+            raise RemoraError(
+                f"REMORA_TPU_INFER_DP={n} but only {len(devs)} local "
+                "devices are attached"
+            )
+        devs = devs[:n]
+    elif len(devs) <= 1:
+        return None, None
+    if batch_size % len(devs):
+        LOGGER.warning(
+            f"batch size {batch_size} does not divide over "
+            f"{len(devs)} local devices; running the device stage on "
+            "one device"
+        )
+        return None, None
+    mesh = make_mesh(devs)
+    LOGGER.info(
+        f"Inference device stage sharded over {len(devs)} local devices"
+    )
+    return data_sharding(mesh), replicated(mesh)
+
+
 def _maybe_profile(prof_path):
     """Decorator: dump cProfile stats for a pipeline stage when the env
     var for it is set."""
@@ -350,7 +403,7 @@ class _BatchAssembler:
 
 
 def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata,
-                raw=False, stage_h2d=False):
+                raw=False, stage_h2d=False, in_sharding=None):
     """Assemble fixed-size batches spanning read boundaries per can_base.
 
     Emits (can_base, input_arrays_tuple, read_pos, members); with
@@ -361,14 +414,19 @@ def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata,
     ``stage_h2d=True`` ships each batch's arrays to the device from THIS
     thread, so host-to-device transfer overlaps the model stage's
     dispatch/fetch loop instead of serializing inside it (the sync h2d
-    cost ~12ms/batch on a tunneled link).
+    cost ~12ms/batch on a tunneled link). With ``in_sharding`` set the
+    arrays are placed batch-sharded across the inference mesh (the
+    ragged tail batch is padded to the compiled batch size on host
+    first — uneven shards cannot be placed).
     """
     if stage_h2d:
         import jax
 
         def emit(b):
             cb, arrs, read_pos, members = b
-            arrs = tuple(jax.device_put(a) for a in arrs)
+            if arrs[0].shape[0] != batch_size:
+                arrs = tuple(_pad_rows_np(a, batch_size) for a in arrs)
+            arrs = tuple(jax.device_put(a, in_sharding) for a in arrs)
             put_item((cb, arrs, read_pos, members), batches_q)
     else:
         emit = lambda b: put_item(b, batches_q)  # noqa: E731
@@ -391,6 +449,12 @@ def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata,
         if tail is not None:
             emit(tail)
     put_item(StopIteration, batches_q)
+
+
+def _pad_rows_np(arr, nrows):
+    """Zero-pad a host array's leading axis up to ``nrows``."""
+    pad = np.zeros((nrows - arr.shape[0],) + arr.shape[1:], arr.dtype)
+    return np.concatenate([arr, pad])
 
 
 def run_model_batched(batches_q, called_batches_q, eval_fns, batch_size):
@@ -426,18 +490,11 @@ def run_model_batched(batches_q, called_batches_q, eval_fns, batch_size):
             break
         cb, b_inputs, b_read_pos, b_reads = item
         live = b_read_pos.size
-        if live != batch_size:
+        if b_inputs[0].shape[0] != batch_size:
             # pad up to the compiled shape; slice the outputs back down
-            # (jnp handles both host arrays and pre-staged device arrays)
+            # (the stage-h2d batcher path already ships full-size arrays)
             b_inputs = tuple(
-                jnp.concatenate(
-                    [
-                        arr,
-                        jnp.zeros(
-                            (batch_size - live,) + arr.shape[1:], arr.dtype
-                        ),
-                    ]
-                )
+                _pad_rows_np(np.asarray(arr), batch_size)
                 for arr in b_inputs
             )
         t0 = time.monotonic()
@@ -685,11 +742,47 @@ def infer_from_pod5_and_bam(
         sys.exit()
     with DatasetReader(pod5_path) as pod5_dr:
         read_ids, num_reads = get_read_ids(bam_idx, pod5_dr, num_reads)
+
+    # multi-host data parallelism: each process streams a disjoint
+    # stripe of the reads through its own full pipeline (reads are
+    # independent — host-level DP is the natural axis), writes a BAM
+    # part, and process 0 merges after a collective barrier
+    merged_out_path = None
+    if jax.process_count() > 1:
+        pid, n_proc = jax.process_index(), jax.process_count()
+        # sorted before striding: get_read_ids returns set-ordered ids,
+        # which differ across processes under hash randomization; the
+        # global num_reads cap applies before the stripe
+        read_ids = sorted(read_ids)[:num_reads][pid::n_proc]
+        num_reads = len(read_ids)
+        merged_out_path = out_bam_path
+        out_bam_path = f"{out_bam_path}.part{pid:04d}"
+        LOGGER.info(
+            f"Process {pid}/{n_proc} infers {num_reads} reads into "
+            f"{out_bam_path}"
+        )
+
+    # within-host data parallelism: shard the device stage's batches
+    # over all local chips (must precede _resolve_models, which binds
+    # the eval callables)
+    in_sharding, repl_sharding = _infer_device_sharding(batch_size)
+    if in_sharding is not None:
+        for mdl in models:
+            if isinstance(mdl, ModelHandle):
+                mdl.shard_over(in_sharding, repl_sharding)
+
     models_metadata, eval_fns, raw = _resolve_models(models)
-    if refine_backend is not None:
-        for md in models_metadata:
-            if md.get("sig_map_refiner") is not None:
-                md["sig_map_refiner"].backend = refine_backend
+    if refine_backend in (None, constants.REFINE_BACKEND_AUTO):
+        # probe the device link once: 'auto' routes the banded DP to the
+        # batched Pallas path on co-located accelerators, host otherwise
+        from remora_tpu.refine.autoselect import resolve_auto_backend
+
+        refine_backend = resolve_auto_backend(
+            [md.get("sig_map_refiner") for md in models_metadata]
+        )
+    for md in models_metadata:
+        if md.get("sig_map_refiner") is not None:
+            md["sig_map_refiner"].backend = refine_backend
     device_refine = refine_backend == constants.REFINE_BACKEND_DEVICE
 
     signals = source_stage(
@@ -786,7 +879,7 @@ def infer_from_pod5_and_bam(
 
     def _batcher(src, sink):
         batch_reads(src, sink, batch_size, models_metadata, raw,
-                    stage_h2d=stage_h2d)
+                    stage_h2d=stage_h2d, in_sharding=in_sharding)
 
     _batcher.__name__ = "batch_reads"
     batches_q, batch_reads_t = serial_stage(
@@ -918,15 +1011,71 @@ def infer_from_pod5_and_bam(
             f"inference pipeline stage '{name}' failed after {n_written} "
             f"records were written: {err!r}"
         ) from err
+    if merged_out_path is not None:
+        n_written = _merge_multihost_parts(
+            merged_out_path, n_written, progress.samples
+        )
     return n_written
 
 
-def make_model_eval_fn(model, params, bn_state, compute_dtype=None):
+def _merge_multihost_parts(out_bam_path, n_written_local, samples_local):
+    """Gather per-host output summaries and merge the per-process BAM
+    parts into the final file (SURVEY §2.3: per-read mod-call summaries
+    merge via allgather; record payloads stay on disk — only counts ride
+    the collective).
+
+    Every process calls this; the allgather doubles as the barrier that
+    guarantees all parts are closed before process 0 merges them.
+    Returns the GLOBAL written-record count on every process.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    # n_written exact in int32; samples (log line only) in f32 — int64
+    # would be silently downcast without the x64 flag
+    written = multihost_utils.process_allgather(
+        jnp.asarray([n_written_local], jnp.int32)
+    )
+    samples = multihost_utils.process_allgather(
+        jnp.asarray([samples_local], jnp.float32)
+    )
+    n_written = int(np.asarray(written).sum())
+    total_samples = float(np.asarray(samples, np.float64).sum())
+    if jax.process_index() == 0:
+        part_paths = [
+            f"{out_bam_path}.part{pid:04d}"
+            for pid in range(jax.process_count())
+        ]
+        scanner = FastBamScanner(part_paths[0])
+        with BamWriter(out_bam_path, scanner.header) as out_bam:
+            for rec in scanner:
+                out_bam.write(rec)
+            for part in part_paths[1:]:
+                for rec in FastBamScanner(part):
+                    out_bam.write(rec)
+        LOGGER.info(
+            f"Merged {n_written} records from {len(part_paths)} host "
+            f"parts into {out_bam_path} "
+            f"({int(total_samples):,} samples called)"
+        )
+        for part in part_paths:
+            os.remove(part)
+    # all processes return only after the merged file exists
+    multihost_utils.sync_global_devices("remora_tpu_infer_merge_done")
+    return n_written
+
+
+def make_model_eval_fn(model, params, bn_state, compute_dtype=None,
+                       in_sharding=None):
     """Jitted logits fn over fixed shapes for the device stage.
 
     ``compute_dtype`` (e.g. jnp.bfloat16) runs the forward in reduced
     precision (f32 logits out) — ~1.8x device-stage throughput; the
     default f32 path preserves the reference-parity tag bytes.
+    ``in_sharding`` batch-shards the inputs over a device mesh (params
+    must already be replicated on that mesh) — the data-parallel device
+    stage; outputs follow the batch sharding and gather on host fetch.
     """
     from remora_tpu.jax_setup import ensure_compilation_cache
 
@@ -943,9 +1092,24 @@ def make_model_eval_fn(model, params, bn_state, compute_dtype=None):
         )
         return logits.astype(jnp.float32)
 
-    return lambda sigs, enc_kmers: _eval(
-        jnp.asarray(sigs), jnp.asarray(enc_kmers)
-    )
+    put = _make_put(in_sharding)
+    return lambda sigs, enc_kmers: _eval(put(sigs), put(enc_kmers))
+
+
+def _make_put(in_sharding):
+    """Host array -> device array, batch-sharded when a sharding is set.
+
+    Already-committed device arrays (the stage-h2d batcher path) pass
+    through untouched — re-putting them would force a copy."""
+    if in_sharding is None:
+        return jnp.asarray
+
+    def put(x):
+        if isinstance(x, jax.Array) and x.committed:
+            return x
+        return jax.device_put(x, in_sharding)
+
+    return put
 
 
 def _cast_state(params, bn_state, compute_dtype):
@@ -978,10 +1142,28 @@ class ModelHandle:
         self.bn_state = bn_state
         self.metadata = metadata
         self.compute_dtype = compute_dtype
-        self.eval_fn = make_model_eval_fn(
-            model, params, bn_state, compute_dtype
-        )
+        self._in_sharding = None
+        self._eval = None
         self._raw = None
+
+    def shard_over(self, data_sharding, replicated_sharding):
+        """Data-parallel device stage: params replicated over the mesh,
+        eval batches split on the leading axis. Row-independent forward
+        => logits bit-identical to the single-device stage."""
+        self.params = jax.device_put(self.params, replicated_sharding)
+        self.bn_state = jax.device_put(self.bn_state, replicated_sharding)
+        self._in_sharding = data_sharding
+        self._eval = None
+        self._raw = None
+
+    @property
+    def eval_fn(self):
+        if self._eval is None:
+            self._eval = make_model_eval_fn(
+                self.model, self.params, self.bn_state, self.compute_dtype,
+                in_sharding=self._in_sharding,
+            )
+        return self._eval
 
     def eval_raw(self, sigs, seqs, maps, lens):
         if self._raw is None:
@@ -1006,13 +1188,9 @@ class ModelHandle:
                 )
                 return logits.astype(jnp.float32)
 
-            self._raw = _eval
-        return self._raw(
-            jnp.asarray(sigs),
-            jnp.asarray(seqs),
-            jnp.asarray(maps),
-            jnp.asarray(lens),
-        )
+            put = _make_put(self._in_sharding)
+            self._raw = lambda *arrs: _eval(*(put(a) for a in arrs))
+        return self._raw(sigs, seqs, maps, lens)
 
     @classmethod
     def load(cls, path, compute_dtype=None):

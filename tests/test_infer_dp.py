@@ -1,0 +1,188 @@
+"""Data-parallel inference tests.
+
+The reference runs inference on exactly one device
+(``src/remora/inference.py:462–659``); the TPU-native scale-out shards
+the device stage's batches over all local chips (within-host DP) and
+stripes reads across processes (multi-host DP, per-host BAM parts merged
+by process 0). Everything here runs on the 8-virtual-CPU-device mesh
+from conftest and asserts BIT-identical MM/ML tags against the
+single-device pipeline.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+DATA = "/root/reference/tests/data"
+
+
+def _tags_by_read(path):
+    from remora_tpu.io.bam import FastBamScanner
+
+    return {
+        rec.query_name: (rec.get_tag("MM"), tuple(rec.get_tag("ML")))
+        for rec in FastBamScanner(path)
+    }
+
+
+def test_sharded_eval_bit_identical():
+    """ModelHandle.shard_over: raw + host-featurized eval paths over the
+    8-device mesh return byte-identical logits to single-device."""
+    import jax
+
+    from remora_tpu.data.encoded_kmers import compute_encoded_kmer_batch
+    from remora_tpu.infer.infer import ModelHandle, _infer_device_sharding
+    from remora_tpu.models import conv_lstm_model as M
+
+    batch, width, kmer_len = 64, 100, 9
+    max_seq = width // 5
+    params, bn = M.init(
+        jax.random.PRNGKey(0), size=16, kmer_len=kmer_len, num_out=2
+    )
+    meta = {
+        "kmer_context_bases": (4, 4), "chunk_len": width, "can_base": "C"
+    }
+    rng = np.random.default_rng(0)
+    sigs = rng.normal(size=(batch, 1, width)).astype(np.float32)
+    seq_lens = rng.integers(max_seq // 2, max_seq + 1, batch).astype(np.int32)
+    seqs = rng.integers(0, 4, (batch, max_seq + kmer_len - 1)).astype(np.int8)
+    maps = np.zeros((batch, max_seq + 1), np.int16)
+    for b in range(batch):
+        sl = seq_lens[b]
+        maps[b, 1:sl] = np.sort(rng.integers(0, width + 1, sl - 1))
+        maps[b, sl] = width
+
+    single = ModelHandle(M, params, bn, meta)
+    base_raw = np.asarray(single.eval_raw(sigs, seqs, maps, seq_lens))
+
+    dsh, repl = _infer_device_sharding(batch)
+    assert dsh is not None, "conftest should provide 8 CPU devices"
+    sharded = ModelHandle(M, params, bn, meta)
+    sharded.shard_over(dsh, repl)
+    out = sharded.eval_raw(sigs, seqs, maps, seq_lens)
+    assert len(out.sharding.device_set) == 8
+    assert np.array_equal(base_raw, np.asarray(out))
+
+    enc = compute_encoded_kmer_batch(4, 4, seqs, maps, seq_lens)
+    assert np.array_equal(
+        np.asarray(single.eval_fn(sigs, enc)),
+        np.asarray(sharded.eval_fn(sigs, enc)),
+    )
+
+
+def test_infer_device_sharding_resolution(monkeypatch):
+    from remora_tpu import RemoraError
+    from remora_tpu.infer.infer import _infer_device_sharding
+
+    monkeypatch.setenv("REMORA_TPU_INFER_DP", "0")
+    assert _infer_device_sharding(128) == (None, None)
+    monkeypatch.setenv("REMORA_TPU_INFER_DP", "4")
+    dsh, repl = _infer_device_sharding(128)
+    assert len(dsh.mesh.devices.ravel()) == 4
+    monkeypatch.setenv("REMORA_TPU_INFER_DP", "99")
+    with pytest.raises(RemoraError, match="local devices"):
+        _infer_device_sharding(128)
+    # non-divisible batch falls back to single device
+    monkeypatch.delenv("REMORA_TPU_INFER_DP")
+    assert _infer_device_sharding(50) == (None, None)
+
+
+def test_full_pipeline_sharded_tags_identical(
+    tmpdir_factory, trained_model, monkeypatch
+):
+    """The full streaming infer pipeline on an 8-device mesh writes
+    byte-identical MM/ML tags to the 1-device pipeline."""
+    from remora_tpu.infer.infer import ModelHandle, infer_from_pod5_and_bam
+
+    out_dir = tmpdir_factory.mktemp("infer_dp")
+
+    def run(tag, n_dev):
+        monkeypatch.setenv("REMORA_TPU_INFER_DP", str(n_dev))
+        out = out_dir / f"infer_{tag}.bam"
+        n = infer_from_pod5_and_bam(
+            pod5_path=f"{DATA}/can_reads.pod5",
+            in_bam_path=f"{DATA}/can_mappings.bam",
+            models=[ModelHandle.load(trained_model)],
+            out_bam_path=str(out),
+            batch_size=128,
+        )
+        assert n == 14
+        return _tags_by_read(str(out))
+
+    single = run("single", 1)
+    sharded = run("sharded", 8)
+    assert single == sharded
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_infer_merged_bam(tmpdir_factory, trained_model):
+    """Multi-host inference: 2 jax.distributed processes stripe the
+    reads, write per-host parts, and process 0 merges — the merged BAM
+    carries exactly the single-process record set with identical tags."""
+    port = _free_port()
+    out_dir = tmpdir_factory.mktemp("infer_mh")
+    merged = out_dir / "merged.bam"
+    worker = os.path.join(
+        os.path.dirname(__file__), "_dist_infer_worker.py"
+    )
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        JAX_NUM_CPU_DEVICES="4",
+    )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, worker, str(pid), str(port),
+                trained_model, f"{DATA}/can_reads.pod5",
+                f"{DATA}/can_mappings.bam", str(merged),
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("INFER_RESULT"):
+                kv = dict(f.split("=") for f in line.split()[1:])
+                results[int(kv["pid"])] = int(kv["n"])
+    # every process reports the GLOBAL merged record count
+    assert results == {0: 14, 1: 14}, outs
+    assert not (out_dir / "merged.bam.part0000").exists()
+    assert not (out_dir / "merged.bam.part0001").exists()
+
+    # single-process run for comparison (tags must be bit-identical)
+    from remora_tpu.infer.infer import ModelHandle, infer_from_pod5_and_bam
+
+    single = out_dir / "single.bam"
+    os.environ["REMORA_TPU_INFER_DP"] = "0"
+    try:
+        infer_from_pod5_and_bam(
+            pod5_path=f"{DATA}/can_reads.pod5",
+            in_bam_path=f"{DATA}/can_mappings.bam",
+            models=[ModelHandle.load(trained_model)],
+            out_bam_path=str(single),
+            batch_size=128,
+        )
+    finally:
+        os.environ.pop("REMORA_TPU_INFER_DP")
+    assert _tags_by_read(str(merged)) == _tags_by_read(str(single))

@@ -9,26 +9,8 @@ import pytest
 DATA = "/root/reference/tests/data"
 
 
-@pytest.fixture(scope="session")
-def trained_model(tmpdir_factory, chunks_config):
-    from remora_tpu.train.optim import TrainOpts
-    from remora_tpu.train.train import train_model
-
-    out = tmpdir_factory.mktemp("train_out")
-    train_model(
-        seed=42,
-        out_path=str(out),
-        remora_dataset_path=str(chunks_config),
-        chunk_context=(50, 50),
-        kmer_context_bases=(4, 4),
-        batch_size=32,
-        model_name="Conv_w_ref",
-        size=16,
-        train_opts=TrainOpts(epochs=3, early_stopping=0),
-        chunks_per_epoch=320,
-        num_test_chunks=40,
-    )
-    return os.path.join(str(out), "model_final.checkpoint")
+# trained_model is a session fixture in conftest.py (shared with the
+# DP-inference suite)
 
 
 @pytest.fixture(scope="session")
