@@ -240,13 +240,16 @@ def make_dp_train_step(model, tx, mesh, axis_name=DEFAULT_MESH_AXIS,
 
 
 def make_dp_eval_step(model, mesh, axis_name=DEFAULT_MESH_AXIS):
+    """Batch-sharded eval forward; logits replicate back to every host
+    (the per-batch logit tensor is tiny, and a replicated output is what
+    lets multihost validation write identical logs on every process)."""
     repl = replicated(mesh)
     dsh = data_sharding(mesh, axis_name)
 
     @partial(
         jax.jit,
         in_shardings=(repl, repl, dsh, dsh),
-        out_shardings=dsh,
+        out_shardings=repl,
     )
     def eval_step(params, bn_state, sigs, enc_kmers):
         logits, _ = model.forward(params, bn_state, sigs, enc_kmers,
@@ -254,3 +257,52 @@ def make_dp_eval_step(model, mesh, axis_name=DEFAULT_MESH_AXIS):
         return logits
 
     return eval_step
+
+
+def make_dp_eval_fn(model, mesh, axis_name=DEFAULT_MESH_AXIS):
+    """Validation eval_fn factory over a (possibly multi-host) mesh.
+
+    Returns ``eval_fn(params, bn_state, sigs, enc_kmers) -> np logits``
+    accepting ragged host batches: rows are padded to the device count,
+    sharded over the mesh (each process contributes only its 1/n_proc
+    slice — a process computes 1/n_proc of every validation batch,
+    SURVEY §2.3), and the replicated logits are fetched and sliced back.
+    The logits are bit-identical on every PROCESS (replicated output of
+    one global computation) and match the single-device
+    ``train.make_eval_step`` path to within a few ulp (row math is
+    identical; XLA codegen may tile reductions differently for the
+    per-shard shape). Reference analog of what this parallelizes:
+    ``src/remora/validate.py:190–259``.
+    """
+    step = make_dp_eval_step(model, mesh, axis_name)
+    dsh = data_sharding(mesh, axis_name)
+    n_dev = int(np.prod(mesh.devices.shape))
+    n_proc = jax.process_count()
+    multihost = n_proc > 1
+
+    def _pad(arr, n_rows):
+        pad = np.zeros((n_rows - arr.shape[0],) + arr.shape[1:], arr.dtype)
+        return np.concatenate([arr, pad])
+
+    def eval_fn(params, bn_state, sigs, enc_kmers):
+        sigs = np.asarray(sigs)
+        enc_kmers = np.asarray(enc_kmers)
+        n = sigs.shape[0]
+        n_full = -(-n // n_dev) * n_dev
+        if n_full != n:
+            sigs, enc_kmers = _pad(sigs, n_full), _pad(enc_kmers, n_full)
+        if multihost:
+            per = n_full // n_proc
+            lo = jax.process_index() * per
+            sigs, enc_kmers = (
+                jax.make_array_from_process_local_data(
+                    dsh, a[lo : lo + per]
+                )
+                for a in (sigs, enc_kmers)
+            )
+        else:
+            sigs = jax.device_put(sigs, dsh)
+            enc_kmers = jax.device_put(enc_kmers, dsh)
+        return np.asarray(step(params, bn_state, sigs, enc_kmers))[:n]
+
+    return eval_fn

@@ -611,11 +611,23 @@ def train_model(
                 "launch"
             )
             steps_per_launch = 1
-    eval_step = make_eval_step(model)
+    if mesh is not None:
+        # sharded validation: each eval batch splits over the mesh (and,
+        # multihost, each process feeds/computes only its 1/n_proc slice
+        # of every batch); logits — and therefore validation.log — are
+        # bit-identical ACROSS processes, and match the single-device
+        # path to within a few ulp (see make_dp_eval_fn)
+        dp_eval_fn = mesh_mod.make_dp_eval_fn(model, mesh)
 
-    def eval_fn(sigs, enc_kmers):
-        return eval_step(params, bn_state, jnp.asarray(sigs),
-                         jnp.asarray(enc_kmers))
+        def eval_fn(sigs, enc_kmers):
+            return dp_eval_fn(params, bn_state, sigs, enc_kmers)
+
+    else:
+        eval_step = make_eval_step(model)
+
+        def eval_fn(sigs, enc_kmers):
+            return eval_step(params, bn_state, jnp.asarray(sigs),
+                             jnp.asarray(enc_kmers))
 
     rolling_mads = None
     grad_threshs = None

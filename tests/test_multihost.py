@@ -402,3 +402,100 @@ def test_sharded_input_matches_single_process(can_chunks):
     assert abs(single_checksum - dist_checksums[0]) < 1e-4 * max(
         1.0, abs(single_checksum)
     ), (single_checksum, dist_checksums)
+
+
+def test_sharded_eval_fn_matches_single_device():
+    """make_dp_eval_fn over the 8-device mesh matches the single-device
+    eval step to within a few ulp, including ragged batches.
+
+    Row math is identical, but XLA's codegen (vector blocking, reduction
+    tiling) may differ between the full-batch and per-shard shapes, so
+    exact bit-equality across DIFFERENT shapes is not an XLA guarantee —
+    the cross-PROCESS bit-identity contract is covered by
+    test_two_process_sharded_validation_bit_identical."""
+    import jax
+    import numpy as np
+
+    from remora_tpu.models.registry import get_model
+    from remora_tpu.parallel import mesh as M
+    from remora_tpu.train.train import make_eval_step
+
+    model = get_model("Conv_w_ref")
+    params, bn = model.init(jax.random.PRNGKey(7), size=8, kmer_len=3)
+    single_step = make_eval_step(model)
+    mesh = M.make_mesh()
+    r_params = M.replicate(mesh, params)
+    r_bn = M.replicate(mesh, bn)
+    eval_fn = M.make_dp_eval_fn(model, mesh)
+    rng = np.random.default_rng(11)
+    for n_rows in (32, 37):  # divisible and ragged
+        sigs = rng.standard_normal((n_rows, 1, 100)).astype(np.float32)
+        kmers = rng.standard_normal((n_rows, 12, 100)).astype(np.float32)
+        base = np.asarray(single_step(params, bn, sigs, kmers))
+        sharded = eval_fn(r_params, r_bn, sigs, kmers)
+        assert sharded.shape == (n_rows, 2)
+        np.testing.assert_array_almost_equal_nulp(base, sharded, nulp=4)
+
+
+def test_two_process_sharded_validation_bit_identical(tmp_path):
+    """Multi-host validation: each process computes 1/2 of every eval
+    batch; the gathered logits on BOTH processes are byte-identical
+    (so every process writes the same validation.log) and match a
+    single-device evaluation of the same batches to within a few ulp
+    (XLA codegen varies with shard shape; the per-row math does not)."""
+    import numpy as np
+
+    port = _free_port()
+    worker = os.path.join(
+        os.path.dirname(__file__), "_dist_eval_worker.py"
+    )
+    dump = str(tmp_path / "eval_logits")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        JAX_NUM_CPU_DEVICES="4",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(port), dump],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    digests = {}
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+        for line in out.splitlines():
+            if line.startswith("EVAL_RESULT"):
+                kv = dict(f.split("=") for f in line.split()[1:])
+                digests[int(kv["pid"])] = kv["digests"]
+    assert set(digests) == {0, 1}, outs
+    # the multihost-consistency contract: identical logits bytes on
+    # every process => identical validation.log everywhere
+    assert digests[0] == digests[1]
+
+    # numeric equivalence against a single-device evaluation
+    import jax
+
+    from remora_tpu.models.registry import get_model
+    from remora_tpu.train.train import make_eval_step
+
+    model = get_model("Conv_w_ref")
+    params, bn = model.init(jax.random.PRNGKey(7), size=8, kmer_len=3)
+    step = make_eval_step(model)
+    rng = np.random.default_rng(11)
+    worker_logits = np.load(f"{dump}.pid0.npz")
+    for n_rows in (32, 37):
+        sigs = rng.standard_normal((n_rows, 1, 100)).astype(np.float32)
+        kmers = rng.standard_normal((n_rows, 12, 100)).astype(np.float32)
+        base = np.asarray(step(params, bn, sigs, kmers))
+        np.testing.assert_array_almost_equal_nulp(
+            base, worker_logits[f"logits_{n_rows}"], nulp=8
+        )
