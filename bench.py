@@ -11,6 +11,19 @@ Prints ONE JSON line:
 where vs_baseline = device_throughput / (5 * cpu_throughput): >= 1.0
 means the BASELINE.md target (>=5x CPU per chip) is met.
 
+The record additionally carries (BASELINE.md's full metric set + the
+environment fingerprint tying the number to a code state):
+  train_chunks_per_s_per_chip — full train step (on-device
+    featurization + fwd + bwd + AdamW, bf16, batch 2048), median of 3
+    100-iter stream-dispatched blocks;
+  hw_parity — pass/fail counts from the on-hardware parity suite
+    (REMORA_TPU_HW_TESTS=1 pytest tests/test_tpu_hardware.py), run by
+    the supervisor AFTER the measurement child exits (TPU clients must
+    be serialized on tunneled backends);
+  env — git SHA + dirty flag, device kind/count, jax version.
+Disable the extra legs with REMORA_TPU_BENCH_TRAIN=0 /
+REMORA_TPU_BENCH_HW=0.
+
 Capture is supervised: the measurement runs in a child process (fresh
 JAX backend init per attempt); the parent retries with backoff through
 transient tunnel outages (observed minutes-to-hours — see PERF.md) and
@@ -95,6 +108,125 @@ def _throughput(fwd, args, device, iters, repeats=1):
             dt = time.perf_counter() - t0
             samples.append(iters * sigs.shape[0] / dt)
     return samples if repeats > 1 else samples[0]
+
+
+def _train_throughput(iters=100, repeats=3):
+    """Full train-step throughput (chunks/s/chip): on-device
+    featurization + forward + backward + AdamW at production shapes,
+    bf16 compute. Stream-dispatched blocks (state chained through the
+    dispatches, ONE fence per block) — the schedule the real train loop
+    uses; methodology per benchmarks/bench_train.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from remora_tpu.models.registry import get_model
+    from remora_tpu.train.optim import TrainOpts
+    from remora_tpu.train.train import make_train_step_raw
+
+    M = get_model("ConvLSTM_w_ref")
+    B, W, K = 2048, 400, 9
+    S = W // 5
+    params, bn = M.init(jax.random.PRNGKey(0), size=64, kmer_len=K,
+                        num_out=2)
+    tx = TrainOpts().load_optimizer()
+    opt = tx.init(params)
+    rng = np.random.default_rng(0)
+    signal = jnp.asarray(rng.normal(size=(B, 1, W)).astype(np.float32))
+    seq_lens_h = rng.integers(S // 2, S + 1, B).astype(np.int16)
+    seqs = jnp.asarray(rng.integers(0, 4, (B, S + K - 1)).astype(np.int8))
+    maps_h = np.zeros((B, S + 1), np.int16)
+    for b in range(B):
+        sl = seq_lens_h[b]
+        maps_h[b, 1:sl] = np.sort(rng.integers(0, W + 1, sl - 1))
+        maps_h[b, sl] = W
+    maps = jnp.asarray(maps_h)
+    seq_lens = jnp.asarray(seq_lens_h)
+    labels = jnp.asarray(rng.integers(0, 2, B).astype(np.int64))
+
+    bb = K // 2
+    step = make_train_step_raw(
+        M, tx, (bb, K - 1 - bb), W, compute_dtype=jnp.bfloat16
+    )
+    p, bnn, o = params, bn, opt
+    p, bnn, o, loss, _nf, _gm = step(
+        p, bnn, o, signal, seqs, maps, seq_lens, labels
+    )
+    float(loss)  # compile + settle
+    samples = []
+    for _rep in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            p, bnn, o, loss, _nf, _gm = step(
+                p, bnn, o, signal, seqs, maps, seq_lens, labels
+            )
+        float(loss)  # completion fence
+        samples.append(iters * B / (time.perf_counter() - t0))
+    return samples
+
+
+def _env_fingerprint():
+    """Tie the capture to a code + library + device state
+    (advisor round 3: a throughput number without a fingerprint can't
+    be matched to the tree that produced it)."""
+    import jax
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    def _git(*args):
+        try:
+            out = subprocess.run(
+                ["git", *args], cwd=repo, capture_output=True, text=True,
+                timeout=30,
+            )
+            return out.stdout.strip() if out.returncode == 0 else None
+        except Exception:  # noqa: BLE001 — fingerprint is best-effort
+            return None
+
+    devs = jax.devices()
+    return {
+        "git_sha": _git("rev-parse", "HEAD"),
+        "git_dirty": bool(_git("status", "--porcelain")),
+        "jax": jax.__version__,
+        "device_kind": devs[0].device_kind,
+        "platform": devs[0].platform,
+        "local_device_count": jax.local_device_count(),
+    }
+
+
+def _run_hw_parity(timeout_s):
+    """Run the on-hardware parity suite in its own process and parse the
+    pass/fail counts. Runs AFTER the measurement child exits — two live
+    JAX clients wedge a tunneled TPU backend."""
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    suite = os.path.join(repo, "tests", "test_tpu_hardware.py")
+    env = dict(os.environ, REMORA_TPU_HW_TESTS="1")
+    env.pop(_CHILD_ENV, None)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", suite, "-q", "-p",
+             "no:cacheprovider"],
+            cwd=repo, env=env, capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"hw parity suite exceeded {timeout_s:.0f}s"}
+    counts = dict.fromkeys(("passed", "failed", "skipped", "error"), 0)
+    tail = (proc.stdout or "").strip().splitlines()
+    for line in reversed(tail[-5:]):
+        for num, kind in re.findall(r"(\d+) (passed|failed|skipped|error)",
+                                    line):
+            counts[kind] = int(num)
+        if any(counts.values()):
+            break
+    if not any(counts.values()):
+        return {
+            "error": "could not parse pytest summary",
+            "tail": "\n".join(tail[-3:])[-400:],
+        }
+    counts["returncode"] = proc.returncode
+    return counts
 
 
 def _start_watchdog():
@@ -188,7 +320,7 @@ def measure():
     vs_baseline = (
         dev_tp / (5.0 * cpu_tp) if cpu_tp else float("nan")
     )
-    return {
+    record = {
         "metric": METRIC,
         "value": round(dev_tp, 1),
         "unit": "chunks/s",
@@ -196,7 +328,18 @@ def measure():
         "spread_frac": round(spread, 3),
         "samples": [round(x, 1) for x in dev_samples],
         "platform": main_dev.platform,
+        "env": _env_fingerprint(),
     }
+    if on_accel and os.environ.get("REMORA_TPU_BENCH_TRAIN", "1") != "0":
+        try:
+            tr_samples = _train_throughput()
+            record["train_chunks_per_s_per_chip"] = round(
+                float(np.median(tr_samples)), 1
+            )
+            record["train_samples"] = [round(x, 1) for x in tr_samples]
+        except Exception as exc:  # noqa: BLE001 — train leg is additive
+            record["train_error"] = f"{type(exc).__name__}: {exc}"[:400]
+    return record
 
 
 def _child_main():
@@ -286,6 +429,14 @@ def _supervise():
         timeout_s = max(120.0, min(remaining - 60.0, per_attempt))
         record, diag = _run_child(timeout_s)
         if record is not None and "error" not in record:
+            if (
+                record.get("platform") != "cpu"
+                and os.environ.get("REMORA_TPU_BENCH_HW", "1") != "0"
+            ):
+                hw_budget = min(
+                    1800.0, max(180.0, deadline - time.monotonic() - 60)
+                )
+                record["hw_parity"] = _run_hw_parity(hw_budget)
             record["attempts"] = attempt_no
             record["elapsed_s"] = round(time.monotonic() - t_start, 1)
             _emit(record)
