@@ -10,13 +10,117 @@ the index pass decompresses each BGZF block exactly once and offsets are
 plain byte positions into the decompressed stream.
 """
 
+import json
+import os
+import tempfile
 from dataclasses import dataclass, field
 from typing import Callable
+
+import numpy as np
 
 from remora_tpu import RemoraError, log
 from remora_tpu.io.bam import FastBamScanner
 
 LOGGER = log.get_logger()
+
+_INDEX_CACHE_VERSION = 1
+
+
+def _index_cache_path(bam_path):
+    """Cache file under the user cache dir (never beside the BAM — data
+    directories are often shared/read-only and must not be written to).
+    REMORA_TPU_BAM_INDEX_CACHE_DIR overrides the location."""
+    import hashlib
+
+    cache_dir = os.getenv(
+        "REMORA_TPU_BAM_INDEX_CACHE_DIR",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "remora_tpu", "bam_index"
+        ),
+    )
+    key = hashlib.sha256(
+        os.path.abspath(bam_path).encode()
+    ).hexdigest()[:24]
+    stem = os.path.basename(bam_path)
+    return os.path.join(cache_dir, f"{stem}.{key}.rtidx.npz")
+
+
+def _cache_meta(bam_path, req_key):
+    st = os.stat(bam_path)
+    return {
+        "version": _INDEX_CACHE_VERSION,
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "req_tags": req_key,
+    }
+
+
+def _load_index_cache(bam_path, req_key):
+    """Cached pre-filter scan columns, or None on any miss/mismatch.
+
+    The cache stores the raw per-record scan output (offsets, flags,
+    names, parent ids, required-tag presence) BEFORE the runtime-only
+    filters (_admit), so one cache file serves every filter
+    configuration with the same required-tag set. Keyed by the BAM's
+    (size, mtime) — a rewritten file invalidates it. Kill switch:
+    REMORA_TPU_BAM_INDEX_CACHE=0.
+    """
+    if os.getenv("REMORA_TPU_BAM_INDEX_CACHE", "1") == "0":
+        return None
+    path = _index_cache_path(bam_path)
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            if meta != _cache_meta(bam_path, req_key):
+                return None
+            offsets = z["offsets"]
+            flags = z["flags"]
+            names = z["names"].tolist()
+            pis_raw = z["pis"].tolist()
+            pi_none = z["pi_none"]
+            has_req = z["has_req"]
+    except (OSError, KeyError, ValueError):
+        return None
+    pis = [
+        None if none else pi for pi, none in zip(pis_raw, pi_none)
+    ]
+    return offsets, flags, names, pis, has_req
+
+
+def _save_index_cache(bam_path, req_key, res):
+    """Best-effort atomic cache write (unwritable cache dirs are
+    silently skipped)."""
+    if os.getenv("REMORA_TPU_BAM_INDEX_CACHE", "1") == "0":
+        return
+    offsets, flags, names, pis, has_req = res
+    path = _index_cache_path(bam_path)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(path),
+            prefix=os.path.basename(path) + ".",
+        )
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(
+                fh,
+                meta=json.dumps(_cache_meta(bam_path, req_key)),
+                offsets=np.asarray(offsets, np.int64),
+                flags=np.asarray(flags, np.uint16),
+                names=np.asarray(names, dtype=str),
+                pis=np.asarray(
+                    ["" if p is None else p for p in pis], dtype=str
+                ),
+                pi_none=np.asarray([p is None for p in pis], bool),
+                has_req=np.asarray(has_req, bool),
+            )
+        os.replace(tmp, path)
+        LOGGER.debug(f"BAM index cache written: {path}")
+    except OSError as e:
+        LOGGER.debug(f"BAM index cache not written ({e})")
+        try:
+            os.unlink(tmp)
+        except (OSError, UnboundLocalError):
+            pass
 
 
 def read_is_primary(read):
@@ -159,18 +263,29 @@ class ReadIndexedBam:
 
     def _compute_read_index_native(self):
         """Index via the C++ whole-file scan (io.native.bam_scan_index);
-        returns False to fall back to the Python record decode."""
-        from remora_tpu.io.native import bam_scan_index
+        returns False to fall back to the Python record decode.
 
-        try:
-            res = bam_scan_index(
-                self.bam_path, tuple(sorted(self.req_tags or ()))
-            )
-        except Exception as e:
-            LOGGER.debug(f"native index scan failed: {e}")
-            return False
+        The pre-filter scan columns persist next to the BAM
+        (``<bam>.rtidx.npz``) so repeated pipeline runs over the same
+        file skip the whole-file scan — it was ~3s of spinup per
+        streaming-infer invocation on the 400-read bench set."""
+        req_key = ",".join(sorted(self.req_tags or ()))
+        suffix = " (cached index)"
+        res = _load_index_cache(self.bam_path, req_key)
         if res is None:
-            return False
+            from remora_tpu.io.native import bam_scan_index
+
+            suffix = " (native scan)"
+            try:
+                res = bam_scan_index(
+                    self.bam_path, tuple(sorted(self.req_tags or ()))
+                )
+            except Exception as e:
+                LOGGER.debug(f"native index scan failed: {e}")
+                return False
+            if res is None:
+                return False
+            _save_index_cache(self.bam_path, req_key, res)
         offsets, flags, names, pis, has_req = res
         bam_idx = {}
         skip_reasons = {}
@@ -190,7 +305,7 @@ class ReadIndexedBam:
             )
             if key is not None:
                 bam_idx.setdefault(key, []).append(int(off))
-        self._finish_index(bam_idx, skip_reasons, suffix=" (native scan)")
+        self._finish_index(bam_idx, skip_reasons, suffix=suffix)
         return True
 
     def get_alignments(self, read_id):
