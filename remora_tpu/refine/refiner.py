@@ -584,8 +584,6 @@ class SigMapRefiner:
         import jax
         import jax.numpy as jnp
 
-        from remora_tpu.kernels.pallas_dp import banded_dp_batch_pallas
-
         interpret = _device_dp_interpret()
         n_iters = max(self.scale_iters, 1)
         rescale_each = self.scale_iters > 0
@@ -637,71 +635,98 @@ class SigMapRefiner:
                     f"({REFINE_DEVICE_MAX_BAND}); read mapping likely "
                     "contains large deletions/stays"
                 )
-            n_act = max(states[r]["levels"].size for r in active)
-            starts = np.zeros((len(active), n_act), np.int32)
-            widths = np.ones((len(active), n_act), np.int32)
-            seq_lens = np.zeros(len(active), np.int32)
-            for a, (r, bd) in enumerate(zip(active, bands)):
-                n = states[r]["levels"].size
-                starts[a, :n] = bd[0]
-                widths[a, :n] = bd[1] - bd[0]
-                if n < n_act:
-                    starts[a, n:] = bd[1][-1] - 1
-                seq_lens[a] = n
-            if single_round:
-                # exact single-read normalization semantics (host float64
-                # broadcast then float32 cast) — bit-identical paths
-                s_act = max(states[r]["dacs"].size for r in active)
-                norm = np.zeros((len(active), s_act), np.float32)
-                lvls = np.zeros((len(active), n_act), np.float32)
-                for a, r in enumerate(active):
-                    st = states[r]
-                    norm[a, : st["dacs"].size] = (
-                        st["dacs"] - st["shift"]
-                    ) / st["scale"]
-                    lv = np.nan_to_num(st["levels"], nan=0.0)
-                    lvls[a, : lv.size] = lv
-            else:
-                rows = jnp.asarray(np.asarray(active, np.int32))
-                shifts = jnp.asarray(
-                    np.asarray([states[r]["shift"] for r in active],
-                               np.float32)
+            # bucket reads by quantized band width: the kernel pads every
+            # base of every read in a launch to the launch's max W, so
+            # one wide-band read would make every narrow read pay its
+            # compute (real sets span 16..512 — measured on the bundled
+            # reads, PERF.md round 4); power-of-two buckets also reuse
+            # compiled executables across launches
+            buckets = {}
+            for r, bd in zip(active, bands):
+                w_read = max(16, int((bd[1] - bd[0]).max()))
+                w_bucket = 1 << (w_read - 1).bit_length()
+                buckets.setdefault(w_bucket, []).append((r, bd))
+            for bucket in buckets.values():
+                self._launch_dp_bucket(
+                    states, bucket, single_round, rescale_each,
+                    sig_dev, lvl_dev, interpret,
                 )
-                scales = jnp.asarray(
-                    np.asarray([states[r]["scale"] for r in active],
-                               np.float32)
-                )
-                norm = (sig_dev[rows] - shifts[:, None]) / scales[:, None]
-                lvls = lvl_dev[rows, :n_act]
-            paths, _tb, _ = banded_dp_batch_pallas(
-                norm,
-                lvls,
-                starts,
-                widths,
-                seq_lens,
-                jnp.asarray(self.sd_arr, jnp.float32),
-                algo=self.algo,
-                w_max=int(widths.max()),
-                interpret=interpret,
-            )
-            paths = np.asarray(paths)
+
+    def _launch_dp_bucket(self, states, bucket, single_round,
+                          rescale_each, sig_dev, lvl_dev, interpret):
+        """One Pallas DP launch for a width-bucketed subset of reads,
+        followed by the per-read precise rescale."""
+        import jax.numpy as jnp
+
+        from remora_tpu.kernels.pallas_dp import banded_dp_batch_pallas
+
+        active = [r for r, _bd in bucket]
+        bands = [bd for _r, bd in bucket]
+        n_act = max(states[r]["levels"].size for r in active)
+        starts = np.zeros((len(active), n_act), np.int32)
+        widths = np.ones((len(active), n_act), np.int32)
+        seq_lens = np.zeros(len(active), np.int32)
+        for a, (r, bd) in enumerate(zip(active, bands)):
+            n = states[r]["levels"].size
+            starts[a, :n] = bd[0]
+            widths[a, :n] = bd[1] - bd[0]
+            if n < n_act:
+                starts[a, n:] = bd[1][-1] - 1
+            seq_lens[a] = n
+        if single_round:
+            # exact single-read normalization semantics (host float64
+            # broadcast then float32 cast) — bit-identical paths
+            s_act = max(states[r]["dacs"].size for r in active)
+            norm = np.zeros((len(active), s_act), np.float32)
+            lvls = np.zeros((len(active), n_act), np.float32)
             for a, r in enumerate(active):
                 st = states[r]
-                # int32, matching the single-read path's return dtype
-                st["map"] = paths[a, : seq_lens[a] + 1].copy()
-                if not rescale_each:
-                    continue
-                try:
-                    st["shift"], st["scale"] = self.rescale(
-                        st["levels"],
-                        st["dacs"],
-                        st["shift"],
-                        st["scale"],
-                        st["map"],
-                    )
-                except RemoraError as err:
-                    LOGGER.debug(f"precise re-scale skipped: {err}")
-                    st["done"] = True
+                norm[a, : st["dacs"].size] = (
+                    st["dacs"] - st["shift"]
+                ) / st["scale"]
+                lv = np.nan_to_num(st["levels"], nan=0.0)
+                lvls[a, : lv.size] = lv
+        else:
+            rows = jnp.asarray(np.asarray(active, np.int32))
+            shifts = jnp.asarray(
+                np.asarray([states[r]["shift"] for r in active],
+                           np.float32)
+            )
+            scales = jnp.asarray(
+                np.asarray([states[r]["scale"] for r in active],
+                           np.float32)
+            )
+            norm = (sig_dev[rows] - shifts[:, None]) / scales[:, None]
+            lvls = lvl_dev[rows, :n_act]
+        paths, _tb, _ = banded_dp_batch_pallas(
+            norm,
+            lvls,
+            starts,
+            widths,
+            seq_lens,
+            jnp.asarray(self.sd_arr, jnp.float32),
+            algo=self.algo,
+            w_max=int(widths.max()),
+            interpret=interpret,
+        )
+        paths = np.asarray(paths)
+        for a, r in enumerate(active):
+            st = states[r]
+            # int32, matching the single-read path's return dtype
+            st["map"] = paths[a, : seq_lens[a] + 1].copy()
+            if not rescale_each:
+                continue
+            try:
+                st["shift"], st["scale"] = self.rescale(
+                    st["levels"],
+                    st["dacs"],
+                    st["shift"],
+                    st["scale"],
+                    st["map"],
+                )
+            except RemoraError as err:
+                LOGGER.debug(f"precise re-scale skipped: {err}")
+                st["done"] = True
 
     # --- (de)serialization ---
     # metadata key <-> constructor kwarg; key names are the on-disk

@@ -119,3 +119,25 @@ def trained_model(tmpdir_factory, chunks_config):
         num_test_chunks=40,
     )
     return os.path.join(str(out), "model_final.checkpoint")
+
+
+@pytest.fixture(scope="session")
+def levels_table(tmpdir_factory):
+    """3-mer expected-level table estimated from the bundled reads
+    (shared by the refine-ETL and drift-characterization suites)."""
+    from remora_tpu.analyze.kmer_levels import estimate_kmer_levels
+
+    out = tmpdir_factory.mktemp("levels") / "levels.txt"
+    estimate_kmer_levels(
+        pod5_and_bams=[
+            (str(DATA_DIR / "can_reads.pod5"),
+             str(DATA_DIR / "can_mappings.bam"))
+        ],
+        out_path=str(out),
+        kmer_context_bases=(1, 1),
+        min_coverage=3,
+        chunk_len=2000,
+        max_chunk_coverage=50,
+        num_workers=2,
+    )
+    return str(out)

@@ -7,21 +7,8 @@ import pytest
 DATA = "/root/reference/tests/data"
 
 
-@pytest.fixture(scope="session")
-def levels_table(tmpdir_factory):
-    from remora_tpu.analyze.kmer_levels import estimate_kmer_levels
-
-    out = tmpdir_factory.mktemp("levels") / "levels.txt"
-    estimate_kmer_levels(
-        pod5_and_bams=[(f"{DATA}/can_reads.pod5", f"{DATA}/can_mappings.bam")],
-        out_path=str(out),
-        kmer_context_bases=(1, 1),
-        min_coverage=3,
-        chunk_len=2000,
-        max_chunk_coverage=50,
-        num_workers=2,
-    )
-    return str(out)
+# levels_table is a session fixture in conftest.py (shared with the
+# drift-characterization suite)
 
 
 def test_levels_table_complete(levels_table):
