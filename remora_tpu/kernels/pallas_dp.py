@@ -63,7 +63,7 @@ def _shift_up(x, k, fill):
 
 
 def _stay_fold(base_ref, cand_ref, ctb_ref, out_s_ref, out_t_ref, W,
-               p0c=None):
+               p0c=None, n_groups=None):
     """Exact sequential stay-chain fold over the band rows.
 
     Reproduces the reference Cython's left-to-right recurrence bit-for-
@@ -71,6 +71,14 @@ def _stay_fold(base_ref, cand_ref, ctb_ref, out_s_ref, out_t_ref, W,
     improvement (``p0c is None``), or taken unconditionally below the
     per-lane row threshold ``p0c`` (the past-band stay-only suffix).
     Writes scores/tb per row; rows processed in groups of 8.
+
+    ``n_groups`` (traced) bounds the fold to the rows any lane actually
+    needs THIS base: real-read bands vary per base (median ~110, p99
+    ~290 at the default settings — PERF.md round 4), and this fold is
+    the kernel's serial bottleneck, so iterating to the static padded W
+    for every base costs ~2x the needed work. Rows past the bound keep
+    stale scratch — callers mask scores with ``rows < w`` and the
+    traceback only ever indexes rows inside a base's band.
     """
     G = 8
 
@@ -94,7 +102,7 @@ def _stay_fold(base_ref, cand_ref, ctb_ref, out_s_ref, out_t_ref, W,
 
     jax.lax.fori_loop(
         0,
-        W // G,
+        W // G if n_groups is None else n_groups,
         group,
         (
             jnp.full((1, LANES), jnp.inf, jnp.float32),
@@ -256,13 +264,17 @@ def _forward_kernel(sdp_ref, stage_ref, seglo_ref, st_ref, wd_ref,
         prev_last = _select_row(prev, prev_valid - 1)
         prev_g = _band_align(prev, bsd)
 
+        # fold only the rows any lane needs at THIS base (see _stay_fold)
+        n_groups = (jnp.max(w) + 7) // 8
+
         # Viterbi pass (also the dwell algo's unpenalized fallback):
         # per-row move candidates, then the exact stay-chain fold
         mv, mv_tb = _move_entries(prev_g, prev_valid, prev_last, base,
                                   bsd, w)
         mv_ref[:] = mv
         ti_ref[:] = mv_tb
-        _stay_fold(b_ref, mv_ref, ti_ref, sc_ref, ts_ref, W)
+        _stay_fold(b_ref, mv_ref, ti_ref, sc_ref, ts_ref, W,
+                   n_groups=n_groups)
 
         if dwell:
             unpen = sc_ref[:]
@@ -275,7 +287,8 @@ def _forward_kernel(sdp_ref, stage_ref, seglo_ref, st_ref, wd_ref,
             # main-region row
             mv_ref[:] = curr
             ti_ref[:] = tb
-            _stay_fold(b_ref, mv_ref, ti_ref, sc_ref, ts_ref, W, p0c=p0c)
+            _stay_fold(b_ref, mv_ref, ti_ref, sc_ref, ts_ref, W, p0c=p0c,
+                       n_groups=n_groups)
 
         scores = jnp.where(band_rows < w, sc_ref[:], BIG)
         tb_ref[k] = ts_ref[:]

@@ -89,3 +89,40 @@ def test_pallas_dp_matches_host(algo):
     dev_paths = refine_batch_pallas(reads, sdp, algo=algo, interpret=True)
     for hp, dp_ in zip(host_paths, dev_paths):
         assert np.array_equal(hp, dp_)
+
+
+@pytest.mark.parametrize("algo", ["Viterbi", "dwell_penalty"])
+def test_pallas_dp_heterogeneous_band_widths(algo):
+    """Lanes with wildly different band widths in ONE launch: the
+    per-base dynamic fold bound (max w across lanes) must leave every
+    narrow lane's scores exact while wide lanes fold further; rows past
+    the bound hold stale scratch that must never leak into a path."""
+    rng = np.random.default_rng(23)
+    sdp = compute_dwell_pen_array(4, 3, 0.5)
+    reads, host_paths = [], []
+    # samples-per-base regimes: uniform-short, one long stall, mixed
+    for kind in range(6):
+        seq_len = int(rng.integers(10, 24))
+        if kind % 3 == 0:
+            spb = rng.integers(1, 5, seq_len)
+        elif kind % 3 == 1:
+            spb = rng.integers(1, 5, seq_len)
+            spb[seq_len // 2] = 220  # one long stall -> one wide band
+        else:
+            spb = rng.integers(1, 40, seq_len)
+        bps = np.concatenate([[0], np.cumsum(spb)]).astype(np.int64)
+        levels = rng.normal(size=seq_len).astype(np.float32)
+        signal = rng.normal(size=int(bps[-1])).astype(np.float32)
+        sig_band = compute_sig_band(bps, levels, bhw=5)
+        seq_band = convert_to_seq_band(sig_band)
+        adjust_seq_band(seq_band)
+        reads.append((signal, levels, seq_band))
+        _s, p, _t, _o = host_dp.seq_banded_dp(
+            signal, levels, seq_band, sdp, algo
+        )
+        host_paths.append(p)
+    widths = [int((sb[1] - sb[0]).max()) for _s, _l, sb in reads]
+    assert max(widths) > 4 * min(widths), widths  # the point of the test
+    dev_paths = refine_batch_pallas(reads, sdp, algo=algo, interpret=True)
+    for hp, dp_ in zip(host_paths, dev_paths):
+        assert np.array_equal(hp, dp_)
