@@ -86,13 +86,23 @@ def extract_chunks_batch(
     sig_start = centers - before
     sig_end = centers + after
 
-    # signal windows, zero-padded at read edges
+    # signal windows, zero-padded at read edges; only edge-clipped rows
+    # (rare: focus bases within chunk_context of a read end) pay the
+    # masked-clip path — interior rows are a plain gather, which halves
+    # the prep stage's biggest single cost (PERF.md round 4)
     col = np.arange(W)[None, :]
-    idx = sig_start[:, None] + col
-    valid = (idx >= 0) & (idx < sig_len)
-    signal = np.where(valid, sig[np.clip(idx, 0, sig_len - 1)], 0.0).astype(
-        np.float32
-    )
+    edge_rows = (sig_start < 0) | (sig_end > sig_len)
+    if not edge_rows.any():
+        signal = sig[sig_start[:, None] + col].astype(np.float32)
+    else:
+        interior = ~edge_rows
+        signal = np.empty((focus_bases.size, W), np.float32)
+        signal[interior] = sig[sig_start[interior][:, None] + col]
+        eidx = sig_start[edge_rows][:, None] + col
+        valid = (eidx >= 0) & (eidx < sig_len)
+        signal[edge_rows] = np.where(
+            valid, sig[np.clip(eidx, 0, sig_len - 1)], 0.0
+        )
 
     # reference parity: edge chunks clamp the window bounds BEFORE the
     # sequence-range searchsorted (extract_chunk's padding branch)
