@@ -189,9 +189,60 @@ def _cbs_bwd(stride, eps, res, cts):
 _cbs_core.defvjp(_cbs_fwd, _cbs_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _cbs_core_resid(stride, eps, w, b, gamma, beta, x):
+    """_cbs_core variant whose backward reads a saved ``xhat`` residual
+    instead of recomputing the conv + normalization. Same math, one
+    fewer pass over the big activation per layer in backward, at the
+    cost of one residual write in forward (the better trade when the
+    backward fusions dominate the step — select with
+    REMORA_TPU_CONVBN=fused_resid)."""
+    del b
+    out, mu, var, _r = _cbs_math(stride, eps, w, gamma, beta, x)
+    return out, mu, var
+
+
+def _cbs_fwd_resid(stride, eps, w, b, gamma, beta, x):
+    del b
+    y = _conv_nobias(w, x, stride)
+    mu = jnp.mean(y, (0, 2))
+    var = jnp.var(y, (0, 2))
+    r = jax.lax.rsqrt(var + eps)
+    xhat = (y - mu[None, :, None]) * r[None, :, None]
+    z = gamma[None, :, None] * xhat + beta[None, :, None]
+    out = z * jax.nn.sigmoid(z)
+    return (out, mu, var), (w, gamma, beta, x, xhat, r)
+
+
+def _cbs_bwd_resid(stride, eps, res, cts):
+    dout = cts[0]
+    w, gamma, beta, x, xhat, r = res
+    z = gamma[None, :, None] * xhat + beta[None, :, None]
+    s = jax.nn.sigmoid(z)
+    dz = dout * (s + z * s * (1.0 - s))
+    dgamma = jnp.sum(dz * xhat, (0, 2))
+    dbeta = jnp.sum(dz, (0, 2))
+    n = xhat.shape[0] * xhat.shape[2]
+    gr = gamma * r
+    dy = gr[None, :, None] * (
+        dz
+        - (dbeta / n)[None, :, None]
+        - xhat * (dgamma / n)[None, :, None]
+    )
+    db = jnp.sum(dy, (0, 2))
+    _, conv_vjp = jax.vjp(
+        lambda w_, x_: _conv_nobias(w_, x_, stride), w, x
+    )
+    dw, dx = conv_vjp(dy)
+    return dw, db, dgamma, dbeta, dx
+
+
+_cbs_core_resid.defvjp(_cbs_fwd_resid, _cbs_bwd_resid)
+
+
 def _convbn_impl():
     mode = os.environ.get("REMORA_TPU_CONVBN", "auto")
-    if mode in ("plain", "remat", "fused"):
+    if mode in ("plain", "remat", "fused", "fused_resid"):
         return mode
     try:
         dd = jax.config.jax_default_device
@@ -235,7 +286,8 @@ def conv_bn_swish(conv_params, bn_params, state, x, stride=1, train=False,
                 _cbs_plain, stride=stride, momentum=momentum, eps=eps
             )
         )(conv_params, bn_params, state, x)
-    out, mu, var = _cbs_core(
+    core = _cbs_core_resid if impl == "fused_resid" else _cbs_core
+    out, mu, var = core(
         stride,
         eps,
         conv_params["w"],

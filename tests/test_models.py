@@ -138,11 +138,13 @@ def test_checkpoint_roundtrip(tmp_path):
             )
 
 
-@pytest.mark.parametrize("impl", ["remat", "fused"])
+@pytest.mark.parametrize("impl", ["remat", "fused", "fused_resid"])
 def test_conv_bn_swish_impl_parity(impl):
     """The fused/remat conv+BN+swish blocks match the plain path:
     outputs, running-state update, and every gradient (remat exactly;
-    fused to fp-rounding — it reassociates the bias/stat arithmetic)."""
+    fused/fused_resid to fp-rounding — they reassociate the bias/stat
+    arithmetic; fused_resid additionally reads a saved xhat residual in
+    backward instead of recomputing the conv)."""
     rng = jax.random.PRNGKey(7)
     k1, k2 = jax.random.split(rng)
     conv_p = L.conv1d_init(k1, 16, 32, 9)
@@ -169,7 +171,7 @@ def test_conv_bn_swish_impl_parity(impl):
     l1, o1, s1, g1 = run(impl)
     # remat re-derives the same math (ULP-level fusion differences
     # only); fused reassociates the bias/stat arithmetic
-    tol = 1e-6 if impl == "remat" else 1e-5
+    tol = 1e-6 if impl == "remat" else 1e-5  # fused* reassociate
     assert abs(float(l0 - l1)) <= tol
     assert float(jnp.max(jnp.abs(o0 - o1))) <= tol
     for key in ("mean", "var"):
