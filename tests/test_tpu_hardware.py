@@ -321,3 +321,44 @@ def test_hw_conv_bn_swish_fused_parity():
                     jax.tree_util.tree_leaves(g1)):
         scale = float(jnp.max(jnp.abs(a))) + 1e-3
         assert float(jnp.max(jnp.abs(a - b))) <= 1e-3 * scale + 1e-5
+
+
+def test_hw_pallas_dp_kilowide_band():
+    """A ~1000-sample stall (band width ~1024) through the device DP on
+    real hardware: VMEM feasibility + path exactness at the geometry
+    that motivates raising REFINE_DEVICE_MAX_BAND past 512 (43% of the
+    bundled real reads exceed 512 — PERF.md round 4)."""
+    from remora_tpu.kernels.pallas_dp import refine_batch_pallas
+    from remora_tpu.refine import dp as host_dp
+    from remora_tpu.refine.band import (
+        adjust_seq_band,
+        compute_sig_band,
+        convert_to_seq_band,
+    )
+    from remora_tpu.refine.refiner import compute_dwell_pen_array
+
+    rng = np.random.default_rng(3)
+    sdp = compute_dwell_pen_array(4, 3, 0.5)
+    reads = []
+    for stall in (1000, 700):
+        seq_len = 40
+        spb = rng.integers(1, 8, seq_len)
+        spb[seq_len // 3] = stall
+        bps = np.concatenate([[0], np.cumsum(spb)]).astype(np.int64)
+        levels = rng.normal(size=seq_len).astype(np.float32)
+        signal = rng.normal(size=int(bps[-1])).astype(np.float32)
+        sig_band = compute_sig_band(bps, levels, bhw=5)
+        seq_band = convert_to_seq_band(sig_band)
+        adjust_seq_band(seq_band)
+        reads.append((signal, levels, seq_band))
+    w = max(int((bd[1] - bd[0]).max()) for _s, _l, bd in reads)
+    assert w > 900, w
+    host_paths = [
+        host_dp.seq_banded_dp(sig, lv, bd, sdp, "dwell_penalty")[1]
+        for sig, lv, bd in reads
+    ]
+    dev_paths = refine_batch_pallas(
+        reads, sdp, algo="dwell_penalty", interpret=False
+    )
+    for hp, dp_ in zip(host_paths, dev_paths):
+        assert np.array_equal(hp, dp_)
