@@ -75,8 +75,11 @@ REFINE_DEVICE_READ_BATCH = 64
 # widest per-base band the single-launch Pallas DP accepts: the kernel's
 # VMEM blocks scale with the band width, and degenerate mappings (large
 # deletions/stays) can demand bands of thousands of columns that blow
-# the 16MB scoped-vmem budget — such batches fall back to the host DP
-REFINE_DEVICE_MAX_BAND = 512
+# the 16MB scoped-vmem budget — such reads route to the host DP.
+# 1024 is hardware-measured feasible with the int16 traceback blocks
+# (i32 overflowed scoped VMEM by 3.3MB at W=1040); on the bundled real
+# reads this cap routes 18% of reads to host vs 43% at 512 (PERF.md)
+REFINE_DEVICE_MAX_BAND = 1024
 DEFAULT_ROUGH_RESCALE_METHOD = ROUGH_RESCALE_LEAST_SQUARES
 
 PA_TO_NORM_SCALING_FACTOR = 1.4826

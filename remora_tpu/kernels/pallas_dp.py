@@ -291,7 +291,12 @@ def _forward_kernel(sdp_ref, stage_ref, seglo_ref, st_ref, wd_ref,
                        n_groups=n_groups)
 
         scores = jnp.where(band_rows < w, sc_ref[:], BIG)
-        tb_ref[k] = ts_ref[:]
+        # int16 traceback: entries are stay counts / dwell codes bounded
+        # by the band width (<= the 2048 cap), and halving the
+        # double-buffered (K, W, LANES) output block is what fits
+        # W=1024+ under the 16MB scoped-VMEM limit (measured: i32 blocks
+        # overflow by 3.3MB at W=1040)
+        tb_ref[k] = ts_ref[:].astype(jnp.int16)
         prev_ref[:] = scores
         meta_ref[0, :] = st[0]
         meta_ref[1, :] = w[0]
@@ -407,7 +412,7 @@ def _dp_jit(signal, levels, band_starts, band_widths, seq_lens, sdp,
         ],
         out_specs=pl.BlockSpec((K, W, LANES), lambda r, c: (c, 0, r),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, W, R), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((N, W, R), jnp.int16),
         scratch_shapes=[
             pltpu.VMEM((W, LANES), jnp.float32),
             pltpu.VMEM((8, LANES), jnp.int32),
