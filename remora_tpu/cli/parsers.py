@@ -1065,7 +1065,19 @@ def run_validate_from_dataset(args):
         else None
     )
     logger_obj = ValidationLogger(out_fp, full_fh)
-    fwd = make_model_eval_fn(model, params, bn_state)
+    # shard eval batches over all local devices (rows are independent in
+    # the eval forward — logits identical to single-device; the
+    # REMORA_TPU_INFER_DP override applies here too)
+    from remora_tpu.infer.infer import _infer_device_sharding
+
+    in_sharding, repl_sharding = _infer_device_sharding(args.batch_size)
+    if in_sharding is not None:
+        import jax
+
+        params = jax.device_put(params, repl_sharding)
+        bn_state = jax.device_put(bn_state, repl_sharding)
+    fwd = make_model_eval_fn(model, params, bn_state,
+                             in_sharding=in_sharding)
 
     def eval_fn(sigs, enc_kmers):
         n = sigs.shape[0]
