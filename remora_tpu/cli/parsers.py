@@ -812,7 +812,9 @@ def register_infer_from_pod5_and_bam(ssub):
         "--coordinator-address",
         help="host:port for jax.distributed (multi-host inference: each "
         "host streams a disjoint read stripe and process 0 merges the "
-        "per-host BAM parts)",
+        "per-host BAM parts — --out-bam must be on storage shared by "
+        "all hosts, else the parts are left in place for a manual "
+        "merge)",
     )
     dist.add_argument("--num-processes", type=int)
     dist.add_argument("--process-id", type=int)
@@ -1079,18 +1081,17 @@ def run_validate_from_dataset(args):
     fwd = make_model_eval_fn(model, params, bn_state,
                              in_sharding=in_sharding)
 
+    from remora_tpu.core.util import pad_rows
+
     def eval_fn(sigs, enc_kmers):
         n = sigs.shape[0]
         if n < args.batch_size:
-            pad_s = np.zeros(
-                (args.batch_size,) + sigs.shape[1:], dtype=sigs.dtype
-            )
-            pad_k = np.zeros(
-                (args.batch_size,) + enc_kmers.shape[1:], dtype=enc_kmers.dtype
-            )
-            pad_s[:n] = sigs
-            pad_k[:n] = enc_kmers
-            return np.asarray(fwd(pad_s, pad_k))[:n]
+            return np.asarray(
+                fwd(
+                    pad_rows(sigs, args.batch_size),
+                    pad_rows(enc_kmers, args.batch_size),
+                )
+            )[:n]
         return np.asarray(fwd(sigs, enc_kmers))
 
     ms = logger_obj.validate_model(

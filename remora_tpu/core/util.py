@@ -42,3 +42,15 @@ def to_str(value):
         return value.decode()
     except AttributeError:
         return str(value)
+
+
+def pad_rows(arr, n_rows):
+    """Zero-pad a host array's leading axis up to ``n_rows`` (shared by
+    every ragged-batch path that must hit a fixed compiled shape)."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    if arr.shape[0] >= n_rows:
+        return arr
+    pad = np.zeros((n_rows - arr.shape[0],) + arr.shape[1:], arr.dtype)
+    return np.concatenate([arr, pad])

@@ -29,7 +29,7 @@ from remora_tpu.core.pipeline import (
 )
 from remora_tpu.core.seq import Motif, revcomp
 from remora_tpu.core.tags import format_mm_ml_tags, mods_tags_to_str, softmax
-from remora_tpu.core.util import human_format
+from remora_tpu.core.util import human_format, pad_rows
 from remora_tpu.data.dataset import CoreDataset
 from remora_tpu.data.metadata import DatasetMetadata
 from remora_tpu.io.bam import BamWriter, FastBamScanner
@@ -425,7 +425,7 @@ def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata,
         def emit(b):
             cb, arrs, read_pos, members = b
             if arrs[0].shape[0] != batch_size:
-                arrs = tuple(_pad_rows_np(a, batch_size) for a in arrs)
+                arrs = tuple(pad_rows(a, batch_size) for a in arrs)
             arrs = tuple(jax.device_put(a, in_sharding) for a in arrs)
             put_item((cb, arrs, read_pos, members), batches_q)
     else:
@@ -449,12 +449,6 @@ def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata,
         if tail is not None:
             emit(tail)
     put_item(StopIteration, batches_q)
-
-
-def _pad_rows_np(arr, nrows):
-    """Zero-pad a host array's leading axis up to ``nrows``."""
-    pad = np.zeros((nrows - arr.shape[0],) + arr.shape[1:], arr.dtype)
-    return np.concatenate([arr, pad])
 
 
 def run_model_batched(batches_q, called_batches_q, eval_fns, batch_size):
@@ -494,8 +488,7 @@ def run_model_batched(batches_q, called_batches_q, eval_fns, batch_size):
             # pad up to the compiled shape; slice the outputs back down
             # (the stage-h2d batcher path already ships full-size arrays)
             b_inputs = tuple(
-                _pad_rows_np(np.asarray(arr), batch_size)
-                for arr in b_inputs
+                pad_rows(arr, batch_size) for arr in b_inputs
             )
         t0 = time.monotonic()
         out = eval_fns[cb](*b_inputs)
@@ -774,11 +767,20 @@ def infer_from_pod5_and_bam(
     models_metadata, eval_fns, raw = _resolve_models(models)
     if refine_backend in (None, constants.REFINE_BACKEND_AUTO):
         # probe the device link once: 'auto' routes the banded DP to the
-        # batched Pallas path on co-located accelerators, host otherwise
-        from remora_tpu.refine.autoselect import resolve_auto_backend
+        # batched Pallas path on co-located accelerators, host
+        # otherwise. IN-PROCESS probe: this driver already holds a live
+        # JAX client (jax.devices() above), so a subprocess probe would
+        # initialize a second client — which fails under libtpu's
+        # exclusive lock on co-located TPU VMs and can wedge tunneled
+        # backends
+        from remora_tpu.refine.autoselect import (
+            probe_device_roundtrip_inprocess,
+            resolve_auto_backend,
+        )
 
         refine_backend = resolve_auto_backend(
-            [md.get("sig_map_refiner") for md in models_metadata]
+            [md.get("sig_map_refiner") for md in models_metadata],
+            probe=probe_device_roundtrip_inprocess,
         )
     for md in models_metadata:
         if md.get("sig_map_refiner") is not None:
@@ -1047,20 +1049,36 @@ def _merge_multihost_parts(out_bam_path, n_written_local, samples_local):
             f"{out_bam_path}.part{pid:04d}"
             for pid in range(jax.process_count())
         ]
-        scanner = FastBamScanner(part_paths[0])
-        with BamWriter(out_bam_path, scanner.header) as out_bam:
-            for rec in scanner:
-                out_bam.write(rec)
-            for part in part_paths[1:]:
-                for rec in FastBamScanner(part):
+        # the merge requires every host's part on THIS filesystem; on a
+        # pod without shared output storage the parts live on each
+        # host's local disk — leave them in place with a clear message
+        # rather than dying with a truncated final BAM (the other
+        # processes are waiting at the barrier below either way)
+        missing = [p for p in part_paths if not os.path.exists(p)]
+        if missing:
+            LOGGER.error(
+                f"Cannot merge per-host BAM parts: {len(missing)} of "
+                f"{len(part_paths)} parts are not visible on this "
+                f"host's filesystem (first missing: {missing[0]}). "
+                "Multi-host inference needs --out-bam on storage "
+                "shared by all hosts, or merge the per-host "
+                f"{out_bam_path}.partNNNN files yourself."
+            )
+        else:
+            scanner = FastBamScanner(part_paths[0])
+            with BamWriter(out_bam_path, scanner.header) as out_bam:
+                for rec in scanner:
                     out_bam.write(rec)
-        LOGGER.info(
-            f"Merged {n_written} records from {len(part_paths)} host "
-            f"parts into {out_bam_path} "
-            f"({int(total_samples):,} samples called)"
-        )
-        for part in part_paths:
-            os.remove(part)
+                for part in part_paths[1:]:
+                    for rec in FastBamScanner(part):
+                        out_bam.write(rec)
+            LOGGER.info(
+                f"Merged {n_written} records from {len(part_paths)} "
+                f"host parts into {out_bam_path} "
+                f"({int(total_samples):,} samples called)"
+            )
+            for part in part_paths:
+                os.remove(part)
     # all processes return only after the merged file exists
     multihost_utils.sync_global_devices("remora_tpu_infer_merge_done")
     return n_written

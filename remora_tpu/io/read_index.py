@@ -79,7 +79,9 @@ def _load_index_cache(bam_path, req_key):
             pis_raw = z["pis"].tolist()
             pi_none = z["pi_none"]
             has_req = z["has_req"]
-    except (OSError, KeyError, ValueError):
+    except Exception:  # noqa: BLE001 — a corrupt/truncated cache file
+        # (BadZipFile, zlib.error, ...) must degrade to a rescan, never
+        # permanently break indexing of that BAM
         return None
     pis = [
         None if none else pi for pi, none in zip(pis_raw, pi_none)
@@ -265,10 +267,11 @@ class ReadIndexedBam:
         """Index via the C++ whole-file scan (io.native.bam_scan_index);
         returns False to fall back to the Python record decode.
 
-        The pre-filter scan columns persist next to the BAM
-        (``<bam>.rtidx.npz``) so repeated pipeline runs over the same
-        file skip the whole-file scan — it was ~3s of spinup per
-        streaming-infer invocation on the 400-read bench set."""
+        The pre-filter scan columns persist under the user cache dir
+        (see ``_index_cache_path`` — never beside the BAM) so repeated
+        pipeline runs over the same file skip the whole-file scan — it
+        was ~3s of spinup per streaming-infer invocation on the
+        400-read bench set."""
         req_key = ",".join(sorted(self.req_tags or ()))
         suffix = " (cached index)"
         res = _load_index_cache(self.bam_path, req_key)

@@ -507,15 +507,28 @@ def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
             seg = compute_chunk_seg(
                 band_starts, band_widths, seq_lens, K, W
             )
-    SEG = int(np.ceil(max(int(seg), W + 8) / 128)) * 128
+    # 512-multiple staging widths: batch-to-batch band-geometry jitter
+    # otherwise lands on a fresh SEG (a static kernel arg) every launch
+    # — compile keys, not staging bytes, are the scarce resource
+    SEG = int(np.ceil(max(int(seg), W + 8) / 512)) * 512
 
-    # bucket the traced shapes too (bases to 256, signal to 4096 cols)
-    # so batch-to-batch length jitter stays inside one executable;
-    # device-side pads so device-resident inputs never round-trip
+    # bucket the traced shapes too (reads to full 128-lane tiles, bases
+    # to 256, signal to 4096 cols) so batch-to-batch shape jitter stays
+    # inside one compiled executable; device-side pads so
+    # device-resident inputs never round-trip
     band_starts = jnp.asarray(band_starts)
     band_widths = jnp.asarray(band_widths)
     levels = jnp.asarray(levels)
     signal = jnp.asarray(signal)
+    seq_lens = jnp.asarray(seq_lens)
+    R0 = levels.shape[0]
+    RB = int(np.ceil(max(R0, 1) / LANES)) * LANES
+    if RB > R0:
+        band_starts = _pad_to(band_starts, RB, 0, 0)
+        band_widths = _pad_to(band_widths, RB, 0, 1)
+        levels = _pad_to(levels, RB, 0, 0.0)
+        signal = _pad_to(signal, RB, 0, 0.0)
+        seq_lens = _pad_to(jnp.maximum(seq_lens, 1), RB, 0, 1)
     N0 = levels.shape[1]
     NB = int(np.ceil(N0 / 256)) * 256
     if NB > N0:
@@ -532,7 +545,7 @@ def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
         levels,
         band_starts,
         band_widths,
-        jnp.asarray(seq_lens),
+        seq_lens,
         jnp.asarray(sdp, jnp.float32),
         algo,
         W,
@@ -546,6 +559,9 @@ def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
         # for reads of exactly N0 bases, which the slice keeps
         path = path[:, : N0 + 1]
         tb = tb[:N0]
+    if RB > R0:
+        path = path[:R0]
+        tb = tb[:, :, :R0]
     return path, tb, scores
 
 

@@ -280,9 +280,7 @@ def make_dp_eval_fn(model, mesh, axis_name=DEFAULT_MESH_AXIS):
     n_proc = jax.process_count()
     multihost = n_proc > 1
 
-    def _pad(arr, n_rows):
-        pad = np.zeros((n_rows - arr.shape[0],) + arr.shape[1:], arr.dtype)
-        return np.concatenate([arr, pad])
+    from remora_tpu.core.util import pad_rows
 
     def eval_fn(params, bn_state, sigs, enc_kmers):
         sigs = np.asarray(sigs)
@@ -290,7 +288,8 @@ def make_dp_eval_fn(model, mesh, axis_name=DEFAULT_MESH_AXIS):
         n = sigs.shape[0]
         n_full = -(-n // n_dev) * n_dev
         if n_full != n:
-            sigs, enc_kmers = _pad(sigs, n_full), _pad(enc_kmers, n_full)
+            sigs = pad_rows(sigs, n_full)
+            enc_kmers = pad_rows(enc_kmers, n_full)
         if multihost:
             per = n_full // n_proc
             lo = jax.process_index() * per

@@ -60,13 +60,49 @@ else:
 _probe_cache = {}
 
 
+def probe_device_roundtrip_inprocess():
+    """In-process h2d+d2h round-trip seconds, or None on CPU.
+
+    For callers that ALREADY hold a live JAX client (the inference
+    driver touches ``jax.devices()`` before resolving the backend): a
+    subprocess probe there would initialize a SECOND client against the
+    same accelerator — which fails under libtpu's exclusive lock on
+    co-located TPU VMs (silently defeating the device routing) and can
+    wedge tunneled backends. Since the parent has already committed to
+    using the device, timing the round trip on its own client is both
+    safe and more representative. Cached per process (shared cache with
+    the subprocess probe)."""
+    if "t" in _probe_cache:
+        return _probe_cache["t"]
+    import time
+
+    import jax
+    import numpy as np
+
+    result = None
+    if jax.default_backend() != "cpu":
+        dev = jax.devices()[0]
+        payload = np.zeros(3 << 18, np.float32)  # 3 MiB
+        x = jax.device_put(payload, dev)  # warm
+        np.asarray(x[:4096])
+        t0 = time.perf_counter()
+        x = jax.device_put(payload, dev)
+        np.asarray(x[:4096])  # d2h leg
+        result = time.perf_counter() - t0
+    _probe_cache["t"] = result
+    return result
+
+
 def probe_device_roundtrip(timeout_s=120.0):
     """Measured h2d+d2h round-trip seconds to the default accelerator,
     or None when there is no accelerator / the probe fails or times out.
 
     Runs in a subprocess: a wedged tunneled backend hangs even
     ``jax.devices()``, and a refinement driver must never hang on a
-    routing decision. Cached per process."""
+    routing decision — use this from drivers that have NOT initialized
+    JAX in-process (dataset prepare); drivers already holding a client
+    must use ``probe_device_roundtrip_inprocess`` instead (a second
+    live client fails or wedges the backend). Cached per process."""
     if "t" in _probe_cache:
         return _probe_cache["t"]
     # cheap short-circuit: an explicit CPU platform request needs no

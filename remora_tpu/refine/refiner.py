@@ -646,13 +646,13 @@ class SigMapRefiner:
                 w_read = max(16, int((bd[1] - bd[0]).max()))
                 w_bucket = 1 << (w_read - 1).bit_length()
                 buckets.setdefault(w_bucket, []).append((r, bd))
-            for bucket in buckets.values():
+            for w_bucket, bucket in buckets.items():
                 self._launch_dp_bucket(
-                    states, bucket, single_round, rescale_each,
+                    states, bucket, w_bucket, single_round, rescale_each,
                     sig_dev, lvl_dev, interpret,
                 )
 
-    def _launch_dp_bucket(self, states, bucket, single_round,
+    def _launch_dp_bucket(self, states, bucket, w_bucket, single_round,
                           rescale_each, sig_dev, lvl_dev, interpret):
         """One Pallas DP launch for a width-bucketed subset of reads,
         followed by the per-read precise rescale."""
@@ -698,6 +698,9 @@ class SigMapRefiner:
             )
             norm = (sig_dev[rows] - shifts[:, None]) / scales[:, None]
             lvls = lvl_dev[rows, :n_act]
+        # the BUCKET width (pow-2), not the raw per-launch max: W is a
+        # static kernel arg, and the quantized value is what lets
+        # successive launches reuse one compiled executable
         paths, _tb, _ = banded_dp_batch_pallas(
             norm,
             lvls,
@@ -706,7 +709,7 @@ class SigMapRefiner:
             seq_lens,
             jnp.asarray(self.sd_arr, jnp.float32),
             algo=self.algo,
-            w_max=int(widths.max()),
+            w_max=w_bucket,
             interpret=interpret,
         )
         paths = np.asarray(paths)

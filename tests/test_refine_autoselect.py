@@ -106,6 +106,17 @@ def test_probe_short_circuits_on_cpu_platform(monkeypatch):
     assert probe_device_roundtrip() is None
 
 
+def test_inprocess_probe_returns_none_on_cpu(monkeypatch):
+    """The in-process probe (used by drivers already holding a JAX
+    client — a subprocess probe there would open a second client, which
+    fails under libtpu's exclusive lock and can wedge tunnels) returns
+    None on the CPU backend."""
+    import remora_tpu.refine.autoselect as A
+
+    monkeypatch.setattr(A, "_probe_cache", {})
+    assert A.probe_device_roundtrip_inprocess() is None
+
+
 def test_infer_resolves_auto_without_probe_for_unloaded_refiners(
     tmpdir_factory, trained_model, monkeypatch
 ):
@@ -119,6 +130,7 @@ def test_infer_resolves_auto_without_probe_for_unloaded_refiners(
         raise AssertionError("probe must not run")
 
     monkeypatch.setattr(A, "probe_device_roundtrip", boom)
+    monkeypatch.setattr(A, "probe_device_roundtrip_inprocess", boom)
     out = tmpdir_factory.mktemp("auto_infer") / "out.bam"
     n = infer_from_pod5_and_bam(
         pod5_path="/root/reference/tests/data/can_reads.pod5",
