@@ -500,6 +500,12 @@ def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
     # same compiled executable instead of recompiling per batch
     W = int(np.ceil(max(w_max, 8) / 8)) * 8
     K = max(8, (int(chunk_bases) // 8) * 8)
+    # the double-buffered (K, W, LANES) traceback block dominates scoped
+    # VMEM at wide bands: shrink the base chunk as W grows (measured:
+    # K=16 at W~1100 overflows the 16MB budget by ~3MB; K*W <= 8192
+    # keeps the block <= 4MB and wide launches compile)
+    while K > 8 and K * W > 8192:
+        K -= 8
     if seg is None:
         seg = compute_chunk_seg(band_starts, band_widths, seq_lens, K, W)
         while seg > 4096 and K > 8:
