@@ -335,6 +335,41 @@ def measure():
         "platform": main_dev.platform,
         "env": _env_fingerprint(),
     }
+    if on_accel and os.environ.get("REMORA_TPU_BENCH_BF16", "1") != "0":
+        # the speed side of the measured bf16 drift contract (PERF.md
+        # round 4: 20/205 ML bytes move by exactly ±1/256) — captured in
+        # the same record as the byte-exact f32 number so the
+        # speed/exactness trade is one artifact (VERDICT r4 #7)
+        try:
+            import jax.numpy as jnp
+
+            from remora_tpu.infer.infer import _cast_state
+
+            p16, bn16 = _cast_state(params, bn_state, jnp.bfloat16)
+
+            def fwd_bf16(params, bn_state, sigs, seqs, maps, seq_lens):
+                enc_kmers = enc(4, 4, seqs, maps, seq_lens, width,
+                                out_dtype=jnp.bfloat16)
+                logits, _ = M.forward(
+                    params, bn_state, sigs.astype(jnp.bfloat16),
+                    enc_kmers, train=False,
+                )
+                return logits.astype(jnp.float32)
+
+            bf_samples = _throughput(
+                fwd_bf16, (p16, bn16, sigs, seqs, maps, seq_lens),
+                main_dev, iters=100, repeats=3,
+            )
+            record["infer_fwd_bf16_chunks_per_s_per_chip"] = round(
+                float(np.median(bf_samples)), 1
+            )
+            record["infer_fwd_bf16_samples"] = [
+                round(x, 1) for x in bf_samples
+            ]
+        except Exception as exc:  # noqa: BLE001 — bf16 leg is additive
+            record["infer_fwd_bf16_error"] = (
+                f"{type(exc).__name__}: {exc}"[:400]
+            )
     if on_accel and os.environ.get("REMORA_TPU_BENCH_TRAIN", "1") != "0":
         try:
             tr_samples = _train_throughput()

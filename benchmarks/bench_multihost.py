@@ -7,13 +7,24 @@ measures the input-pipeline + collective overhead of the scale-out
 design. Reports scaling efficiency = throughput(2 proc) / throughput(1
 proc) (target >= 0.8, BASELINE.md).
 
+Methodology (pinned; VERDICT r4 #8): the 1-proc and 2-proc legs run
+INTERLEAVED for --trials rounds (1,2,1,2,…) so host-load drift hits
+both legs equally; per-trial efficiencies are reported with min/median/
+max, and the HEADLINE efficiency is median capped at 1.0 — on a 4-core
+CPU host, apparent super-linearity is measurement noise (per-host input
+sharding halves each process's serial input time, which a real pod also
+enjoys, but >1.0 is not a defensible scaling claim). --out-json commits
+the full record (per-trial throughputs, spread, env) as an artifact.
+
 Usage: python -m benchmarks.bench_multihost --dataset <prepared chunks dir>
        (defaults to preparing a dataset from the bundled test data)
 """
 
 import argparse
+import json
 import os
 import socket
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -128,6 +139,8 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--devs-per-proc", type=int, default=4)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--out-json", help="write the full record here")
     args = ap.parse_args()
 
     ds_path = args.dataset
@@ -160,12 +173,50 @@ def main():
         )
         ds_path = out
 
-    # same total device count in both legs: 1 proc x 2D vs 2 procs x D
-    one = _run(1, ds_path, args.steps, args.batch, args.devs_per_proc * 2)
-    two = _run(2, ds_path, args.steps, args.batch, args.devs_per_proc)
-    print(f"1 process : {one:,.0f} chunks/s")
-    print(f"2 processes: {two:,.0f} chunks/s")
-    print(f"scaling efficiency: {two / one:.2f}")
+    # same total device count in both legs: 1 proc x 2D vs 2 procs x D;
+    # legs interleave per trial so load drift is shared
+    ones, twos, effs = [], [], []
+    for trial in range(args.trials):
+        one = _run(
+            1, ds_path, args.steps, args.batch, args.devs_per_proc * 2
+        )
+        two = _run(2, ds_path, args.steps, args.batch, args.devs_per_proc)
+        ones.append(one)
+        twos.append(two)
+        effs.append(two / one)
+        print(
+            f"trial {trial + 1}: 1-proc {one:,.0f} chunks/s, "
+            f"2-proc {two:,.0f} chunks/s, raw efficiency {two / one:.2f}",
+            flush=True,
+        )
+    eff_med = statistics.median(effs)
+    headline = min(eff_med, 1.0)
+    record = {
+        "metric": "multihost_scaling_efficiency",
+        "value": round(headline, 3),
+        "unit": "ratio (2-proc/1-proc chunks/s, capped at 1.0)",
+        "target": 0.8,
+        "trials": args.trials,
+        "steps_per_trial": args.steps,
+        "batch": args.batch,
+        "devs_per_proc": args.devs_per_proc,
+        "raw_efficiency": {
+            "min": round(min(effs), 3),
+            "median": round(eff_med, 3),
+            "max": round(max(effs), 3),
+        },
+        "one_proc_chunks_per_s": [round(x, 1) for x in ones],
+        "two_proc_chunks_per_s": [round(x, 1) for x in twos],
+        "spread_frac_1proc": round((max(ones) - min(ones)) / max(ones), 3),
+        "spread_frac_2proc": round((max(twos) - min(twos)) / max(twos), 3),
+        "note": "virtual CPU devices over gloo; interleaved legs; "
+        "super-linear raw values are host-scheduling noise plus per-host "
+        "input sharding and are capped for the headline claim",
+    }
+    print(json.dumps(record), flush=True)
+    if args.out_json:
+        with open(args.out_json, "w") as fh:
+            json.dump(record, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -1072,7 +1072,9 @@ def run_validate_from_dataset(args):
     # REMORA_TPU_INFER_DP override applies here too)
     from remora_tpu.infer.infer import _infer_device_sharding
 
-    in_sharding, repl_sharding = _infer_device_sharding(args.batch_size)
+    in_sharding, repl_sharding, device_batch = _infer_device_sharding(
+        args.batch_size
+    )
     if in_sharding is not None:
         import jax
 
@@ -1085,11 +1087,11 @@ def run_validate_from_dataset(args):
 
     def eval_fn(sigs, enc_kmers):
         n = sigs.shape[0]
-        if n < args.batch_size:
+        if n != device_batch:
             return np.asarray(
                 fwd(
-                    pad_rows(sigs, args.batch_size),
-                    pad_rows(enc_kmers, args.batch_size),
+                    pad_rows(sigs, device_batch),
+                    pad_rows(enc_kmers, device_batch),
                 )
             )[:n]
         return np.asarray(fwd(sigs, enc_kmers))

@@ -47,8 +47,9 @@ _PROF_UNBATCH_FN = os.getenv("REMORA_TPU_INFER_UNBATCH_PROFILE_FILE")
 
 
 def _infer_device_sharding(batch_size):
-    """(batch_sharding, replicated) over the local devices, or (None,
-    None) when the device stage should stay single-device.
+    """(batch_sharding, replicated, device_batch_size) over the local
+    devices, or (None, None, batch_size) when the device stage should
+    stay single-device.
 
     The infer device stage is pure data parallelism: every chunk row is
     independent in the eval forward (convs/LSTM read only their own
@@ -58,6 +59,12 @@ def _infer_device_sharding(batch_size):
     chips wide. SURVEY §2.3's inference scale-out plan; reference
     anchor for the single-device pipeline being widened:
     ``src/remora/inference.py:462–659``.
+
+    When ``batch_size`` does not divide over the devices the COMPILED
+    batch is padded up to the next multiple (``device_batch_size``);
+    batches still carry ``batch_size`` live rows and outputs are sliced
+    back, so a user asking for ``--batch-size 1000`` on an 8-chip host
+    keeps all 8 chips instead of silently de-scaling to one.
 
     REMORA_TPU_INFER_DP overrides the device count: 0/1 disables
     sharding, N uses the first N local devices (unset = all local
@@ -76,7 +83,7 @@ def _infer_device_sharding(batch_size):
     if n_req is not None:
         n = int(n_req)
         if n <= 1:
-            return None, None
+            return None, None, batch_size
         if n > len(devs):
             raise RemoraError(
                 f"REMORA_TPU_INFER_DP={n} but only {len(devs)} local "
@@ -84,19 +91,20 @@ def _infer_device_sharding(batch_size):
             )
         devs = devs[:n]
     elif len(devs) <= 1:
-        return None, None
-    if batch_size % len(devs):
-        LOGGER.warning(
-            f"batch size {batch_size} does not divide over "
-            f"{len(devs)} local devices; running the device stage on "
-            "one device"
+        return None, None, batch_size
+    n_dev = len(devs)
+    device_batch_size = -(-batch_size // n_dev) * n_dev
+    if device_batch_size != batch_size:
+        LOGGER.info(
+            f"batch size {batch_size} does not divide over {n_dev} "
+            f"local devices; padding device batches to "
+            f"{device_batch_size} rows"
         )
-        return None, None
     mesh = make_mesh(devs)
     LOGGER.info(
-        f"Inference device stage sharded over {len(devs)} local devices"
+        f"Inference device stage sharded over {n_dev} local devices"
     )
-    return data_sharding(mesh), replicated(mesh)
+    return data_sharding(mesh), replicated(mesh), device_batch_size
 
 
 def _maybe_profile(prof_path):
@@ -403,7 +411,8 @@ class _BatchAssembler:
 
 
 def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata,
-                raw=False, stage_h2d=False, in_sharding=None):
+                raw=False, stage_h2d=False, in_sharding=None,
+                device_batch_size=None):
     """Assemble fixed-size batches spanning read boundaries per can_base.
 
     Emits (can_base, input_arrays_tuple, read_pos, members); with
@@ -415,17 +424,19 @@ def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata,
     thread, so host-to-device transfer overlaps the model stage's
     dispatch/fetch loop instead of serializing inside it (the sync h2d
     cost ~12ms/batch on a tunneled link). With ``in_sharding`` set the
-    arrays are placed batch-sharded across the inference mesh (the
-    ragged tail batch is padded to the compiled batch size on host
-    first — uneven shards cannot be placed).
+    arrays are placed batch-sharded across the inference mesh (batches
+    are padded to the compiled ``device_batch_size`` — a multiple of
+    the device count — on host first; uneven shards cannot be placed).
     """
+    if device_batch_size is None:
+        device_batch_size = batch_size
     if stage_h2d:
         import jax
 
         def emit(b):
             cb, arrs, read_pos, members = b
-            if arrs[0].shape[0] != batch_size:
-                arrs = tuple(pad_rows(a, batch_size) for a in arrs)
+            if arrs[0].shape[0] != device_batch_size:
+                arrs = tuple(pad_rows(a, device_batch_size) for a in arrs)
             arrs = tuple(jax.device_put(a, in_sharding) for a in arrs)
             put_item((cb, arrs, read_pos, members), batches_q)
     else:
@@ -451,7 +462,8 @@ def batch_reads(prepped_nn_inputs, batches_q, batch_size, models_metadata,
     put_item(StopIteration, batches_q)
 
 
-def run_model_batched(batches_q, called_batches_q, eval_fns, batch_size):
+def run_model_batched(batches_q, called_batches_q, eval_fns,
+                      device_batch_size):
     """Device stage: jitted forward per canonical base, padded last batch.
 
     Dispatch is software-pipelined: jit calls return asynchronously, so
@@ -484,11 +496,11 @@ def run_model_batched(batches_q, called_batches_q, eval_fns, batch_size):
             break
         cb, b_inputs, b_read_pos, b_reads = item
         live = b_read_pos.size
-        if b_inputs[0].shape[0] != batch_size:
+        if b_inputs[0].shape[0] != device_batch_size:
             # pad up to the compiled shape; slice the outputs back down
             # (the stage-h2d batcher path already ships full-size arrays)
             b_inputs = tuple(
-                pad_rows(arr, batch_size) for arr in b_inputs
+                pad_rows(arr, device_batch_size) for arr in b_inputs
             )
         t0 = time.monotonic()
         out = eval_fns[cb](*b_inputs)
@@ -758,7 +770,9 @@ def infer_from_pod5_and_bam(
     # within-host data parallelism: shard the device stage's batches
     # over all local chips (must precede _resolve_models, which binds
     # the eval callables)
-    in_sharding, repl_sharding = _infer_device_sharding(batch_size)
+    in_sharding, repl_sharding, device_batch_size = _infer_device_sharding(
+        batch_size
+    )
     if in_sharding is not None:
         for mdl in models:
             if isinstance(mdl, ModelHandle):
@@ -881,7 +895,8 @@ def infer_from_pod5_and_bam(
 
     def _batcher(src, sink):
         batch_reads(src, sink, batch_size, models_metadata, raw,
-                    stage_h2d=stage_h2d, in_sharding=in_sharding)
+                    stage_h2d=stage_h2d, in_sharding=in_sharding,
+                    device_batch_size=device_batch_size)
 
     _batcher.__name__ = "batch_reads"
     batches_q, batch_reads_t = serial_stage(
@@ -893,7 +908,7 @@ def infer_from_pod5_and_bam(
     )
 
     def _caller(src, sink):
-        run_model_batched(src, sink, eval_fns, batch_size)
+        run_model_batched(src, sink, eval_fns, device_batch_size)
 
     _caller.__name__ = "call_batches"
     called_batches_q, call_batches_t = serial_stage(

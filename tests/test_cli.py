@@ -61,8 +61,16 @@ def test_cli_dataset_inspect(cli_can_chunks, tmp_path):
     out = run_cli(
         "dataset", "inspect", cli_can_chunks, "--out-path", cfg
     )
-    assert "size : 205" in out.stdout.replace(" :", " :").replace("  ", " ") \
-        or "205" in out.stdout
+    # exact golden: the summary prints "{name:>25} : {val}" per line, so
+    # the size row must read exactly "size : 205" once left-stripped
+    size_rows = [
+        ln.strip()
+        for ln in out.stdout.splitlines()
+        if ln.strip().startswith("size :")
+    ]
+    assert size_rows and all(r == "size : 205" for r in size_rows), (
+        size_rows or out.stdout
+    )
     assert cfg.exists()
     loaded = json.loads(cfg.read_text())
     assert len(loaded) == 1
