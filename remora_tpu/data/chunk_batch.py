@@ -47,6 +47,7 @@ def extract_chunks_batch(
     offset=0,
     motifs=None,
     check_chunks=False,
+    tight=False,
 ):
     """Extract all chunks of ``read`` as padded dataset-format arrays.
 
@@ -55,6 +56,16 @@ def extract_chunks_batch(
     sequence_lengths (n,) i16, labels (n,) i64, read_focus_bases (n,)
     i64 — or None when no chunks survive. Chunks whose sequence exceeds
     ``max_seq_len`` are dropped (the caller's "Sequence too long" path).
+
+    ``tight=True`` sizes the sequence/mapping rows to the read's actual
+    longest surviving chunk instead of ``max_seq_len`` (values are
+    identical, trailing pad columns are simply absent). The streaming
+    inference prep stage uses this: its batch assembler pastes narrower
+    per-read rows into model-wide batches anyway, and at production
+    shapes ``max_seq_len`` is ~8x the typical chunk's sequence span, so
+    full-width rows were ~8x wasted array work per read (the measured
+    2.9 ms/read single-core prep wall, PERF.md round 4). The ETL path
+    keeps full width: its arrays land in fixed-width dataset memmaps.
     """
     focus_bases = read.focus_bases
     if focus_bases is None or focus_bases.size == 0:
@@ -90,10 +101,10 @@ def extract_chunks_batch(
     # (rare: focus bases within chunk_context of a read end) pay the
     # masked-clip path — interior rows are a plain gather, which halves
     # the prep stage's biggest single cost (PERF.md round 4)
-    col = np.arange(W)[None, :]
+    col = np.arange(W, dtype=np.int64)[None, :]
     edge_rows = (sig_start < 0) | (sig_end > sig_len)
     if not edge_rows.any():
-        signal = sig[sig_start[:, None] + col].astype(np.float32)
+        signal = np.asarray(sig[sig_start[:, None] + col], np.float32)
     else:
         interior = ~edge_rows
         signal = np.empty((focus_bases.size, W), np.float32)
@@ -132,14 +143,17 @@ def extract_chunks_batch(
     if seq_lens.size == 0:
         return None
     n = seq_lens.size
+    row_len = int(seq_lens.max()) if tight else max_seq_len
 
-    # seq_to_sig mapping rows: s2s[seq_start + j] - sig_start, clipped and
-    # pinned at 0 / W at the row ends
-    map_w = max_seq_len + 1
-    jcol = np.arange(map_w)[None, :]
+    # seq_to_sig mapping rows: s2s[seq_start + j] - sig_start, pinned at
+    # 0 / W at the row ends; a sentinel-padded s2s makes the gather
+    # clip-free (indices past the read end land in the pad)
+    map_w = row_len + 1
+    jcol = np.arange(map_w, dtype=np.int64)[None, :]
     map_idx = seq_start[:, None] + jcol
     in_row = jcol <= seq_lens[:, None]
-    gathered = s2s[np.clip(map_idx, 0, s2s.size - 1)]
+    s2s_pad = np.concatenate([s2s, np.zeros(map_w, s2s.dtype)])
+    gathered = s2s_pad[map_idx]
     # chunk-relative, incl. the zero-pad offset at the left read edge
     rel = gathered - sig_start[:, None]
     rel[:, 0] = 0
@@ -147,22 +161,20 @@ def extract_chunks_batch(
     rel[rows, seq_lens] = W
     mapping = np.where(in_row, rel, 0).astype(np.int16)
 
-    # sequence rows with kmer context, -1 where outside the read
-    seq_w = max_seq_len + kcb
-    scol = np.arange(seq_w)[None, :]
-    seq_idx = (seq_start - kb)[:, None] + scol
-    in_seq = (
-        (seq_idx >= 0)
-        & (seq_idx < read.int_seq.size)
-        & (scol < (seq_lens + kcb)[:, None])
-    )
+    # sequence rows with kmer context, -1 where outside the read; the
+    # int_seq gather indexes a -1-padded copy so out-of-read positions
+    # come back -1 without index clipping
+    seq_w = row_len + kcb
+    scol = np.arange(seq_w, dtype=np.int64)[None, :]
+    seq_idx = seq_start[:, None] + scol  # = (seq_start - kb) + scol + kb
+    seq_pad = np.full(read.int_seq.size + kb + seq_w, -1, np.int8)
+    seq_pad[kb : kb + read.int_seq.size] = read.int_seq
     sequence = np.where(
-        in_seq, read.int_seq[np.clip(seq_idx, 0, read.int_seq.size - 1)], -1
-    ).astype(np.int8)
+        scol < (seq_lens + kcb)[:, None], seq_pad[seq_idx], np.int8(-1)
+    )
     # parity detail: positions past this chunk's (seq_len + kcb) are
-    # uninitialized in the reference write path; zero-fill beyond is fine
-    # for every consumer (they mask by seq_len), and -1 inside the row
-    # matches the reference edge padding
+    # uninitialized in the reference write path; -1 there matches the
+    # reference edge padding and every consumer masks by seq_len
 
     if n_long:
         LOGGER.debug(f"dropped {n_long} over-long chunks")

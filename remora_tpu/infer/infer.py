@@ -141,7 +141,12 @@ def _model_chunks(mdl_read, md, motifs):
     the read yields no focus hits for its motifs."""
     from remora_tpu.data.chunk_batch import extract_chunks_batch
 
-    # per-read padded widths bounded by the chunk width
+    # tight per-read row widths (the batch assembler pastes narrower
+    # rows into model-wide batches); max_seq_len stays the drop bound.
+    # motifs=None: focus bases were JUST selected from these same motifs
+    # (set_motif_focus_bases -> findall), and findall hits are interior
+    # by construction, so the re-scan mask is identically all-True here
+    # (the ETL path keeps it: its focus bases can come from BED files)
     result = extract_chunks_batch(
         mdl_read,
         md["chunk_context"],
@@ -149,7 +154,8 @@ def _model_chunks(mdl_read, md, motifs):
         md["chunk_len"] + 2,
         base_start_justify=md["base_start_justify"],
         offset=md["offset"],
-        motifs=motifs,
+        motifs=None,
+        tight=True,
     )
     return None if result is None else result[0]
 
