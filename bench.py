@@ -291,8 +291,15 @@ def measure():
     )
 
     def fwd(params, bn_state, sigs, seqs, maps, seq_lens):
-        enc_kmers = enc(4, 4, seqs, maps, seq_lens, width)
-        logits, _ = M.forward(params, bn_state, sigs, enc_kmers, train=False)
+        # the production eval_raw path: channels-last featurization + towers
+        enc_kmers = enc(4, 4, seqs, maps, seq_lens, width,
+                        channels_last=True)
+        import jax.numpy as jnp
+
+        logits, _ = M.forward(
+            params, bn_state, jnp.swapaxes(sigs, 1, 2), enc_kmers,
+            train=False, channels_last_in=True,
+        )
         return logits
 
     sigs, seqs, maps, seq_lens, _labels = _synth_inputs(
@@ -349,10 +356,11 @@ def measure():
 
             def fwd_bf16(params, bn_state, sigs, seqs, maps, seq_lens):
                 enc_kmers = enc(4, 4, seqs, maps, seq_lens, width,
-                                out_dtype=jnp.bfloat16)
+                                out_dtype=jnp.bfloat16, channels_last=True)
                 logits, _ = M.forward(
-                    params, bn_state, sigs.astype(jnp.bfloat16),
-                    enc_kmers, train=False,
+                    params, bn_state,
+                    jnp.swapaxes(sigs, 1, 2).astype(jnp.bfloat16),
+                    enc_kmers, train=False, channels_last_in=True,
                 )
                 return logits.astype(jnp.float32)
 

@@ -50,16 +50,25 @@ def _probe(a, b, iters):
     )(a, b)
 
 
-def time_shape(M, K, N, dtype=jnp.bfloat16, iters=300):
+def time_shape(M, K, N, dtype=jnp.bfloat16, lo=100, hi=4100):
+    """Per-matmul cost via the ITERS slope: t(hi) - t(lo) over hi-lo
+    matmuls. A direct per-call timing only measures the ~25ms d2h
+    scalar fence of the tunneled backend (PERF.md round 3), and the
+    fence jitter is +-ms, so the iteration contrast must put the
+    matmul term well above it — 4000 matmuls at us-scale does."""
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.normal(size=(M, K)), dtype)
     b = jnp.asarray(rng.normal(size=(K, N)), dtype)
-    float(_probe(a, b, iters)[0, 0])  # compile + warm
+    float(_probe(a, b, lo)[0, 0])  # compile + warm
+    float(_probe(a, b, hi)[0, 0])
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
-        float(_probe(a, b, iters)[0, 0])
-        best = min(best, (time.perf_counter() - t0) / iters)
+        float(_probe(a, b, lo)[0, 0])
+        t1 = time.perf_counter()
+        float(_probe(a, b, hi)[0, 0])
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (hi - lo))
     tflops = 2 * M * K * N / best / 1e12
     print(
         f"  ({M:4d},{K:4d}) @ ({K:4d},{N:6d}) {str(dtype.__name__):>9}"
@@ -75,14 +84,11 @@ def main():
     ensure_compilation_cache()
     print(f"device: {jax.devices()[0].device_kind}")
     N = 16384
-    print("-- N scaling (M=64, K=128): fixed-overhead check --")
-    for n in (512, 2048, 8192, 16384, 65536):
-        time_shape(64, 128, n)
     print("-- contraction-dim scaling (M=64) --")
-    for K in (8, 16, 32, 64, 128, 256, 512):
+    for K in (8, 32, 128, 512):
         time_shape(64, K, N)
     print("-- output-rows scaling (K=128) --")
-    for M in (8, 16, 32, 64, 128, 256):
+    for M in (8, 32, 128, 256):
         time_shape(M, 128, N)
     print("-- conv-candidate shapes --")
     # (O, I*K) x (I*K, Bt*T') for the tower layers at Bt=256

@@ -72,14 +72,17 @@ REFINE_BACKENDS = (
 # reads per micro-batch for the device DP stage (amortizes Pallas
 # launches + host<->device transfers across reads)
 REFINE_DEVICE_READ_BATCH = 64
-# widest per-base band the single-launch Pallas DP accepts: the kernel's
-# VMEM blocks scale with the band width, and degenerate mappings (large
-# deletions/stays) can demand bands of thousands of columns that blow
-# the 16MB scoped-vmem budget — such reads route to the host DP.
-# 1024 is hardware-measured feasible with the int16 traceback blocks
-# (i32 overflowed scoped VMEM by 3.3MB at W=1040); on the bundled real
-# reads this cap routes 18% of reads to host vs 43% at 512 (PERF.md)
-REFINE_DEVICE_MAX_BAND = 1024
+# widest per-base band the single-launch Pallas DP accepts: the
+# kernel's per-band scratch scales with the band width, and degenerate
+# mappings (large deletions/stays) can demand bands of thousands of
+# columns — such reads route to the host DP. Round 5 moved the
+# traceback rows out of blocked VMEM (per-base DMA from a 2-deep
+# staging buffer, kernels/pallas_dp.py), which removed the (K, W, 128)
+# output block that capped round 4 at 1024; 2048 fits the remaining
+# W-scale fold scratch under the 16MB scoped-VMEM budget. At 2048 the
+# real-read host-routed share drops to the few-percent tail (PERF.md
+# round-4 table: 3.6% of reads vs 18% at 1024).
+REFINE_DEVICE_MAX_BAND = 2048
 DEFAULT_ROUGH_RESCALE_METHOD = ROUGH_RESCALE_LEAST_SQUARES
 
 PA_TO_NORM_SCALING_FACTOR = 1.4826

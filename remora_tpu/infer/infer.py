@@ -1218,12 +1218,15 @@ class ModelHandle:
 
             @jax.jit
             def _eval(sigs, seqs, maps, lens):
+                # channels-last hot path (featurizer emits (B, W, 4K)
+                # for free; towers skip the NCH entry transposes)
                 enc = dev_enc(bb, ab, seqs, maps, lens, chunk_len,
-                              out_dtype=cd)
+                              out_dtype=cd, channels_last=True)
                 if cd is not None:
                     sigs = sigs.astype(cd)
                 logits, _ = model.forward(
-                    params, bn_state, sigs, enc, train=False
+                    params, bn_state, jnp.swapaxes(sigs, 1, 2), enc,
+                    train=False, channels_last_in=True,
                 )
                 return logits.astype(jnp.float32)
 

@@ -34,10 +34,14 @@ def seq_pos_of_sig(seq_mappings, seq_lens, sig_len):
 
 @partial(
     jax.jit,
-    static_argnames=("before_bases", "after_bases", "sig_len", "out_dtype"),
+    static_argnames=(
+        "before_bases", "after_bases", "sig_len", "out_dtype",
+        "channels_last",
+    ),
 )
 def compute_encoded_kmer_batch(before_bases, after_bases, seqs, seq_mappings,
-                               seq_lens, sig_len, out_dtype=None):
+                               seq_lens, sig_len, out_dtype=None,
+                               channels_last=False):
     """One-hot k-mer features; equivalent to the host featurizer.
 
     Args:
@@ -48,8 +52,12 @@ def compute_encoded_kmer_batch(before_bases, after_bases, seqs, seq_mappings,
         out_dtype: output dtype (default float32). Every value is
             exactly 0.0 or 1.0, so bfloat16 output is lossless and
             halves the HBM round-trip into the consuming conv.
+        channels_last: emit (B, sig_len, 4*kmer_len) instead — the
+            layout the channels-last towers consume — by reordering the
+            einsum output, which costs nothing (same contraction).
 
-    Returns (B, 4*kmer_len, sig_len) in ``out_dtype``.
+    Returns (B, 4*kmer_len, sig_len) in ``out_dtype`` (or the
+    channels-last orientation).
     """
     kmer_len = before_bases + after_bases + 1
     B = seqs.shape[0]
@@ -89,10 +97,16 @@ def compute_encoded_kmer_batch(before_bases, after_bases, seqs, seq_mappings,
     ).astype(mm_dtype)  # (B, S, W) exact 0/1
 
     out_dtype = jnp.float32 if out_dtype is None else out_dtype
+    spec = "bks,bst->btk" if channels_last else "bks,bst->bkt"
     out = jnp.einsum(
-        "bks,bst->bkt",
+        spec,
         slot_oh.astype(mm_dtype),
         assign,
         preferred_element_type=jnp.float32,
     ).astype(out_dtype)
-    return out.reshape(B, 4 * kmer_len, sig_len)
+    shape = (
+        (B, sig_len, 4 * kmer_len)
+        if channels_last
+        else (B, 4 * kmer_len, sig_len)
+    )
+    return out.reshape(shape)

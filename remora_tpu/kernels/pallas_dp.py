@@ -63,7 +63,7 @@ def _shift_up(x, k, fill):
 
 
 def _stay_fold(base_ref, cand_ref, ctb_ref, out_s_ref, out_t_ref, W,
-               p0c=None, n_groups=None):
+               p0c=None, n_groups=None, w_mask=None):
     """Exact sequential stay-chain fold over the band rows.
 
     Reproduces the reference Cython's left-to-right recurrence bit-for-
@@ -77,8 +77,16 @@ def _stay_fold(base_ref, cand_ref, ctb_ref, out_s_ref, out_t_ref, W,
     ~290 at the default settings — PERF.md round 4), and this fold is
     the kernel's serial bottleneck, so iterating to the static padded W
     for every base costs ~2x the needed work. Rows past the bound keep
-    stale scratch — callers mask scores with ``rows < w`` and the
-    traceback only ever indexes rows inside a base's band.
+    stale scratch — the move/dwell candidate builders mask prev rows by
+    ``prev_valid``, so stale rows are never read as valid.
+
+    ``w_mask`` (1, LANES): when set, score writes past a lane's band
+    width land as BIG (what the old full-(W, LANES) post-mask did, but
+    only over the folded rows). The carry itself stays unmasked — rows
+    past ``w`` have base 0 / candidate BIG, so the carry is unchanged,
+    exactly as the reference walks them. ``out_s_ref``/``out_t_ref``
+    may ALIAS ``base_ref``-side inputs: each row is read before it is
+    written, and the fold visits each row exactly once.
     """
     G = 8
 
@@ -96,7 +104,10 @@ def _stay_fold(base_ref, cand_ref, ctb_ref, out_s_ref, out_t_ref, W,
                 take_cand = i < p0c
             cs = jnp.where(take_cand, cand_i, stay)
             ct = jnp.where(take_cand, ctb_i, ct + 1)
-            out_s_ref[pl.ds(i, 1)] = cs
+            if w_mask is None:
+                out_s_ref[pl.ds(i, 1)] = cs
+            else:
+                out_s_ref[pl.ds(i, 1)] = jnp.where(i < w_mask, cs, BIG)
             out_t_ref[pl.ds(i, 1)] = ct
         return cs, ct
 
@@ -216,9 +227,20 @@ def _extract_band(stage_cols, offs, W, nbits):
     return cur[:W]
 
 
+def _tb_dma(tb_hbm, tbs_ref, dma_sem, lane_lo, n_glob, slot):
+    """Descriptor for the per-base traceback-row copy (staging slot <->
+    tb_hbm[n_glob]); built identically at start and wait sites."""
+    return pltpu.make_async_copy(
+        tbs_ref.at[slot],
+        tb_hbm.at[n_glob, :, pl.ds(lane_lo, LANES)],
+        dma_sem.at[slot],
+    )
+
+
 def _forward_kernel(sdp_ref, stage_ref, seglo_ref, st_ref, wd_ref,
-                    lv_ref, tb_ref, prev_ref, meta_ref, b_ref, mv_ref,
-                    ti_ref, sc_ref, ts_ref, *, K, W, L, SEG, NBITS, dwell):
+                    lv_ref, tb_hbm, prev_ref, meta_ref, b_ref, mv_ref,
+                    ti_ref, tbs_ref, dma_sem, *rest, K, W, L, SEG, NBITS,
+                    NC, dwell):
     """One (read-tile, base-chunk) grid step of the forward DP.
 
     Band costs are built INSIDE the kernel from a per-chunk staged
@@ -228,10 +250,21 @@ def _forward_kernel(sdp_ref, stage_ref, seglo_ref, st_ref, wd_ref,
     reference Cython/native C float association — so no (N, W, R) cost
     tensors ever exist in HBM and no prefix-scan reassociation occurs.
 
-    Scratch: prev (W, LANES) carried scores; meta (8, LANES) i32 rows
-    0/1 = prev band start / prev band width; b/mv/sc f32 and ti/ts i32
-    (W, LANES) fold workspaces.
+    The per-base traceback row leaves the kernel by MANUAL DMA: the
+    fold writes scores into ``prev_ref`` (carried) and tb codes into
+    ``ti_ref`` in place, which is converted to an int16 staging slot
+    (2-deep, double-buffered) and async-copied to the unblocked HBM
+    output ``tb_hbm[n, :, lane-tile]``. VMEM therefore holds W-scale
+    scratch ONLY — no (K, W, LANES) output block — which is what lifts
+    the band cap from 1024 (the round-4 scoped-VMEM wall) to 2048+.
+
+    Scratch: prev (W, LANES) f32 carried scores; meta (8, LANES) i32
+    rows 0/1 = prev band start / prev band width; b/mv f32 and ti i32
+    (W, LANES) fold workspaces; tbs (2, W, LANES) i16 DMA staging;
+    dwell adds sc f32 / ts i32 (the unpenalized-pass outputs).
     """
+    sc_ref, ts_ref = rest if dwell else (None, None)
+    r = pl.program_id(0)
     chunk = pl.program_id(1)
 
     @pl.when(chunk == 0)
@@ -246,6 +279,7 @@ def _forward_kernel(sdp_ref, stage_ref, seglo_ref, st_ref, wd_ref,
     seg_lo = seglo_ref[0, 0, :][None, :]
     sdp_vals = [sdp_ref[0, d] for d in range(L)] if dwell else []
     band_rows = _rows((W, LANES))
+    lane_lo = r * LANES
 
     def body(k, _):
         st = st_ref[k, :][None, :]
@@ -268,15 +302,17 @@ def _forward_kernel(sdp_ref, stage_ref, seglo_ref, st_ref, wd_ref,
         n_groups = (jnp.max(w) + 7) // 8
 
         # Viterbi pass (also the dwell algo's unpenalized fallback):
-        # per-row move candidates, then the exact stay-chain fold
+        # per-row move candidates, then the exact stay-chain fold.
+        # prev_ref is dead once the candidates exist (prev/prev_g/
+        # prev_last are SSA values), so the fold writes scores straight
+        # into it; tb codes overwrite the candidate-tb rows in place.
         mv, mv_tb = _move_entries(prev_g, prev_valid, prev_last, base,
                                   bsd, w)
         mv_ref[:] = mv
         ti_ref[:] = mv_tb
-        _stay_fold(b_ref, mv_ref, ti_ref, sc_ref, ts_ref, W,
-                   n_groups=n_groups)
-
         if dwell:
+            _stay_fold(b_ref, mv_ref, ti_ref, sc_ref, ts_ref, W,
+                       n_groups=n_groups)
             unpen = sc_ref[:]
             unpen_tb = ts_ref[:]
             curr, tb, p0c = _dwell_candidates(
@@ -287,43 +323,84 @@ def _forward_kernel(sdp_ref, stage_ref, seglo_ref, st_ref, wd_ref,
             # main-region row
             mv_ref[:] = curr
             ti_ref[:] = tb
-            _stay_fold(b_ref, mv_ref, ti_ref, sc_ref, ts_ref, W, p0c=p0c,
-                       n_groups=n_groups)
+            _stay_fold(b_ref, mv_ref, ti_ref, prev_ref, ti_ref, W,
+                       p0c=p0c, n_groups=n_groups, w_mask=w)
+        else:
+            _stay_fold(b_ref, mv_ref, ti_ref, prev_ref, ti_ref, W,
+                       n_groups=n_groups, w_mask=w)
 
-        scores = jnp.where(band_rows < w, sc_ref[:], BIG)
-        # int16 traceback: entries are stay counts / dwell codes bounded
-        # by the band width (<= the 2048 cap), and halving the
-        # double-buffered (K, W, LANES) output block is what fits
-        # W=1024+ under the 16MB scoped-VMEM limit (measured: i32 blocks
-        # overflow by 3.3MB at W=1040)
-        tb_ref[k] = ts_ref[:].astype(jnp.int16)
-        prev_ref[:] = scores
+        # DMA the int16 traceback row out from a double-buffered slot
+        n_glob = chunk * K + k
+        slot = jax.lax.rem(n_glob, 2)
+
+        @pl.when((chunk > 0) | (k >= 2))
+        def _drain_slot():
+            # the copy started two bases ago on this slot
+            _tb_dma(tb_hbm, tbs_ref, dma_sem, lane_lo, n_glob - 2,
+                    slot).wait()
+
+        tbs_ref[slot] = ti_ref[:].astype(jnp.int16)
+        _tb_dma(tb_hbm, tbs_ref, dma_sem, lane_lo, n_glob, slot).start()
+
         meta_ref[0, :] = st[0]
         meta_ref[1, :] = w[0]
         return 0
 
     jax.lax.fori_loop(0, K, body, 0)
 
+    # the last chunk of each read tile drains both in-flight DMAs so no
+    # copy outlives the program (slots were both started: K*NC >= 2)
+    @pl.when(chunk == NC - 1)
+    def _drain_all():
+        last = NC * K - 1
+        for n_glob in (last - 1, last):
+            _tb_dma(tb_hbm, tbs_ref, dma_sem, lane_lo, n_glob,
+                    jax.lax.rem(n_glob, 2)).wait()
 
-def _traceback_kernel(tb_ref, st_ref, lens_ref, ends_ref, path_ref, pos_ref,
-                      *, K, W, NC):
+
+def _traceback_kernel(tb_hbm, st_ref, lens_ref, ends_ref, path_ref,
+                      pos_ref, tbv_ref, dma_sem, *, K, W, NC):
     """Reverse walk over chunks; pos_ref (8, LANES) i32 row 0 carries the
-    next base's path value."""
+    next base's path value.
+
+    Traceback rows stream in per base by manual DMA from the unblocked
+    HBM tensor into a 2-deep staging buffer (the next base's row is
+    prefetched while the current base is processed), so — like the
+    forward kernel — VMEM never holds a (K, W, LANES) block and the
+    band cap no longer couples to the base-chunk size."""
+    r = pl.program_id(0)
     c = pl.program_id(1)
+    lane_lo = r * LANES
+    base0 = (NC - 1 - c) * K
+
+    def fetch(base_idx, slot):
+        return pltpu.make_async_copy(
+            tb_hbm.at[base_idx, :, pl.ds(lane_lo, LANES)],
+            tbv_ref.at[slot],
+            dma_sem.at[slot],
+        )
 
     @pl.when(c == 0)
     def _init():
         pos_ref[0, :] = ends_ref[0, :]
-
-    base0 = (NC - 1 - c) * K
+        # warm up: start the first (highest-index) base's fetch
+        fetch(NC * K - 1, jax.lax.rem(NC * K - 1, 2)).start()
 
     def body(k, _):
         kk = K - 1 - k
         base_idx = base0 + kk
+        slot = jax.lax.rem(base_idx, 2)
+
+        # prefetch the next (lower) base while this one is awaited
+        @pl.when(base_idx > 0)
+        def _prefetch():
+            fetch(base_idx - 1, jax.lax.rem(base_idx - 1, 2)).start()
+
+        fetch(base_idx, slot).wait()
         nxt = pos_ref[0, :][None, :]
         lookup = nxt - 1
         off = jnp.clip(lookup - st_ref[kk, :][None, :], 0, W - 1)
-        tb_k = tb_ref[kk]
+        tb_k = tbv_ref[slot]
         step_back = _select_row(tb_k.astype(jnp.float32), off)
         cur = lookup - step_back.astype(jnp.int32)
         seq_len = lens_ref[0, :][None, :]
@@ -392,9 +469,23 @@ def _dp_jit(signal, levels, band_starts, band_widths, seq_lens, sdp,
     seg_lo = seg_lo_rows[:, None, :]  # (NC, 1, R) for the kernel
 
     grid = (R // LANES, NC)
+    fwd_scratch = [
+        pltpu.VMEM((W, LANES), jnp.float32),   # prev
+        pltpu.VMEM((8, LANES), jnp.int32),     # meta
+        pltpu.VMEM((W, LANES), jnp.float32),   # b
+        pltpu.VMEM((W, LANES), jnp.float32),   # mv
+        pltpu.VMEM((W, LANES), jnp.int32),     # ti
+        pltpu.VMEM((2, W, LANES), jnp.int16),  # tb DMA staging
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if dwell:
+        fwd_scratch += [
+            pltpu.VMEM((W, LANES), jnp.float32),  # sc (unpen scores)
+            pltpu.VMEM((W, LANES), jnp.int32),    # ts (unpen tb)
+        ]
     tb = pl.pallas_call(
         partial(_forward_kernel, K=K, W=W, L=L, SEG=SEG, NBITS=NBITS,
-                dwell=dwell),
+                NC=NC, dwell=dwell),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, L), lambda r, c: (0, 0),
@@ -410,18 +501,10 @@ def _dp_jit(signal, levels, band_starts, band_widths, seq_lens, sdp,
             pl.BlockSpec((K, LANES), lambda r, c: (c, r),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((K, W, LANES), lambda r, c: (c, 0, r),
-                               memory_space=pltpu.VMEM),
+        # unblocked HBM output, written by per-base DMA from staging
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((N, W, R), jnp.int16),
-        scratch_shapes=[
-            pltpu.VMEM((W, LANES), jnp.float32),
-            pltpu.VMEM((8, LANES), jnp.int32),
-            pltpu.VMEM((W, LANES), jnp.float32),
-            pltpu.VMEM((W, LANES), jnp.float32),
-            pltpu.VMEM((W, LANES), jnp.int32),
-            pltpu.VMEM((W, LANES), jnp.float32),
-            pltpu.VMEM((W, LANES), jnp.int32),
-        ],
+        scratch_shapes=fwd_scratch,
         interpret=interpret,
     )(sdp_2d, stage, seg_lo, starts_T, widths_T, levels_T)
 
@@ -436,8 +519,8 @@ def _dp_jit(signal, levels, band_starts, band_widths, seq_lens, sdp,
         partial(_traceback_kernel, K=K, W=W, NC=NC),
         grid=(R // LANES, NC),
         in_specs=[
-            pl.BlockSpec((K, W, LANES), lambda r, c: (NC - 1 - c, 0, r),
-                         memory_space=pltpu.VMEM),
+            # unblocked: per-base rows stream in by prefetching DMA
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((K, LANES), lambda r, c: (NC - 1 - c, r),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda r, c: (0, r),
@@ -448,7 +531,11 @@ def _dp_jit(signal, levels, band_starts, band_widths, seq_lens, sdp,
         out_specs=pl.BlockSpec((K, LANES), lambda r, c: (NC - 1 - c, r),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, R), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((8, LANES), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((8, LANES), jnp.int32),
+            pltpu.VMEM((2, W, LANES), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
     )(tb, starts_T, seq_lens_p[None, :].astype(jnp.int32),
       sig_ends[None, :])
@@ -500,12 +587,10 @@ def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
     # same compiled executable instead of recompiling per batch
     W = int(np.ceil(max(w_max, 8) / 8)) * 8
     K = max(8, (int(chunk_bases) // 8) * 8)
-    # the double-buffered (K, W, LANES) traceback block dominates scoped
-    # VMEM at wide bands: shrink the base chunk as W grows (measured:
-    # K=16 at W~1100 overflows the 16MB budget by ~3MB; K*W <= 8192
-    # keeps the block <= 4MB and wide launches compile)
-    while K > 8 and K * W > 8192:
-        K -= 8
+    # traceback rows leave the kernel by per-base DMA (2-deep staging),
+    # so K no longer multiplies W in scoped VMEM — no K*W clamp needed
+    # (the round-4 (K, W, LANES) output block was what forced K*W<=8192
+    # and capped the band at 1024)
     if seg is None:
         seg = compute_chunk_seg(band_starts, band_widths, seq_lens, K, W)
         while seg > 4096 and K > 8:

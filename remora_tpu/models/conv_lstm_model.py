@@ -41,12 +41,23 @@ def init(rng, size=64, kmer_len=9, num_out=2, dtype=jnp.float32):
     return params, bn_state
 
 
-def forward(params, bn_state, sigs, seqs, train=False):
+def forward(params, bn_state, sigs, seqs, train=False,
+            channels_last_in=False):
     """sigs: (B, 1, T); seqs: (B, 4*kmer_len, T) -> logits (B, num_out).
 
     Returns (logits, new_bn_state).
+
+    The towers compute in channels-LAST (B, T, C) layout (see
+    layers.conv1d); ``channels_last_in=True`` says the inputs already
+    arrive as sigs (B, T, 1) / seqs (B, T, 4*kmer_len) — the on-device
+    featurizer emits that for free, sparing the hot paths the entry
+    transpose the legacy (B, C, T) contract pays here.
     """
     ns = {}
+
+    if not channels_last_in:
+        sigs = jnp.swapaxes(sigs, 1, 2)
+        seqs = jnp.swapaxes(seqs, 1, 2)
 
     def cbs(conv_name, bn_name, x, stride=1):
         x, ns[bn_name] = L.conv_bn_swish(
@@ -62,10 +73,10 @@ def forward(params, bn_state, sigs, seqs, train=False):
     seqs_x = cbs("seq_conv1", "seq_bn1", seqs)
     seqs_x = cbs("seq_conv2", "seq_bn2", seqs_x, stride=3)
 
-    z = jnp.concatenate((sigs_x, seqs_x), axis=1)
+    z = jnp.concatenate((sigs_x, seqs_x), axis=2)
     z = cbs("merge_conv1", "merge_bn", z)
 
-    z = jnp.transpose(z, (2, 0, 1))  # (T, B, C)
+    z = jnp.swapaxes(z, 0, 1)  # (B, T, C) -> (T, B, C): outer-dim swap
     # The reference takes flip(swish(lstm2(swish(lstm1(z))))[-1], i.e.
     # only the FIRST step of the reverse LSTM on the final forward
     # timestep ever reaches the head — so the whole reverse scan

@@ -48,8 +48,13 @@ def init(rng, size=64, kmer_len=9, num_out=2, dtype=jnp.float32):
     return params, bn_state
 
 
-def forward(params, bn_state, sigs, seqs, train=False):
+def forward(params, bn_state, sigs, seqs, train=False,
+            channels_last_in=False):
     ns = {}
+
+    if not channels_last_in:
+        sigs = jnp.swapaxes(sigs, 1, 2)
+        seqs = jnp.swapaxes(seqs, 1, 2)
 
     def cbs(conv_name, bn_name, x, stride=1):
         x, ns[bn_name] = L.conv_bn_swish(
@@ -66,11 +71,13 @@ def forward(params, bn_state, sigs, seqs, train=False):
     seqs_x = cbs("seq_conv2", "seq_bn2", seqs_x)
     seqs_x = cbs("seq_conv3", "seq_bn3", seqs_x, stride=3)
 
-    z = jnp.concatenate((sigs_x, seqs_x), axis=1)
+    z = jnp.concatenate((sigs_x, seqs_x), axis=2)
     z = cbs("merge_conv1", "merge_bn1", z)
     z = cbs("merge_conv2", "merge_bn2", z)
     z = cbs("merge_conv3", "merge_bn3", z, stride=2)
     z = cbs("merge_conv4", "merge_bn4", z, stride=2)
 
-    z = z.reshape(z.shape[0], -1)
+    # flatten channel-major (torch NCH semantics) so the fc weight
+    # layout stays import/export-compatible
+    z = jnp.swapaxes(z, 1, 2).reshape(z.shape[0], -1)
     return L.linear(params["fc"], z), ns

@@ -43,15 +43,25 @@ def conv1d_init(rng, in_ch, out_ch, kernel, dtype=jnp.float32):
 
 
 def conv1d(params, x, stride=1):
-    """x: (B, C_in, T) -> (B, C_out, T')."""
+    """x: (B, T, C_in) -> (B, T', C_out).
+
+    Channels-LAST end to end (round 5): activations live as (B, T, C)
+    so channels sit in the lane dimension — the layout the TPU conv
+    engine uses internally, the layout the LSTM kernel's (T, B, C)
+    input needs (an outer-dims swap instead of a full relayout), and
+    the layout the fused conv-BN backward kernels contract over.
+    Parameters stay in the torch (O, I, K) format (checkpoint/export
+    compatibility); the kernel transpose below is a no-cost weight-side
+    reshape XLA folds into the conv.
+    """
     out = jax.lax.conv_general_dilated(
         x,
-        params["w"],
+        jnp.transpose(params["w"], (2, 1, 0)),  # (O,I,K) -> (K,I,O)
         window_strides=(stride,),
         padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
+        dimension_numbers=("NHC", "HIO", "NHC"),
     )
-    return out + params["b"][None, :, None]
+    return out + params["b"]
 
 
 # ---------------- BatchNorm1d ----------------
@@ -70,11 +80,11 @@ def batchnorm_init(num_feat, dtype=jnp.float32):
 
 
 def batchnorm(params, state, x, train, momentum=0.1, eps=1e-5):
-    """x: (B, C, T). Returns (out, new_state)."""
+    """x: (B, T, C). Returns (out, new_state)."""
     if train:
-        mean = jnp.mean(x, axis=(0, 2))
-        var = jnp.var(x, axis=(0, 2))
-        n = x.shape[0] * x.shape[2]
+        mean = jnp.mean(x, axis=(0, 1))
+        var = jnp.var(x, axis=(0, 1))
+        n = x.shape[0] * x.shape[1]
         unbiased = var * n / max(n - 1, 1)
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
@@ -84,9 +94,7 @@ def batchnorm(params, state, x, train, momentum=0.1, eps=1e-5):
         mean, var = state["mean"], state["var"]
         new_state = state
     inv = jax.lax.rsqrt(var + eps) * params["gamma"]
-    out = (x - mean[None, :, None]) * inv[None, :, None] + params["beta"][
-        None, :, None
-    ]
+    out = (x - mean) * inv + params["beta"]
     return out, new_state
 
 
@@ -115,22 +123,23 @@ def batchnorm(params, state, x, train, momentum=0.1, eps=1e-5):
 
 
 def _conv_nobias(w, x, stride):
+    """(B, T, C_in) -> (B, T', C_out); w in torch (O, I, K) format."""
     return jax.lax.conv_general_dilated(
         x,
-        w,
+        jnp.transpose(w, (2, 1, 0)),
         window_strides=(stride,),
         padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
+        dimension_numbers=("NHC", "HIO", "NHC"),
     )
 
 
 def _cbs_math(stride, eps, w, gamma, beta, x):
     y = _conv_nobias(w, x, stride)
-    mu = jnp.mean(y, (0, 2))
-    var = jnp.var(y, (0, 2))
+    mu = jnp.mean(y, (0, 1))
+    var = jnp.var(y, (0, 1))
     r = jax.lax.rsqrt(var + eps)
-    xhat = (y - mu[None, :, None]) * r[None, :, None]
-    z = gamma[None, :, None] * xhat + beta[None, :, None]
+    xhat = (y - mu) * r
+    z = gamma * xhat + beta
     out = z * jax.nn.sigmoid(z)
     return out, mu, var, r
 
@@ -161,24 +170,20 @@ def _cbs_bwd(stride, eps, res, cts):
     dout = cts[0]  # mu/var feed the (non-differentiable) state update
     w, gamma, beta, x, mu, r = res
     y = _conv_nobias(w, x, stride)  # recompute: cheaper than residuals
-    xhat = (y - mu[None, :, None]) * r[None, :, None]
-    z = gamma[None, :, None] * xhat + beta[None, :, None]
+    xhat = (y - mu) * r
+    z = gamma * xhat + beta
     s = jax.nn.sigmoid(z)
     dz = dout * (s + z * s * (1.0 - s))
-    dgamma = jnp.sum(dz * xhat, (0, 2))
-    dbeta = jnp.sum(dz, (0, 2))
-    n = y.shape[0] * y.shape[2]
+    dgamma = jnp.sum(dz * xhat, (0, 1))
+    dbeta = jnp.sum(dz, (0, 1))
+    n = y.shape[0] * y.shape[1]
     gr = gamma * r
-    dy = gr[None, :, None] * (
-        dz
-        - (dbeta / n)[None, :, None]
-        - xhat * (dgamma / n)[None, :, None]
-    )
+    dy = gr * (dz - dbeta / n - xhat * (dgamma / n))
     # XLA distributes the three dy terms through the weight-grad conv
     # (three smaller convs per layer); measured FASTER than forcing a
     # materialized dy with an optimization_barrier (390k vs 384k) — let
     # the compiler keep that split.
-    db = jnp.sum(dy, (0, 2))
+    db = jnp.sum(dy, (0, 1))
     _, conv_vjp = jax.vjp(
         lambda w_, x_: _conv_nobias(w_, x_, stride), w, x
     )
@@ -205,11 +210,11 @@ def _cbs_core_resid(stride, eps, w, b, gamma, beta, x):
 def _cbs_fwd_resid(stride, eps, w, b, gamma, beta, x):
     del b
     y = _conv_nobias(w, x, stride)
-    mu = jnp.mean(y, (0, 2))
-    var = jnp.var(y, (0, 2))
+    mu = jnp.mean(y, (0, 1))
+    var = jnp.var(y, (0, 1))
     r = jax.lax.rsqrt(var + eps)
-    xhat = (y - mu[None, :, None]) * r[None, :, None]
-    z = gamma[None, :, None] * xhat + beta[None, :, None]
+    xhat = (y - mu) * r
+    z = gamma * xhat + beta
     out = z * jax.nn.sigmoid(z)
     return (out, mu, var), (w, gamma, beta, x, xhat, r)
 
@@ -217,19 +222,15 @@ def _cbs_fwd_resid(stride, eps, w, b, gamma, beta, x):
 def _cbs_bwd_resid(stride, eps, res, cts):
     dout = cts[0]
     w, gamma, beta, x, xhat, r = res
-    z = gamma[None, :, None] * xhat + beta[None, :, None]
+    z = gamma * xhat + beta
     s = jax.nn.sigmoid(z)
     dz = dout * (s + z * s * (1.0 - s))
-    dgamma = jnp.sum(dz * xhat, (0, 2))
-    dbeta = jnp.sum(dz, (0, 2))
-    n = xhat.shape[0] * xhat.shape[2]
+    dgamma = jnp.sum(dz * xhat, (0, 1))
+    dbeta = jnp.sum(dz, (0, 1))
+    n = xhat.shape[0] * xhat.shape[1]
     gr = gamma * r
-    dy = gr[None, :, None] * (
-        dz
-        - (dbeta / n)[None, :, None]
-        - xhat * (dgamma / n)[None, :, None]
-    )
-    db = jnp.sum(dy, (0, 2))
+    dy = gr * (dz - dbeta / n - xhat * (dgamma / n))
+    db = jnp.sum(dy, (0, 1))
     _, conv_vjp = jax.vjp(
         lambda w_, x_: _conv_nobias(w_, x_, stride), w, x
     )
@@ -298,7 +299,7 @@ def conv_bn_swish(conv_params, bn_params, state, x, stride=1, train=False,
     )
     mu = jax.lax.stop_gradient(mu) + conv_params["b"]
     var = jax.lax.stop_gradient(var)
-    y_cols = (x.shape[2] - conv_params["w"].shape[2]) // stride + 1
+    y_cols = (x.shape[1] - conv_params["w"].shape[2]) // stride + 1
     n = x.shape[0] * y_cols
     unbiased = var * n / max(n - 1, 1)
     new_state = {

@@ -172,6 +172,7 @@ def make_dp_train_step(model, tx, mesh, axis_name=DEFAULT_MESH_AXIS,
         high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
         compute_dtype=compute_dtype,
         reduction="sum",
+        channels_last=raw,  # raw path featurizes channels-last on device
     )
     if raw:
         from remora_tpu.kernels.encoded_kmers import (
@@ -185,9 +186,9 @@ def make_dp_train_step(model, tx, mesh, axis_name=DEFAULT_MESH_AXIS,
             signal, sequence, seq_maps, seq_lens, labels = rest[:5]
             kmers = dev_enc(
                 bb, ab, sequence, seq_maps, seq_lens, chunk_width,
-                out_dtype=compute_dtype,
+                out_dtype=compute_dtype, channels_last=True,
             )
-            sigs = signal
+            sigs = jnp.swapaxes(signal, 1, 2)
         else:
             sigs, kmers, labels = rest[:3]
         grad_threshs = rest[n_data_args] if use_grad_clip else None

@@ -63,6 +63,28 @@ _ROUGH_RESCALE_DISPATCH = {
 }
 
 
+def _dp_tb_bytes(n_bases, w_read):
+    """Estimated HBM traceback-tensor footprint of a device-DP launch
+    carrying this read: bases padded to 256, width to its pow-2 bucket,
+    128 lanes, int16 (mirrors kernels/pallas_dp.py padding)."""
+    n_pad = -(-max(int(n_bases), 1) // 256) * 256
+    w_pad = 1 << (max(int(w_read), 16) - 1).bit_length()
+    return n_pad * w_pad * 128 * 2
+
+
+def _dp_tb_budget_bytes():
+    """Per-launch HBM budget for the DP traceback tensor.
+
+    REMORA_TPU_DP_TB_BUDGET_MB overrides (default 4096 MB — a quarter of
+    a v5e's 16GB, leaving room for staging, paths and the caller's
+    arrays). Reads whose tensor would exceed it route to the host DP."""
+    import os
+
+    return int(os.environ.get("REMORA_TPU_DP_TB_BUDGET_MB", "4096")) * (
+        1024 * 1024
+    )
+
+
 def _banded_search_space(seq_to_sig_map, levels, sig_len, bhw, min_step):
     """Per-base [lower, upper) signal bounds for the banded DP."""
     sig_band = band_mod.compute_sig_band(seq_to_sig_map, levels, bhw=bhw)
@@ -493,9 +515,11 @@ class SigMapRefiner:
             )
         # per-read routing: reads whose INITIAL band already exceeds the
         # device width cap (long stalls/deletions are common in real
-        # nanopore reads) go straight to the host DP; the rest share the
-        # device launches. The in-loop guard still catches bands that
-        # grow past the cap in later scale iterations.
+        # nanopore reads), or whose HBM traceback tensor would blow the
+        # launch budget (N x W x 128 x int16 at the read's pow-2 width
+        # bucket), go straight to the host DP; the rest share the device
+        # launches. The in-loop guard still catches bands that grow past
+        # the cap in later scale iterations.
         host_states = []
         if states:
             device_states = []
@@ -508,7 +532,11 @@ class SigMapRefiner:
                         self.half_bandwidth,
                         2,
                     )
-                    wide = int((bd[1] - bd[0]).max()) > REFINE_DEVICE_MAX_BAND
+                    w_read = int((bd[1] - bd[0]).max())
+                    wide = w_read > REFINE_DEVICE_MAX_BAND or (
+                        _dp_tb_bytes(st["levels"].size, w_read)
+                        > _dp_tb_budget_bytes()
+                    )
                 except Exception:  # noqa: BLE001 — let the loop report it
                     wide = False
                 (host_states if wide else device_states).append(st)
@@ -634,6 +662,18 @@ class SigMapRefiner:
                     f"band width {w_need} exceeds the device DP limit "
                     f"({REFINE_DEVICE_MAX_BAND}); read mapping likely "
                     "contains large deletions/stays"
+                )
+            tb_need = max(
+                _dp_tb_bytes(
+                    states[r]["levels"].size, int((bd[1] - bd[0]).max())
+                )
+                for r, bd in zip(active, bands)
+            )
+            if tb_need > _dp_tb_budget_bytes():
+                raise RemoraError(
+                    f"DP traceback tensor ({tb_need >> 20} MB) exceeds "
+                    "the per-launch HBM budget "
+                    "(REMORA_TPU_DP_TB_BUDGET_MB); band grew too wide"
                 )
             # bucket reads by quantized band width: the kernel pads every
             # base of every read in a launch to the launch's max W, so

@@ -59,16 +59,21 @@ def make_train_step_raw(model, tx, kmer_context_bases, chunk_width,
         use_grad_clip=use_grad_clip,
         donate=False,
         compute_dtype=compute_dtype,
+        channels_last=True,
     )
 
     def step(params, bn_state, opt_state, signal, sequence, seq_maps,
              seq_lens, labels, grad_threshs=None):
+        # channels-last hot path: the featurizer emits (B, W, 4K) for
+        # free and the (B, 1, W) signal swap is a tiny relayout —
+        # the towers then run without any NCH->NHC entry transposes
         enc_kmers = dev_enc(
             bb, ab, sequence, seq_maps, seq_lens, chunk_width,
-            out_dtype=compute_dtype,
+            out_dtype=compute_dtype, channels_last=True,
         )
         return inner(
-            params, bn_state, opt_state, signal, enc_kmers, labels,
+            params, bn_state, opt_state, jnp.swapaxes(signal, 1, 2),
+            enc_kmers, labels,
             *(() if grad_threshs is None else (grad_threshs,)),
         )
 
@@ -108,16 +113,18 @@ def make_train_step_raw_multi(model, tx, kmer_context_bases, chunk_width,
         model,
         high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
         compute_dtype=compute_dtype,
+        channels_last=True,
     )
 
     def one_step(params, bn_state, opt_state, signal, seqs, maps, lens,
                  labels, grad_threshs):
         enc = dev_enc(
-            bb, ab, seqs, maps, lens, chunk_width, out_dtype=compute_dtype
+            bb, ab, seqs, maps, lens, chunk_width,
+            out_dtype=compute_dtype, channels_last=True,
         )
         (loss, (new_bn, n_filt)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, bn_state, signal, enc, labels)
+        )(params, bn_state, jnp.swapaxes(signal, 1, 2), enc, labels)
         if use_grad_clip:
             grad_maxs = jax.tree.map(lambda g: jnp.max(jnp.abs(g)), grads)
             if grad_threshs is not None:
@@ -157,7 +164,8 @@ def make_train_step_raw_multi(model, tx, kmer_context_bases, chunk_width,
 
 
 def make_loss_fn(model, high_conf_incorrect_thr_frac=None,
-                 compute_dtype=None, reduction="mean"):
+                 compute_dtype=None, reduction="mean",
+                 channels_last=False):
     """CE loss closure shared by the single-device and data-parallel
     steps: ``loss_fn(params, bn_state, sigs, enc_kmers, labels) ->
     (loss, (new_bn_state, n_filtered))``.
@@ -183,6 +191,7 @@ def make_loss_fn(model, high_conf_incorrect_thr_frac=None,
                     sigs.astype(compute_dtype),
                     enc_kmers.astype(compute_dtype),
                     train=True,
+                    channels_last_in=channels_last,
                 )
                 logits = logits.astype(jnp.float32)
                 new_bn = jax.tree.map(
@@ -190,7 +199,8 @@ def make_loss_fn(model, high_conf_incorrect_thr_frac=None,
                 )
             else:
                 logits, new_bn = model.forward(
-                    p, bn_state, sigs, enc_kmers, train=True
+                    p, bn_state, sigs, enc_kmers, train=True,
+                    channels_last_in=channels_last,
                 )
             logp = jax.nn.log_softmax(logits)
             per_ex = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
@@ -235,7 +245,8 @@ def make_loss_fn(model, high_conf_incorrect_thr_frac=None,
 
 
 def make_train_step(model, tx, high_conf_incorrect_thr_frac=None,
-                    use_grad_clip=False, donate=True, compute_dtype=None):
+                    use_grad_clip=False, donate=True, compute_dtype=None,
+                    channels_last=False):
     """Build the jitted training step for one model architecture.
 
     ``compute_dtype`` (e.g. jnp.bfloat16) runs the forward/backward in
@@ -247,6 +258,7 @@ def make_train_step(model, tx, high_conf_incorrect_thr_frac=None,
         model,
         high_conf_incorrect_thr_frac=high_conf_incorrect_thr_frac,
         compute_dtype=compute_dtype,
+        channels_last=channels_last,
     )
 
     def step(params, bn_state, opt_state, sigs, enc_kmers, labels,

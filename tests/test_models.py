@@ -89,11 +89,14 @@ def test_batchnorm_matches_torch():
     params, state = L.batchnorm_init(C)
     t_bn = torch.nn.BatchNorm1d(C)
     x = np.random.default_rng(3).normal(size=(4, C, 20)).astype(np.float32)
+    # the jax layer is channels-last (B, T, C); torch BN1d is (B, C, T)
+    x_tc = jnp.asarray(np.ascontiguousarray(x.transpose(0, 2, 1)))
     # train mode
     t_bn.train()
     t_out = t_bn(torch.from_numpy(x)).detach().numpy()
-    j_out, new_state = L.batchnorm(params, state, jnp.asarray(x), train=True)
-    assert np.allclose(np.asarray(j_out), t_out, atol=1e-5)
+    j_out, new_state = L.batchnorm(params, state, x_tc, train=True)
+    j_out = np.asarray(j_out).transpose(0, 2, 1)
+    assert np.allclose(j_out, t_out, atol=1e-5)
     assert np.allclose(
         np.asarray(new_state["mean"]), t_bn.running_mean.numpy(), atol=1e-6
     )
@@ -103,8 +106,10 @@ def test_batchnorm_matches_torch():
     # eval mode with updated stats
     t_bn.eval()
     t_out = t_bn(torch.from_numpy(x)).detach().numpy()
-    j_out, _ = L.batchnorm(params, new_state, jnp.asarray(x), train=False)
-    assert np.allclose(np.asarray(j_out), t_out, atol=1e-5)
+    j_out, _ = L.batchnorm(params, new_state, x_tc, train=False)
+    assert np.allclose(
+        np.asarray(j_out).transpose(0, 2, 1), t_out, atol=1e-5
+    )
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -153,7 +158,7 @@ def test_conv_bn_swish_impl_parity(impl):
         "mean": jnp.linspace(-1.0, 1.0, 32),
         "var": jnp.linspace(0.5, 2.0, 32),
     }
-    x = jax.random.normal(k2, (16, 16, 64))
+    x = jax.random.normal(k2, (16, 64, 16))  # channels-last (B, T, C)
 
     def run(which):
         def f(cp, bp, xx):
