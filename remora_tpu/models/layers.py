@@ -241,9 +241,43 @@ def _cbs_bwd_resid(stride, eps, res, cts):
 _cbs_core_resid.defvjp(_cbs_fwd_resid, _cbs_bwd_resid)
 
 
+# ---- Pallas fused-backward variant (stride-1 blocks) ----
+# forward identical to _cbs_core; backward = one two-pass Pallas kernel
+# (kernels/pallas_convbn.py) instead of the XLA fusion stew
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _cbs_core_pallas(stride, eps, w, b, gamma, beta, x):
+    del b
+    out, mu, var, _r = _cbs_math(stride, eps, w, gamma, beta, x)
+    return out, mu, var
+
+
+def _cbs_fwd_pallas(stride, eps, w, b, gamma, beta, x):
+    del b
+    out, mu, var, r = _cbs_math(stride, eps, w, gamma, beta, x)
+    return (out, mu, var), (w, gamma, beta, x, mu, r)
+
+
+def _cbs_bwd_pallas(stride, eps, res, cts):
+    from remora_tpu.kernels.pallas_convbn import conv_bn_swish_bwd
+
+    dout = cts[0]
+    w, gamma, beta, x, mu, r = res
+    dx, dw, db, dgamma, dbeta = conv_bn_swish_bwd(
+        x, dout, w, gamma, beta, mu, r, stride=stride,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return (dw.astype(w.dtype), db.astype(w.dtype),
+            dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype), dx)
+
+
+_cbs_core_pallas.defvjp(_cbs_fwd_pallas, _cbs_bwd_pallas)
+
+
 def _convbn_impl():
     mode = os.environ.get("REMORA_TPU_CONVBN", "auto")
-    if mode in ("plain", "remat", "fused", "fused_resid"):
+    if mode in ("plain", "remat", "fused", "fused_resid", "pallas"):
         return mode
     try:
         dd = jax.config.jax_default_device
@@ -287,7 +321,12 @@ def conv_bn_swish(conv_params, bn_params, state, x, stride=1, train=False,
                 _cbs_plain, stride=stride, momentum=momentum, eps=eps
             )
         )(conv_params, bn_params, state, x)
-    core = _cbs_core_resid if impl == "fused_resid" else _cbs_core
+    if impl == "pallas" and stride == 1:
+        core = _cbs_core_pallas
+    elif impl == "fused_resid":
+        core = _cbs_core_resid
+    else:
+        core = _cbs_core
     out, mu, var = core(
         stride,
         eps,
