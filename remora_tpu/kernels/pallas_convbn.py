@@ -38,7 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _roll_rows(x, k):
     """x shifted k rows up: out[r] = x[r + k] (circular; callers ensure
-    wrapped rows only ever multiply zero-padded dy rows)."""
+    wrapped rows only ever meet zero-padded dy rows). Only ever applied
+    to f32 arrays — Mosaic's rotate is unimplemented for 16-bit data,
+    so the kernels roll matmul RESULTS (f32) rather than bf16 operands:
+    roll(x) @ W == roll(x @ W) row-for-row."""
     if k == 0:
         return x
     return pltpu.roll(x, x.shape[0] - k, 0)
@@ -75,14 +78,17 @@ def _bwd_kernel(x_ref, g_ref, w_ref, wt_ref, sv_ref, dx_ref, dw_ref,
     mu = sv_ref[2, :][None, :]
     r = sv_ref[3, :][None, :]
 
-    # recompute the raw conv output for this tile: K rolled matmuls
-    # (f32 accumulation; bf16 operands are single exact MXU passes)
+    # recompute the raw conv output for this tile: K matmuls, each
+    # result rolled k rows up (f32 accumulation; bf16 operands are
+    # single exact MXU passes; rolling results keeps rotates 32-bit)
     y = None
     for k in range(K):
-        xk = _roll_rows(x, k)
-        part = jnp.dot(
-            xk, w_ref[k * x.shape[1] : (k + 1) * x.shape[1], :],
-            preferred_element_type=jnp.float32,
+        part = _roll_rows(
+            jnp.dot(
+                x, w_ref[k * x.shape[1] : (k + 1) * x.shape[1], :],
+                preferred_element_type=jnp.float32,
+            ),
+            k,
         )
         y = part if y is None else y + part
     xhat = (y - mu) * r
@@ -110,20 +116,18 @@ def _bwd_kernel(x_ref, g_ref, w_ref, wt_ref, sv_ref, dx_ref, dw_ref,
         ) % Ti
         dy = jnp.where(rows_t < To, dy, 0.0)
         acc_ref[2, :] += jnp.sum(dy, 0)
-        dy_c = dy.astype(x.dtype)
-        # dw[k] += x_rolled(k)^T @ dy  (contraction over rows)
+        # dw[k] += x_rolled(k)^T @ dy == x^T @ dy_rolled_down(k):
+        # roll the f32 dy (32-bit rotate), cast per tap for the MXU
+        dx = None
         for k in range(K):
-            xk = _roll_rows(x, k)
+            dyk = _roll_rows_down(dy, k).astype(x.dtype)
             dw_ref[k * x.shape[1] : (k + 1) * x.shape[1], :] += (
                 jax.lax.dot_general(
-                    xk, dy_c, (((0,), (0,)), ((), ())),
+                    x, dyk, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             )
-        # dx[r] = sum_k dy[r - k] @ W_k^T
-        dx = None
-        for k in range(K):
-            dyk = _roll_rows_down(dy_c, k)
+            # dx[r] = sum_k dy[r - k] @ W_k^T (shares the rolled dy)
             part = jnp.dot(
                 dyk, wt_ref[k * dy.shape[1] : (k + 1) * dy.shape[1], :],
                 preferred_element_type=jnp.float32,

@@ -6,6 +6,7 @@ keys and float op order follow the reference so that datasets, model
 metadata, and refined DP paths remain bit-compatible.
 """
 
+import os
 from dataclasses import dataclass, field
 from itertools import islice
 from typing import Optional
@@ -617,20 +618,42 @@ class SigMapRefiner:
         rescale_each = self.scale_iters > 0
         single_round = n_iters == 1
 
-        sig_dev = lvl_dev = None
-        if not single_round:
-            # stage raw signal + levels on device once for the whole loop
-            R = len(states)
-            s_max = max(st["dacs"].size for st in states)
-            n_max = max(st["levels"].size for st in states)
-            sig_host = np.zeros((R, s_max), np.float32)
-            lvl_host = np.zeros((R, n_max), np.float32)
-            for r, st in enumerate(states):
-                sig_host[r, : st["dacs"].size] = st["dacs"]
-                lvl = np.nan_to_num(st["levels"], nan=0.0)
-                lvl_host[r, : lvl.size] = lvl
-            sig_dev = jax.device_put(jnp.asarray(sig_host))
-            lvl_dev = jax.device_put(jnp.asarray(lvl_host))
+        # refine data parallelism: bucket launches are independent per
+        # read, so they round-robin across the local chips (VERDICT r4
+        # #3 — the stage used 1 of N chips on a multi-chip host).
+        # REMORA_TPU_REFINE_DP overrides the device count (0/1 = single
+        # device). Dispatch is async: launches on different chips run
+        # concurrently; the np.asarray path fetch joins them.
+        devices = jax.local_devices()
+        n_req = os.environ.get("REMORA_TPU_REFINE_DP")
+        if n_req is not None:
+            devices = devices[: max(1, int(n_req))]
+        if len(devices) > 1:
+            LOGGER.debug(
+                f"device DP refinement over {len(devices)} local devices"
+            )
+
+        stage_cache = {}
+
+        def staged(dev):
+            """(sig, lvl) staging arrays on one device (lazy, cached)."""
+            if single_round:
+                return None, None
+            if dev not in stage_cache:
+                R = len(states)
+                s_max = max(st["dacs"].size for st in states)
+                n_max = max(st["levels"].size for st in states)
+                sig_host = np.zeros((R, s_max), np.float32)
+                lvl_host = np.zeros((R, n_max), np.float32)
+                for r, st in enumerate(states):
+                    sig_host[r, : st["dacs"].size] = st["dacs"]
+                    lvl = np.nan_to_num(st["levels"], nan=0.0)
+                    lvl_host[r, : lvl.size] = lvl
+                stage_cache[dev] = (
+                    jax.device_put(jnp.asarray(sig_host), dev),
+                    jax.device_put(jnp.asarray(lvl_host), dev),
+                )
+            return stage_cache[dev]
 
         for _ in range(n_iters):
             active = []
@@ -686,16 +709,62 @@ class SigMapRefiner:
                 w_read = max(16, int((bd[1] - bd[0]).max()))
                 w_bucket = 1 << (w_read - 1).bit_length()
                 buckets.setdefault(w_bucket, []).append((r, bd))
-            for w_bucket, bucket in buckets.items():
-                self._launch_dp_bucket(
-                    states, bucket, w_bucket, single_round, rescale_each,
-                    sig_dev, lvl_dev, interpret,
-                )
+            launches = list(buckets.items())
+            if len(devices) > 1 and len(launches) < len(devices):
+                # a single dominant bucket would serialize on one chip:
+                # split its reads so every chip gets work (per-read
+                # independence makes any split path-exact)
+                launches = [
+                    (w, bucket[i::len(devices)])
+                    for w, bucket in launches
+                    for i in range(min(len(devices), len(bucket)))
+                    if bucket[i::len(devices)]
+                ]
+            # dispatch every launch before fetching any result: jit
+            # dispatch is async, so launches on different chips overlap
+            pending = []
+            for li, (w_bucket, bucket) in enumerate(launches):
+                dev = devices[li % len(devices)]
+                sig_dev, lvl_dev = staged(dev)
+                with jax.default_device(dev):
+                    pending.append(self._launch_dp_bucket(
+                        states, bucket, w_bucket, single_round,
+                        sig_dev, lvl_dev, interpret,
+                    ))
+            path_by_read = {}
+            for bucket_active, seq_lens, paths_dev in pending:
+                paths = np.asarray(paths_dev)
+                for a, r in enumerate(bucket_active):
+                    # int32, matching the single-read path's dtype
+                    path_by_read[r] = paths[a, : seq_lens[a] + 1].copy()
+            # rescale in the ORIGINAL bucket-major read order: the
+            # precise rescale consumes the global NumPy RNG (reference
+            # Theil–Sen subsample semantics), so the call order must not
+            # depend on how launches were split across devices
+            for _w, bucket in buckets.items():
+                for r, _bd in bucket:
+                    st = states[r]
+                    st["map"] = path_by_read[r]
+                    if not rescale_each:
+                        continue
+                    try:
+                        st["shift"], st["scale"] = self.rescale(
+                            st["levels"],
+                            st["dacs"],
+                            st["shift"],
+                            st["scale"],
+                            st["map"],
+                        )
+                    except RemoraError as err:
+                        LOGGER.debug(f"precise re-scale skipped: {err}")
+                        st["done"] = True
 
     def _launch_dp_bucket(self, states, bucket, w_bucket, single_round,
-                          rescale_each, sig_dev, lvl_dev, interpret):
-        """One Pallas DP launch for a width-bucketed subset of reads,
-        followed by the per-read precise rescale."""
+                          sig_dev, lvl_dev, interpret):
+        """Dispatch one Pallas DP launch for a width-bucketed subset of
+        reads; returns (read_indices, seq_lens, paths_device_array)
+        WITHOUT fetching, so launches round-robined across chips
+        overlap (the caller joins and rescales in a stable order)."""
         import jax.numpy as jnp
 
         from remora_tpu.kernels.pallas_dp import banded_dp_batch_pallas
@@ -752,24 +821,7 @@ class SigMapRefiner:
             w_max=w_bucket,
             interpret=interpret,
         )
-        paths = np.asarray(paths)
-        for a, r in enumerate(active):
-            st = states[r]
-            # int32, matching the single-read path's return dtype
-            st["map"] = paths[a, : seq_lens[a] + 1].copy()
-            if not rescale_each:
-                continue
-            try:
-                st["shift"], st["scale"] = self.rescale(
-                    st["levels"],
-                    st["dacs"],
-                    st["shift"],
-                    st["scale"],
-                    st["map"],
-                )
-            except RemoraError as err:
-                LOGGER.debug(f"precise re-scale skipped: {err}")
-                st["done"] = True
+        return active, seq_lens, paths
 
     # --- (de)serialization ---
     # metadata key <-> constructor kwarg; key names are the on-disk
