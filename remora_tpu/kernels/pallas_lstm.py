@@ -119,8 +119,21 @@ def _split_gates(z, H):
     return i, f, g, o
 
 
+def _interleave(default=1):
+    """Independent row-chain count per batch tile. The recurrence is a
+    strict matmul (MXU) -> gate math (VPU) -> matmul chain, so the two
+    units can never overlap within one chain; splitting the batch tile
+    into NI row-disjoint chains and interleaving their steps in program
+    order lets the scheduler run chain j's matmul under chain j-1's gate
+    math. REMORA_TPU_LSTM_NI overrides (1 = off)."""
+    try:
+        return max(1, int(os.environ.get("REMORA_TPU_LSTM_NI", default)))
+    except ValueError:
+        return default
+
+
 def _fwd_kernel(x_ref, w_ref, hs_ref, cs_ref, h_sc, c_sc, xh_sc, *, C, H,
-                KT):
+                KT, NI=1):
     """cs_ref is None on the inference-only path (no residual needed)."""
     t = pl.program_id(1)
 
@@ -130,23 +143,37 @@ def _fwd_kernel(x_ref, w_ref, hs_ref, cs_ref, h_sc, c_sc, xh_sc, *, C, H,
         c_sc[:] = jnp.zeros_like(c_sc)
         xh_sc[:, C + H :] = jnp.ones_like(xh_sc[:, C + H :])
 
+    BH = h_sc.shape[0] // NI
+    sls = [slice(j * BH, (j + 1) * BH) for j in range(NI)]
+    # the gate matmul contracts over [x; h] ONLY (C+H columns — exactly
+    # one 128-wide MXU k-tile at the production C=H=64) with the bias
+    # row added as a VPU broadcast; including the constant-1 column in
+    # the contraction would push K to C+H+1 and double the k-tile count
+    # of every serial step (measured ~2x the matmul time). The ones
+    # column still lives in xh_sc for the backward's dW contraction,
+    # whose M dim is not on the serial critical path.
+    bias = w_ref[C + H, :][None, :]
     for k in range(KT):
-        xh_sc[:, :C] = x_ref[k].astype(xh_sc.dtype)
-        xh_sc[:, C : C + H] = h_sc[:].astype(xh_sc.dtype)
-        z = _dot(xh_sc[:], w_ref[:])
-        i, f, g, o = _split_gates(z, H)
-        c = f * c_sc[:] + i * g
-        h = o * jnp.tanh(c)
-        h_sc[:] = h
-        c_sc[:] = c
-        hs_ref[k] = h.astype(hs_ref.dtype)
-        if cs_ref is not None:
-            cs_ref[k] = c.astype(cs_ref.dtype)
+        zs = [None] * NI
+        for j, sl in enumerate(sls):
+            xh_sc[sl, :C] = x_ref[k][sl].astype(xh_sc.dtype)
+            xh_sc[sl, C : C + H] = h_sc[sl].astype(xh_sc.dtype)
+            zs[j] = _dot(xh_sc[sl, : C + H], w_ref[: C + H]) + bias
+        for j, sl in enumerate(sls):
+            i, f, g, o = _split_gates(zs[j], H)
+            c = f * c_sc[sl] + i * g
+            h = o * jnp.tanh(c)
+            h_sc[sl] = h
+            c_sc[sl] = c
+            hs_ref[k, sl] = h.astype(hs_ref.dtype)
+            if cs_ref is not None:
+                cs_ref[k, sl] = c.astype(cs_ref.dtype)
 
 
-def _fwd_kernel_nocs(x_ref, w_ref, hs_ref, h_sc, c_sc, xh_sc, *, C, H, KT):
+def _fwd_kernel_nocs(x_ref, w_ref, hs_ref, h_sc, c_sc, xh_sc, *, C, H, KT,
+                     NI=1):
     _fwd_kernel(x_ref, w_ref, hs_ref, None, h_sc, c_sc, xh_sc, C=C, H=H,
-                KT=KT)
+                KT=KT, NI=NI)
 
 
 def _fwd_kernel_last(x_ref, w_ref, hl_ref, h_sc, c_sc, xh_sc, *, C, H, KT,
@@ -168,6 +195,7 @@ def _fwd_kernel_last(x_ref, w_ref, hl_ref, h_sc, c_sc, xh_sc, *, C, H, KT,
         c_sc[:] = jnp.zeros_like(c_sc)
         xh_sc[:, C + H :] = jnp.ones_like(xh_sc[:, C + H :])
 
+    bias = w_ref[C + H, :][None, :]
     for k in range(KT):
         t_global = t * KT + k
         real = t_global < T
@@ -175,7 +203,7 @@ def _fwd_kernel_last(x_ref, w_ref, hl_ref, h_sc, c_sc, xh_sc, *, C, H, KT,
             real, x_ref[k].astype(xh_sc.dtype), 0
         )
         xh_sc[:, C : C + H] = h_sc[:].astype(xh_sc.dtype)
-        z = _dot(xh_sc[:], w_ref[:])
+        z = _dot(xh_sc[:, : C + H], w_ref[: C + H]) + bias
         i, f, g, o = _split_gates(z, H)
         c = f * c_sc[:] + i * g
         h = o * jnp.tanh(c)
@@ -220,7 +248,7 @@ def _fwd_last_call(x, w_aug, interpret=False):
 
 def _bwd_kernel(x_ref, hs_ref, hp_ref, cs_ref, cp_ref, dh_ref, w_ref,
                 wt_ref, dx_ref, dw_ref, dh_sc, dc_sc, xh_sc, *, C, H, KT,
-                NC, T):
+                NC, T, NI=1):
     g_idx = pl.program_id(1)
     first_chunk = g_idx == NC - 1  # time chunk 0 (reverse walk)
 
@@ -231,7 +259,10 @@ def _bwd_kernel(x_ref, hs_ref, hp_ref, cs_ref, cp_ref, dh_ref, w_ref,
         dw_ref[:] = jnp.zeros_like(dw_ref)
         xh_sc[:, C + H :] = jnp.ones_like(xh_sc[:, C + H :])
 
-    zero = jnp.zeros_like(dh_sc)
+    BH = dh_sc.shape[0] // NI
+    sls = [slice(j * BH, (j + 1) * BH) for j in range(NI)]
+    zero = jnp.zeros((BH, H), dh_sc.dtype)
+    bias = w_ref[C + H, :][None, :]
     for k in reversed(range(KT)):
         # T need not divide into KT chunks: the tail chunk's overhanging
         # steps read undefined block padding, so gate every carry/dW
@@ -239,64 +270,77 @@ def _bwd_kernel(x_ref, hs_ref, hp_ref, cs_ref, cp_ref, dh_ref, w_ref,
         # is walked FIRST in reverse, carries must stay exactly zero)
         t_global = (NC - 1 - g_idx) * KT + k
         real = t_global < T
-        if k == 0:
-            # previous timestep lives in the preceding chunk — fetched
-            # as a single-timestep slice (all-zero at the first chunk:
-            # h_{-1} = c_{-1} = 0)
-            h_prev = jnp.where(
-                first_chunk, zero, hp_ref[0].astype(jnp.float32)
+
+        # chain-interleaved (see _interleave): phase 1 recomputes each
+        # chain's gate pre-activations (MXU under the previous chain's
+        # VPU work), phase 2 does the gate/cotangent math, phase 3 the
+        # dxh/dW matmuls
+        zs, cps = [None] * NI, [None] * NI
+        for j, sl in enumerate(sls):
+            if k == 0:
+                # previous timestep lives in the preceding chunk —
+                # fetched as a single-timestep slice (all-zero at the
+                # first chunk: h_{-1} = c_{-1} = 0)
+                h_prev = jnp.where(
+                    first_chunk, zero, hp_ref[0, sl].astype(jnp.float32)
+                )
+                c_prev = jnp.where(
+                    first_chunk, zero, cp_ref[0, sl].astype(jnp.float32)
+                )
+            else:
+                h_prev = hs_ref[k - 1, sl].astype(jnp.float32)
+                c_prev = cs_ref[k - 1, sl].astype(jnp.float32)
+
+            # zero (not just mask) the off-end operands: padding garbage
+            # may be non-finite, and NaN * 0 would still poison the dW
+            # matmul
+            xh_sc[sl, :C] = jnp.where(
+                real, x_ref[k][sl].astype(xh_sc.dtype), 0
             )
-            c_prev = jnp.where(
-                first_chunk, zero, cp_ref[0].astype(jnp.float32)
+            xh_sc[sl, C : C + H] = jnp.where(
+                real, h_prev.astype(xh_sc.dtype), 0
             )
-        else:
-            h_prev = hs_ref[k - 1].astype(jnp.float32)
-            c_prev = cs_ref[k - 1].astype(jnp.float32)
+            zs[j] = _dot(xh_sc[sl, : C + H], w_ref[: C + H]) + bias
+            cps[j] = c_prev
+        dgs = [None] * NI
+        for j, sl in enumerate(sls):
+            i, f, g, o = _split_gates(zs[j], H)
+            tanh_c = jnp.tanh(cs_ref[k, sl].astype(jnp.float32))
 
-        # zero (not just mask) the off-end operands: padding garbage may
-        # be non-finite, and NaN * 0 would still poison the dW matmul
-        xh_sc[:, :C] = jnp.where(
-            real, x_ref[k].astype(xh_sc.dtype), 0
-        )
-        xh_sc[:, C : C + H] = jnp.where(
-            real, h_prev.astype(xh_sc.dtype), 0
-        )
-        z = _dot(xh_sc[:], w_ref[:])
-        i, f, g, o = _split_gates(z, H)
-        tanh_c = jnp.tanh(cs_ref[k].astype(jnp.float32))
-
-        dh = jnp.where(
-            real, dh_ref[k].astype(jnp.float32), 0.0
-        ) + dh_sc[:]
-        do = dh * tanh_c
-        dc = dc_sc[:] + dh * o * (1.0 - tanh_c * tanh_c)
-        dgi = dc * g * i * (1.0 - i)
-        dgf = dc * c_prev * f * (1.0 - f)
-        dgg = dc * i * (1.0 - g * g)
-        dgo = do * o * (1.0 - o)
-        dgates = jnp.concatenate(
-            [dgi, dgf, dgg, dgo], axis=1
-        )
-        dgates = jnp.where(real, dgates, 0.0).astype(wt_ref.dtype)
-
-        # d[x;h;1] = dgates @ W_aug^T; the bias row's cotangent is
-        # discarded by the slices
-        dxh = _dot(dgates, wt_ref[:])
-        dx_ref[k] = dxh[:, :C].astype(dx_ref.dtype)
-        dh_sc[:] = dxh[:, C : C + H]
-        dc_sc[:] = jnp.where(real, dc * f, dc_sc[:])
-        # dW_aug += [x;h;1]^T @ dgates (bias row accumulates sum dgates)
-        dw_ref[0] += jax.lax.dot_general(
-            xh_sc[:],
-            dgates,
-            (((0,), (0,)), ((), ())),
-            precision=(
-                jax.lax.Precision.HIGHEST
-                if dgates.dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT
-            ),
-            preferred_element_type=jnp.float32,
-        )
+            dh = jnp.where(
+                real, dh_ref[k][sl].astype(jnp.float32), 0.0
+            ) + dh_sc[sl]
+            do = dh * tanh_c
+            dc = dc_sc[sl] + dh * o * (1.0 - tanh_c * tanh_c)
+            dgi = dc * g * i * (1.0 - i)
+            dgf = dc * cps[j] * f * (1.0 - f)
+            dgg = dc * i * (1.0 - g * g)
+            dgo = do * o * (1.0 - o)
+            dgates = jnp.concatenate(
+                [dgi, dgf, dgg, dgo], axis=1
+            )
+            dgs[j] = jnp.where(real, dgates, 0.0).astype(wt_ref.dtype)
+            dc_sc[sl] = jnp.where(real, dc * f, dc_sc[sl])
+        for j, sl in enumerate(sls):
+            # d[x;h] = dgates @ [W_ih; W_hh]^T — the bias column is
+            # sliced off the transposed weights BEFORE the matmul (its
+            # cotangent is never used), keeping N at C+H = one MXU tile
+            dxh = _dot(dgs[j], wt_ref[:, : C + H])
+            dx_ref[k, sl] = dxh[:, :C].astype(dx_ref.dtype)
+            dh_sc[sl] = dxh[:, C : C + H]
+            # dW_aug += [x;h;1]^T @ dgates (bias row accumulates the
+            # dgates sum)
+            dw_ref[0] += jax.lax.dot_general(
+                xh_sc[sl],
+                dgs[j],
+                (((0,), (0,)), ((), ())),
+                precision=(
+                    jax.lax.Precision.HIGHEST
+                    if dgs[j].dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT
+                ),
+                preferred_element_type=jnp.float32,
+            )
 
 
 @functools.partial(jax.jit, static_argnames=("want_cs", "interpret"))
@@ -316,8 +360,11 @@ def _fwd_call(x, w_aug, want_cs=True, interpret=False):
     out_shape = jax.ShapeDtypeStruct((T, B, H), x.dtype)
     n_out = 2 if want_cs else 1
     kernel = _fwd_kernel if want_cs else _fwd_kernel_nocs
+    NI = _interleave()
+    if BT % NI:
+        NI = 1
     out = pl.pallas_call(
-        functools.partial(kernel, C=C, H=H, KT=KT),
+        functools.partial(kernel, C=C, H=H, KT=KT, NI=NI),
         grid=(B // BT, pl.cdiv(T, KT)),
         in_specs=[
             pl.BlockSpec((KT, BT, C), lambda b, t: (t, b, 0)),
@@ -360,8 +407,11 @@ def _bwd_call(x, w_aug, hs, cs, dhs, interpret=False):
     rev_last = lambda b, c: (  # noqa: E731
         jnp.maximum((NC - 1 - c) * KT - 1, 0), b, 0
     )
+    NI = _interleave()
+    if BT % NI:
+        NI = 1
     dx, dw_tiles = pl.pallas_call(
-        functools.partial(_bwd_kernel, C=C, H=H, KT=KT, NC=NC, T=T),
+        functools.partial(_bwd_kernel, C=C, H=H, KT=KT, NC=NC, T=T, NI=NI),
         grid=(NBT, NC),
         in_specs=[
             pl.BlockSpec((KT, BT, C), rev),

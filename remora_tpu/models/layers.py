@@ -183,6 +183,8 @@ def _cbs_bwd(stride, eps, res, cts):
     # (three smaller convs per layer); measured FASTER than forcing a
     # materialized dy with an optimization_barrier (390k vs 384k) — let
     # the compiler keep that split.
+    if os.environ.get("REMORA_TPU_CONVBN_BARRIER"):
+        dy = jax.lax.optimization_barrier(dy.astype(x.dtype))
     db = jnp.sum(dy, (0, 1))
     _, conv_vjp = jax.vjp(
         lambda w_, x_: _conv_nobias(w_, x_, stride), w, x
@@ -230,6 +232,8 @@ def _cbs_bwd_resid(stride, eps, res, cts):
     n = xhat.shape[0] * xhat.shape[1]
     gr = gamma * r
     dy = gr * (dz - dbeta / n - xhat * (dgamma / n))
+    if os.environ.get("REMORA_TPU_CONVBN_BARRIER"):
+        dy = jax.lax.optimization_barrier(dy.astype(x.dtype))
     db = jnp.sum(dy, (0, 1))
     _, conv_vjp = jax.vjp(
         lambda w_, x_: _conv_nobias(w_, x_, stride), w, x
@@ -239,6 +243,80 @@ def _cbs_bwd_resid(stride, eps, res, cts):
 
 
 _cbs_core_resid.defvjp(_cbs_fwd_resid, _cbs_bwd_resid)
+
+
+# ---- packed-lanes backward variant ----
+# The model's conv channels are tiny (4/16/64 of 128 VPU lanes), so the
+# BN-backward elementwise/reduction chains XLA emits around the convs
+# run at 1/32..1/2 lane occupancy in channels-last layout. This variant
+# reshapes the (B*To, O) activations to (B*To/g, g*O == 128) — a free
+# row-major bitcast — so swish', dz, the dgamma/dbeta reductions, and
+# the folded-cotangent dy all run at FULL lane width, with the per-
+# channel params tiled g times across lanes and the (g, O) lane sums
+# folded at the end. dy is materialized once behind an
+# optimization_barrier so XLA cannot split it across its three
+# consumers and re-derive the BN math per consumer (the round-4
+# measured pass-count problem, PERF.md). The dw/dx convs stay on the
+# XLA conv custom calls (MXU). Stride-agnostic: the dz/dy math is
+# per-output-position.
+
+
+def _pack_factor(n_rows, O):
+    """Lane-packing group size g with g*O == 128 (or 1 if O doesn't
+    divide 128 or the row count doesn't split into g groups)."""
+    if O <= 128 and 128 % O == 0 and n_rows % (128 // O) == 0:
+        return 128 // O
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _cbs_core_packed(stride, eps, w, b, gamma, beta, x):
+    del b
+    out, mu, var, _r = _cbs_math(stride, eps, w, gamma, beta, x)
+    return out, mu, var
+
+
+def _cbs_fwd_packed(stride, eps, w, b, gamma, beta, x):
+    del b
+    y = _conv_nobias(w, x, stride)
+    mu = jnp.mean(y, (0, 1))
+    var = jnp.var(y, (0, 1))
+    r = jax.lax.rsqrt(var + eps)
+    xhat = (y - mu) * r
+    z = gamma * xhat + beta
+    out = z * jax.nn.sigmoid(z)
+    return (out, mu, var), (w, gamma, beta, x, xhat, r)
+
+
+def _cbs_bwd_packed(stride, eps, res, cts):
+    dout = cts[0]
+    w, gamma, beta, x, xhat, r = res
+    B, To, O = dout.shape
+    n = B * To
+    g = _pack_factor(n, O)
+    t = lambda v: jnp.tile(v.astype(jnp.float32), g)  # noqa: E731
+    zz = xhat.reshape(n // g, g * O).astype(jnp.float32)
+    dz = dout.reshape(n // g, g * O).astype(jnp.float32)
+    z = t(gamma) * zz + t(beta)
+    s = jax.nn.sigmoid(z)
+    dz = dz * (s + z * s * (1.0 - s))
+    dgamma = jnp.sum(dz * zz, 0).reshape(g, O).sum(0)
+    dbeta = jnp.sum(dz, 0).reshape(g, O).sum(0)
+    dy = (t(gamma) * t(r)) * (
+        dz - t(dbeta) / n - zz * (t(dgamma) / n)
+    )
+    dy = jax.lax.optimization_barrier(dy.astype(x.dtype))
+    db = jnp.sum(dy.astype(jnp.float32), 0).reshape(g, O).sum(0)
+    dy = dy.reshape(B, To, O)
+    _, conv_vjp = jax.vjp(
+        lambda w_, x_: _conv_nobias(w_, x_, stride), w, x
+    )
+    dw, dx = conv_vjp(dy)
+    return dw, db.astype(w.dtype), dgamma.astype(gamma.dtype), \
+        dbeta.astype(beta.dtype), dx
+
+
+_cbs_core_packed.defvjp(_cbs_fwd_packed, _cbs_bwd_packed)
 
 
 # ---- Pallas fused-backward variant (stride-1 blocks) ----
@@ -277,7 +355,8 @@ _cbs_core_pallas.defvjp(_cbs_fwd_pallas, _cbs_bwd_pallas)
 
 def _convbn_impl():
     mode = os.environ.get("REMORA_TPU_CONVBN", "auto")
-    if mode in ("plain", "remat", "fused", "fused_resid", "pallas"):
+    if mode in ("plain", "remat", "fused", "fused_resid", "pallas",
+                "packed"):
         return mode
     try:
         dd = jax.config.jax_default_device
@@ -323,6 +402,8 @@ def conv_bn_swish(conv_params, bn_params, state, x, stride=1, train=False,
         )(conv_params, bn_params, state, x)
     if impl == "pallas" and stride == 1:
         core = _cbs_core_pallas
+    elif impl == "packed":
+        core = _cbs_core_packed
     elif impl == "fused_resid":
         core = _cbs_core_resid
     else:

@@ -143,7 +143,7 @@ def test_checkpoint_roundtrip(tmp_path):
             )
 
 
-@pytest.mark.parametrize("impl", ["remat", "fused", "fused_resid"])
+@pytest.mark.parametrize("impl", ["remat", "fused", "fused_resid", "packed"])
 def test_conv_bn_swish_impl_parity(impl):
     """The fused/remat conv+BN+swish blocks match the plain path:
     outputs, running-state update, and every gradient (remat exactly;
@@ -176,7 +176,7 @@ def test_conv_bn_swish_impl_parity(impl):
     l1, o1, s1, g1 = run(impl)
     # remat re-derives the same math (ULP-level fusion differences
     # only); fused reassociates the bias/stat arithmetic
-    tol = 1e-6 if impl == "remat" else 1e-5  # fused* reassociate
+    tol = 1e-6 if impl == "remat" else 1e-5  # fused*/packed reassociate
     assert abs(float(l0 - l1)) <= tol
     assert float(jnp.max(jnp.abs(o0 - o1))) <= tol
     for key in ("mean", "var"):
