@@ -101,14 +101,20 @@ def extract_chunks_batch(
     # (rare: focus bases within chunk_context of a read end) pay the
     # masked-clip path — interior rows are a plain gather, which halves
     # the prep stage's biggest single cost (PERF.md round 4)
+    # interior rows index whole windows out of a sliding-window VIEW —
+    # one row-wise memcpy per chunk instead of a per-element 2D fancy
+    # gather (the latter was ~2/3 of the remaining prep cost at W=400)
     col = np.arange(W, dtype=np.int64)[None, :]
     edge_rows = (sig_start < 0) | (sig_end > sig_len)
-    if not edge_rows.any():
-        signal = np.asarray(sig[sig_start[:, None] + col], np.float32)
+    if sig_len >= W and not edge_rows.any():
+        win = np.lib.stride_tricks.sliding_window_view(sig, W)
+        signal = win[sig_start].astype(np.float32, copy=False)
     else:
         interior = ~edge_rows
         signal = np.empty((focus_bases.size, W), np.float32)
-        signal[interior] = sig[sig_start[interior][:, None] + col]
+        if interior.any():
+            win = np.lib.stride_tricks.sliding_window_view(sig, W)
+            signal[interior] = win[sig_start[interior]]
         eidx = sig_start[edge_rows][:, None] + col
         valid = (eidx >= 0) & (eidx < sig_len)
         signal[edge_rows] = np.where(
