@@ -77,12 +77,16 @@ REFINE_DEVICE_READ_BATCH = 64
 # mappings (large deletions/stays) can demand bands of thousands of
 # columns — such reads route to the host DP. Round 5 moved the
 # traceback rows out of blocked VMEM (per-base DMA from a 2-deep
-# staging buffer, kernels/pallas_dp.py), which removed the (K, W, 128)
-# output block that capped round 4 at 1024; 2048 fits the remaining
-# W-scale fold scratch under the 16MB scoped-VMEM budget. At 2048 the
-# real-read host-routed share drops to the few-percent tail (PERF.md
-# round-4 table: 3.6% of reads vs 18% at 1024).
-REFINE_DEVICE_MAX_BAND = 2048
+# staging buffer, kernels/pallas_dp.py) and raised the kernel's
+# scoped-VMEM allowance past the 16MB default budget (the fold scratch
+# fits physical VMEM with margin: ~7900-wide bands measured path-exact
+# on v5e, PERF.md round 5). The binding constraint at 4096 is the
+# (N, W, 128) int16 HBM traceback tensor, which the per-launch budget
+# guard (_dp_tb_bytes / REMORA_TPU_DP_TB_BUDGET_MB) enforces per read
+# independently of this cap. Real-read host routing at 4096 is the
+# same 3.6% pathological-mapping tail as at 2048 (p99 band = 14439);
+# the synthetic all-stall stress set drops from 38.8% routed to 0%.
+REFINE_DEVICE_MAX_BAND = 4096
 DEFAULT_ROUGH_RESCALE_METHOD = ROUGH_RESCALE_LEAST_SQUARES
 
 PA_TO_NORM_SCALING_FACTOR = 1.4826

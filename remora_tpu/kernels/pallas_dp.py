@@ -505,6 +505,13 @@ def _dp_jit(signal, levels, band_starts, band_widths, seq_lens, sdp,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((N, W, R), jnp.int16),
         scratch_shapes=fwd_scratch,
+        compiler_params=pltpu.CompilerParams(
+            # allowance only (physical VMEM still binds): the DEFAULT
+            # scoped-vmem budget (16M) rejects kilowide-band geometries
+            # whose fold scratch + Mosaic stack temporaries in fact fit
+            # (W=2040 dwell needs ~17.2M; measured OOM without this)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(sdp_2d, stage, seg_lo, starts_T, widths_T, levels_T)
 

@@ -324,11 +324,11 @@ def test_hw_conv_bn_swish_fused_parity():
 
 
 def test_hw_pallas_dp_kilowide_band():
-    """A ~2000-sample stall (band width past 2000) through the device DP
+    """A ~3900-sample stall (band width near 4096) through the device DP
     on real hardware: VMEM feasibility + path exactness at the geometry
-    behind REFINE_DEVICE_MAX_BAND=2048 (round 5: the per-base DMA'd
-    traceback removed the (K, W, 128) output block that capped round 4
-    at 1024; the 1000/700 stalls keep the old cap's geometry covered)."""
+    behind REFINE_DEVICE_MAX_BAND=4096 (round 5: per-base DMA'd
+    traceback + the raised scoped-VMEM allowance; the 2000/1000/700
+    stalls keep the earlier caps' geometries covered)."""
     from remora_tpu.kernels.pallas_dp import refine_batch_pallas
     from remora_tpu.refine import dp as host_dp
     from remora_tpu.refine.band import (
@@ -341,7 +341,7 @@ def test_hw_pallas_dp_kilowide_band():
     rng = np.random.default_rng(3)
     sdp = compute_dwell_pen_array(4, 3, 0.5)
     reads = []
-    for stall in (2000, 1000, 700):
+    for stall in (3900, 2000, 1000, 700):
         seq_len = 40
         spb = rng.integers(1, 8, seq_len)
         spb[seq_len // 3] = stall
@@ -353,7 +353,7 @@ def test_hw_pallas_dp_kilowide_band():
         adjust_seq_band(seq_band)
         reads.append((signal, levels, seq_band))
     w = max(int((bd[1] - bd[0]).max()) for _s, _l, bd in reads)
-    assert w > 2000, w
+    assert w > 3800, w
     host_paths = [
         host_dp.seq_banded_dp(sig, lv, bd, sdp, "dwell_penalty")[1]
         for sig, lv, bd in reads
