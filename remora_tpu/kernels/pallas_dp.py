@@ -583,7 +583,9 @@ def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
     """Forward + traceback for a batch of reads, one launch each.
 
     Same contract as refine_dp.banded_dp_batch: returns
-    (path (R, N+1), traceback (N, W, R), final_scores placeholder).
+    (path (R, N+1), traceback, final_scores placeholder). The traceback
+    is the raw PADDED device tensor (N and R rounded up to the staging
+    buckets) — trimming it would copy multi-GB of data no caller reads.
     Host-side wrapper computing the static staging geometry. Pass
     ``seg`` (max per-chunk signal span, from compute_chunk_seg) to skip
     the host scan over the band arrays, e.g. when they already live on
@@ -656,10 +658,12 @@ def banded_dp_batch_pallas(signal, levels, band_starts, band_widths,
         # carries the per-read signal end so column N0 is only needed
         # for reads of exactly N0 bases, which the slice keeps
         path = path[:, : N0 + 1]
-        tb = tb[:N0]
     if RB > R0:
         path = path[:R0]
-        tb = tb[:, :, :R0]
+    # the traceback returns UNTRIMMED: no caller reads it (the path is
+    # the product), and slicing it would materialize a second multi-GB
+    # device copy of a tensor that is about to be dropped — at the
+    # budget-guard limit that transient alone could OOM the chip
     return path, tb, scores
 
 

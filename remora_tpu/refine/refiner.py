@@ -64,13 +64,21 @@ _ROUGH_RESCALE_DISPATCH = {
 }
 
 
+# read-lane tile of the DP launch geometry (kernels/pallas_dp.py LANES);
+# bucket launches are chunked to this many reads so the budget math
+# below is exact, not a per-128 underestimate
+_DP_LAUNCH_LANES = 128
+
+
 def _dp_tb_bytes(n_bases, w_read):
     """Estimated HBM traceback-tensor footprint of a device-DP launch
     carrying this read: bases padded to 256, width to its pow-2 bucket,
-    128 lanes, int16 (mirrors kernels/pallas_dp.py padding)."""
+    one 128-read lane tile, int16 (mirrors kernels/pallas_dp.py
+    padding; launches are chunked to <=128 reads so one lane tile is
+    the whole tensor)."""
     n_pad = -(-max(int(n_bases), 1) // 256) * 256
     w_pad = 1 << (max(int(w_read), 16) - 1).bit_length()
-    return n_pad * w_pad * 128 * 2
+    return n_pad * w_pad * _DP_LAUNCH_LANES * 2
 
 
 def _dp_tb_budget_bytes():
@@ -79,11 +87,36 @@ def _dp_tb_budget_bytes():
     REMORA_TPU_DP_TB_BUDGET_MB overrides (default 4096 MB — a quarter of
     a v5e's 16GB, leaving room for staging, paths and the caller's
     arrays). Reads whose tensor would exceed it route to the host DP."""
-    import os
-
     return int(os.environ.get("REMORA_TPU_DP_TB_BUDGET_MB", "4096")) * (
         1024 * 1024
     )
+
+
+def _refine_dp_devices():
+    """Local devices the device-DP refine stage spreads over.
+
+    REMORA_TPU_REFINE_DP overrides the count (0/1 = single device);
+    invalid values fail fast with RemoraError (matching the
+    REMORA_TPU_INFER_DP contract) rather than silently degrading to
+    the host path."""
+    import jax
+
+    devs = jax.local_devices()
+    n_req = os.environ.get("REMORA_TPU_REFINE_DP")
+    if n_req is None:
+        return devs
+    try:
+        n = int(n_req)
+    except ValueError:
+        raise RemoraError(
+            f"REMORA_TPU_REFINE_DP={n_req!r} is not an integer"
+        )
+    if n > len(devs):
+        raise RemoraError(
+            f"REMORA_TPU_REFINE_DP={n} but only {len(devs)} local "
+            "devices are attached"
+        )
+    return devs[: max(1, n)]
 
 
 def _banded_search_space(seq_to_sig_map, levels, sig_len, bhw, min_step):
@@ -510,6 +543,12 @@ class SigMapRefiner:
                     "map": rd.seq_to_sig_map - origin,
                     "shift": rd.shift,
                     "scale": rd.scale,
+                    # post-rough-rescale values, frozen: the whole-batch
+                    # host fallback restarts each read from scratch, so
+                    # it must not see shift/scale mutated by completed
+                    # device iterations (single-read-path equivalence)
+                    "shift0": rd.shift,
+                    "scale0": rd.scale,
                     "done": False,
                     "err": None,
                 }
@@ -557,6 +596,10 @@ class SigMapRefiner:
                 except Exception as e:  # noqa: BLE001 — per-read guard
                     st["err"] = e
         if states:
+            # config errors fail fast OUTSIDE the degrade handler: a bad
+            # REMORA_TPU_REFINE_DP must raise (like REMORA_TPU_INFER_DP
+            # does), not silently reroute every batch to the host DP
+            _refine_dp_devices()
             try:
                 self._device_refine_loop(states)
             except Exception as dev_err:  # noqa: BLE001 — degrade, not drop
@@ -572,10 +615,14 @@ class SigMapRefiner:
                 for st in states:
                     rd = st["read"]
                     try:
+                        # restart from the frozen post-rough-rescale
+                        # state: the original map with shift/scale from
+                        # a partially-completed device loop would be a
+                        # hybrid neither path produces
                         new_map, st["shift"], st["scale"] = (
                             self.refine_sig_map(
-                                st["shift"],
-                                st["scale"],
+                                st["shift0"],
+                                st["scale0"],
                                 rd.seq_to_sig_map,
                                 rd.int_seq,
                                 rd.dacs,
@@ -624,10 +671,7 @@ class SigMapRefiner:
         # REMORA_TPU_REFINE_DP overrides the device count (0/1 = single
         # device). Dispatch is async: launches on different chips run
         # concurrently; the np.asarray path fetch joins them.
-        devices = jax.local_devices()
-        n_req = os.environ.get("REMORA_TPU_REFINE_DP")
-        if n_req is not None:
-            devices = devices[: max(1, int(n_req))]
+        devices = _refine_dp_devices()
         if len(devices) > 1:
             LOGGER.debug(
                 f"device DP refinement over {len(devices)} local devices"
@@ -720,6 +764,15 @@ class SigMapRefiner:
                     for i in range(min(len(devices), len(bucket)))
                     if bucket[i::len(devices)]
                 ]
+            # chunk to one read-lane tile per launch: the kernel pads
+            # reads to 128 lanes, so bigger buckets would multiply the
+            # (N, W, 128) traceback tensor past what _dp_tb_bytes (and
+            # the launch budget built on it) accounts for
+            launches = [
+                (w, bucket[i : i + _DP_LAUNCH_LANES])
+                for w, bucket in launches
+                for i in range(0, len(bucket), _DP_LAUNCH_LANES)
+            ]
             # dispatch every launch before fetching any result: jit
             # dispatch is async, so launches on different chips overlap
             pending = []

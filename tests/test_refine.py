@@ -293,3 +293,24 @@ def test_refine_reads_batch_multi_device_identical(monkeypatch):
     for a, b in zip(multi, single):
         assert a.shift == b.shift and a.scale == b.scale
         assert np.array_equal(a.seq_to_sig_map, b.seq_to_sig_map)
+
+
+def test_refine_dp_env_validation(monkeypatch):
+    """Bad REMORA_TPU_REFINE_DP fails fast (RemoraError), matching the
+    REMORA_TPU_INFER_DP contract, instead of silently degrading every
+    batch to the host DP."""
+    import pytest
+
+    from remora_tpu import RemoraError
+
+    rng = np.random.default_rng(31)
+    smr = _synthetic_refiner(scale_iters=0)
+    reads = [_synthetic_read(rng, smr, 80)]
+
+    monkeypatch.setenv("REMORA_TPU_REFINE_DP", "all")
+    with pytest.raises(RemoraError, match="not an integer"):
+        smr.refine_reads_batch([rd.copy() for rd in reads])
+
+    monkeypatch.setenv("REMORA_TPU_REFINE_DP", "9999")
+    with pytest.raises(RemoraError, match="local devices"):
+        smr.refine_reads_batch([rd.copy() for rd in reads])
