@@ -50,7 +50,9 @@ def _tile_plan(B, C, H, itemsize, backward, want_cs=True):
     Sequential latency is NBT * T recurrence steps — a bigger batch tile
     directly cuts the sequential step count AND raises per-step MXU
     utilization, so BT dominates KT. Feasibility is EMPIRICAL, measured
-    on v5e (16MB VMEM) at the production geometry (C=H=64, T~130,
+    on v5e under the raised scoped-VMEM allowance (XLA's 16MB default
+    is a budget, not the part's VMEM) at the production geometry
+    (C=H=64, T~130,
     B=2048): Mosaic's kernel stack temporaries defy closed-form byte
     accounting — e.g. bwd (512, 8) compiles while the strictly-smaller-
     blocked (512, 4) OOMs — so the plan is a measured preference table,
