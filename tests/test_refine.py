@@ -314,3 +314,42 @@ def test_refine_dp_env_validation(monkeypatch):
     monkeypatch.setenv("REMORA_TPU_REFINE_DP", "9999")
     with pytest.raises(RemoraError, match="local devices"):
         smr.refine_reads_batch([rd.copy() for rd in reads])
+
+
+def test_dp_tb_budget_accounting(monkeypatch):
+    """_dp_tb_bytes models one 128-read lane tile exactly (launches are
+    chunked to <=128 reads), and the budget env knob is respected."""
+    from remora_tpu.refine.refiner import (
+        _DP_LAUNCH_LANES,
+        _dp_tb_budget_bytes,
+        _dp_tb_bytes,
+    )
+
+    # 6000 bases pad to 6144, width 3000 buckets to 4096, 128 lanes i16
+    assert _dp_tb_bytes(6000, 3000) == 6144 * 4096 * 128 * 2
+    # floor clamps: 1 base -> 256 rows, width below 16 -> bucket 16
+    assert _dp_tb_bytes(1, 1) == 256 * 16 * 128 * 2
+    assert _DP_LAUNCH_LANES == 128
+
+    monkeypatch.setenv("REMORA_TPU_DP_TB_BUDGET_MB", "123")
+    assert _dp_tb_budget_bytes() == 123 * 1024 * 1024
+
+
+def test_refine_launches_chunk_to_lane_tiles(monkeypatch):
+    """More same-bucket reads than one 128-lane tile still refine
+    correctly: launches chunk to <=128 reads so the traceback budget
+    accounting stays exact (results identical to the per-read path)."""
+    import pytest
+
+    rng = np.random.default_rng(37)
+    smr = _synthetic_refiner(scale_iters=0)
+    # tiny reads keep the interpret-mode DP cheap; 130 same-width reads
+    # force one bucket to span two lane-tile chunks
+    reads = [_synthetic_read(rng, smr, 30) for _ in range(130)]
+    batch = [rd.copy() for rd in reads]
+    errs = smr.refine_reads_batch(batch)
+    assert errs == [None] * len(reads)
+    for rd, orig in zip(batch, reads):
+        single = orig.copy()
+        single.refine_signal_mapping(smr)
+        assert np.array_equal(single.seq_to_sig_map, rd.seq_to_sig_map)
