@@ -136,9 +136,11 @@ def _model_read(remora_read, motifs):
     return mdl_read
 
 
-def _model_chunks(mdl_read, md, motifs):
+def _model_chunks(mdl_read, md):
     """Padded chunk-array dict for one canonical-base model, or None when
-    the read yields no focus hits for its motifs."""
+    the read yields no focus hits for its motifs (``mdl_read`` must come
+    from ``_model_read``: the extraction skips the motif re-scan on the
+    invariant that focus bases were selected from these same motifs)."""
     from remora_tpu.data.chunk_batch import extract_chunks_batch
 
     # tight per-read row widths (the batch assembler pastes narrower
@@ -163,7 +165,7 @@ def _model_chunks(mdl_read, md, motifs):
 def _chunks_for_model(remora_read, md, motifs):
     mdl_read = _model_read(remora_read, motifs)
     mdl_read.refine_signal_mapping(md["sig_map_refiner"])
-    return _model_chunks(mdl_read, md, motifs)
+    return _model_chunks(mdl_read, md)
 
 
 def prepare_reads(read_errs, models_metadata, ref_anchored):
@@ -260,7 +262,7 @@ def prepare_reads_batched(batch_read_errs, models_metadata, ref_anchored):
                 LOGGER.debug(f"{io_read.child_read_id} {why}")
                 errs.append(why)
                 continue
-            chunks = _model_chunks(mdl_read, md, motifs[cb])
+            chunks = _model_chunks(mdl_read, md)
             if chunks is None:
                 why = f"No {cb} mod calls"
                 LOGGER.debug(f"{io_read.child_read_id} {why}")

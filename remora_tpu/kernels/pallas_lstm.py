@@ -345,8 +345,10 @@ def _bwd_kernel(x_ref, hs_ref, hp_ref, cs_ref, cp_ref, dh_ref, w_ref,
             )
 
 
-@functools.partial(jax.jit, static_argnames=("want_cs", "interpret"))
-def _fwd_call(x, w_aug, want_cs=True, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("want_cs", "interpret", "ni")
+)
+def _fwd_call(x, w_aug, want_cs=True, interpret=False, ni=1):
     T, B, C = x.shape
     H = w_aug.shape[1] // 4
     BT, KT = _tile_plan(
@@ -362,9 +364,7 @@ def _fwd_call(x, w_aug, want_cs=True, interpret=False):
     out_shape = jax.ShapeDtypeStruct((T, B, H), x.dtype)
     n_out = 2 if want_cs else 1
     kernel = _fwd_kernel if want_cs else _fwd_kernel_nocs
-    NI = _interleave()
-    if BT % NI:
-        NI = 1
+    NI = ni if ni >= 1 and BT % ni == 0 else 1
     out = pl.pallas_call(
         functools.partial(kernel, C=C, H=H, KT=KT, NI=NI),
         grid=(B // BT, pl.cdiv(T, KT)),
@@ -393,8 +393,8 @@ def _fwd_call(x, w_aug, want_cs=True, interpret=False):
     return out[0], None
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _bwd_call(x, w_aug, hs, cs, dhs, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "ni"))
+def _bwd_call(x, w_aug, hs, cs, dhs, interpret=False, ni=1):
     T, B, C = x.shape
     H = w_aug.shape[1] // 4
     BT, KT = _tile_plan(B, C, H, x.dtype.itemsize, backward=True)
@@ -409,9 +409,7 @@ def _bwd_call(x, w_aug, hs, cs, dhs, interpret=False):
     rev_last = lambda b, c: (  # noqa: E731
         jnp.maximum((NC - 1 - c) * KT - 1, 0), b, 0
     )
-    NI = _interleave()
-    if BT % NI:
-        NI = 1
+    NI = ni if ni >= 1 and BT % ni == 0 else 1
     dx, dw_tiles = pl.pallas_call(
         functools.partial(_bwd_kernel, C=C, H=H, KT=KT, NC=NC, T=T, NI=NI),
         grid=(NBT, NC),
@@ -450,22 +448,25 @@ def _bwd_call(x, w_aug, hs, cs, dhs, interpret=False):
     return dx, jnp.sum(dw_tiles, axis=0)
 
 
-# positional layout: (interpret, x, w_aug) so the static flag can be a
-# nondiff argnum
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _lstm_core(interpret, x, w_aug):
-    hs, _ = _fwd_call(x, w_aug, want_cs=False, interpret=interpret)
+# positional layout: (interpret, ni, x, w_aug) so the static flags can
+# be nondiff argnums. ni (the chain-interleave count) is read from the
+# env by the CALLER on every invocation and threaded through as a jit
+# cache key — reading it at trace time inside the jitted calls would
+# freeze the first value seen for the life of the process
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _lstm_core(interpret, ni, x, w_aug):
+    hs, _ = _fwd_call(x, w_aug, want_cs=False, interpret=interpret, ni=ni)
     return hs
 
 
-def _lstm_core_fwd(interpret, x, w_aug):
-    hs, cs = _fwd_call(x, w_aug, interpret=interpret)
+def _lstm_core_fwd(interpret, ni, x, w_aug):
+    hs, cs = _fwd_call(x, w_aug, interpret=interpret, ni=ni)
     return hs, (x, w_aug, hs, cs)
 
 
-def _lstm_core_bwd(interpret, res, dhs):
+def _lstm_core_bwd(interpret, ni, res, dhs):
     x, w_aug, hs, cs = res
-    dx, dw = _bwd_call(x, w_aug, hs, cs, dhs, interpret=interpret)
+    dx, dw = _bwd_call(x, w_aug, hs, cs, dhs, interpret=interpret, ni=ni)
     return dx, dw.astype(w_aug.dtype)
 
 
@@ -493,7 +494,7 @@ def lstm_fused(params, x, reverse=False, interpret=False):
     assert w_aug.shape[0] == C + H + 1
     if reverse:
         x = jnp.flip(x, axis=0)
-    hs = _lstm_core(interpret, x, w_aug)
+    hs = _lstm_core(interpret, _interleave(), x, w_aug)
     if reverse:
         hs = jnp.flip(hs, axis=0)
     return hs

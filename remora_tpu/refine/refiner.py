@@ -773,23 +773,50 @@ class SigMapRefiner:
                 for w, bucket in launches
                 for i in range(0, len(bucket), _DP_LAUNCH_LANES)
             ]
-            # dispatch every launch before fetching any result: jit
-            # dispatch is async, so launches on different chips overlap
-            pending = []
+            # dispatch launches before fetching results (jit dispatch is
+            # async, so launches on different chips overlap), but bound
+            # the OUTSTANDING traceback bytes per device: every enqueued
+            # launch holds its (N, W, 128) int16 tensor in HBM until its
+            # path fetch joins it, so unbounded dispatch would let
+            # several near-budget tensors coexist and OOM a chip even
+            # though each launch passed the per-launch guard. Note each
+            # device compiles its own executable per band geometry (jit
+            # caches key on placement) — the persistent XLA cache
+            # (jax_setup.ensure_compilation_cache) absorbs the repeats.
+            budget = _dp_tb_budget_bytes()
+            pending = []  # [dev, tb_bytes, bucket_active, lens, paths]
+            outstanding = {}
+            path_by_read = {}
+
+            def drain(only_dev=None):
+                for item in pending[:]:
+                    if only_dev is not None and item[0] is not only_dev:
+                        continue
+                    _dev, tb_b, bucket_active, seq_lens, paths_dev = item
+                    paths = np.asarray(paths_dev)
+                    for a, r in enumerate(bucket_active):
+                        # int32, matching the single-read path's dtype
+                        path_by_read[r] = paths[a, : seq_lens[a] + 1].copy()
+                    outstanding[_dev] -= tb_b
+                    pending.remove(item)
+
             for li, (w_bucket, bucket) in enumerate(launches):
                 dev = devices[li % len(devices)]
+                n_max = max(
+                    states[r]["levels"].size for r, _bd in bucket
+                )
+                tb_b = _dp_tb_bytes(n_max, w_bucket)
+                if outstanding.get(dev, 0) + tb_b > budget:
+                    drain(dev)
                 sig_dev, lvl_dev = staged(dev)
                 with jax.default_device(dev):
-                    pending.append(self._launch_dp_bucket(
+                    active, seq_lens, paths_dev = self._launch_dp_bucket(
                         states, bucket, w_bucket, single_round,
                         sig_dev, lvl_dev, interpret,
-                    ))
-            path_by_read = {}
-            for bucket_active, seq_lens, paths_dev in pending:
-                paths = np.asarray(paths_dev)
-                for a, r in enumerate(bucket_active):
-                    # int32, matching the single-read path's dtype
-                    path_by_read[r] = paths[a, : seq_lens[a] + 1].copy()
+                    )
+                outstanding[dev] = outstanding.get(dev, 0) + tb_b
+                pending.append([dev, tb_b, active, seq_lens, paths_dev])
+            drain()
             # rescale in the ORIGINAL bucket-major read order: the
             # precise rescale consumes the global NumPy RNG (reference
             # Theil–Sen subsample semantics), so the call order must not
