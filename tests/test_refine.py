@@ -353,3 +353,30 @@ def test_refine_launches_chunk_to_lane_tiles(monkeypatch):
         single = orig.copy()
         single.refine_signal_mapping(smr)
         assert np.array_equal(single.seq_to_sig_map, rd.seq_to_sig_map)
+
+
+def test_refine_dp_outstanding_budget_drain(monkeypatch):
+    """A tiny REMORA_TPU_DP_TB_BUDGET_MB forces the dispatch loop to
+    drain pending launches mid-flight (the outstanding-bytes bound);
+    results must be identical to an unconstrained run."""
+    rng = np.random.default_rng(41)
+    smr = _synthetic_refiner(scale_iters=0)
+    reads = [
+        _synthetic_read(rng, smr, n) for n in (60, 90, 75, 80, 70, 85)
+    ]
+    # per-launch tensors here are ~256*128*128*2 = 8.4MB; a 9MB budget
+    # on a single device admits one launch at a time, draining pending
+    # results before every dispatch (8 devices would spread the buckets
+    # and never exercise the mid-loop drain)
+    monkeypatch.setenv("REMORA_TPU_REFINE_DP", "1")
+    monkeypatch.setenv("REMORA_TPU_DP_TB_BUDGET_MB", "9")
+    tight = [rd.copy() for rd in reads]
+    errs = smr.refine_reads_batch(tight)
+    assert errs == [None] * len(reads)
+
+    monkeypatch.delenv("REMORA_TPU_DP_TB_BUDGET_MB")
+    free = [rd.copy() for rd in reads]
+    errs = smr.refine_reads_batch(free)
+    assert errs == [None] * len(reads)
+    for a, b in zip(tight, free):
+        assert np.array_equal(a.seq_to_sig_map, b.seq_to_sig_map)
