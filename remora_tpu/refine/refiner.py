@@ -926,9 +926,17 @@ class SigMapRefiner:
 
     @classmethod
     def load_from_metadata(cls, metadata):
-        kwargs = {attr: metadata.get(key) for key, attr in cls._META_KEYS}
-        if kwargs["rough_rescale_method"] is None:
-            kwargs["rough_rescale_method"] = ROUGH_RESCALE_LEAST_SQUARES
+        # absent/None keys defer to the dataclass defaults: metadata
+        # without refine_* entries (e.g. a migrated legacy dataset)
+        # yields an unloaded no-op refiner instead of None-typed fields
+        kwargs = {
+            attr: metadata[key]
+            for key, attr in cls._META_KEYS
+            if metadata.get(key) is not None
+        }
+        kwargs.setdefault(
+            "rough_rescale_method", ROUGH_RESCALE_LEAST_SQUARES
+        )
         return cls(**kwargs)
 
     @classmethod

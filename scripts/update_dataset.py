@@ -34,7 +34,27 @@ def main():
     n = sigs.shape[0]
     mod_bases = [str(b) for b in data.get("mod_bases", [])]
     mod_long_names = [str(b) for b in data.get("mod_long_names", mod_bases)]
-    motifs = data.get("motifs", [("N", 0)])
+    # legacy files carry either a (seq, offset) pair list ("motifs") or
+    # split sequence/offset arrays; v3 metadata validates that focus
+    # bases are unambiguous, so there is no meaningful default
+    if "motifs" in data:
+        motifs = [(str(m[0]), int(m[1])) for m in data["motifs"]]
+    elif "motif_sequences" in data:
+        motifs = list(
+            zip(
+                (str(s) for s in data["motif_sequences"]),
+                (int(o) for o in data["motif_offsets"]),
+            )
+        )
+    elif "motif" in data:
+        m = data["motif"]
+        motifs = [(str(m[0]), int(m[1]))]
+    else:
+        raise SystemExit(
+            "legacy npz carries no motif metadata (motifs / "
+            "motif_sequences+motif_offsets / motif); the v3 format "
+            "requires motifs with unambiguous focus bases"
+        )
     md = DatasetMetadata(
         allocate_size=n,
         max_seq_len=int(seq_maps.shape[1] - 1),
