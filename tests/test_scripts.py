@@ -167,3 +167,100 @@ def test_update_dataset_roundtrip(can_chunks, tmp_path):
         mm = np.memmap(dst.get_array_path(name), mode="r", dtype=dtype)
         got = np.asarray(mm.reshape(shape)[:n])
         np.testing.assert_array_equal(got, arrs[name], err_msg=name)
+
+
+def test_collapse_label_renormalizes(tmp_path):
+    """collapse_label drops one mod code and renormalizes the remaining
+    probabilities exactly (native BAM codec end to end)."""
+    from remora_tpu.core.tags import format_mm_ml_tags
+    from remora_tpu.io.bam import (
+        BamHeader,
+        BamRecord,
+        BamWriter,
+        FastBamScanner,
+    )
+
+    header = BamHeader(
+        text="@HD\tVN:1.6\tSO:unknown\n@SQ\tSN:ctg1\tLN:1000\n",
+        references=["ctg1"],
+        lengths=[1000],
+    )
+    seq = "AACGTCCGTA"  # Cs at read positions 2, 5, 6
+    poss = [2, 5, 6]
+    probs = np.array(
+        [[0.50, 0.25], [0.10, 0.80], [0.00, 0.00]]  # (m, h) per call
+    )
+    mm, ml = format_mm_ml_tags(seq, poss, probs, "mh", "C")
+    rec = BamRecord(
+        query_name="read1",
+        flag=0,
+        reference_id=0,
+        reference_start=10,
+        mapq=60,
+        cigartuples=[(0, len(seq))],
+        query_sequence=seq,
+        query_qualities=np.full(len(seq), 30, dtype=np.uint8),
+        tags=[
+            ("MM", "Z", mm),
+            ("ML", "BC", np.frombuffer(ml.tobytes(), dtype=np.uint8)),
+        ],
+    )
+    in_bam = tmp_path / "in.bam"
+    with BamWriter(str(in_bam), header) as w:
+        w.write(rec)
+
+    out_bam = tmp_path / "out.bam"
+    res = _run(
+        [
+            os.path.join(SCRIPTS, "collapse_label.py"),
+            str(in_bam),
+            str(out_bam),
+            "--alphabet",
+            "Cmh",
+            "--drop-mod",
+            "h",
+        ]
+    )
+    assert res.returncode == 0, res.stderr
+
+    (read,) = list(FastBamScanner(str(out_bam)))
+    mb = read.modified_bases
+    assert mb is not None
+    ((key, values),) = [
+        (k, v) for k, v in mb.items() if k[2] == "m"
+    ]
+    got = {pos: (prob + 0.5) / 256 for pos, prob in values}
+    # script math: q_mod_probs reads bytes back as (b + 0.5)/256, then
+    # renormalizes [1 - pm - ph, pm] and emits the mod tail
+    for pos, (pm, ph) in zip(poss, probs):
+        pm_q = (np.floor(pm * 256).clip(0, 255) + 0.5) / 256
+        ph_q = (np.floor(ph * 256).clip(0, 255) + 0.5) / 256
+        want = pm_q / (1 - ph_q)
+        want_q = (np.floor(want * 256).clip(0, 255) + 0.5) / 256
+        assert abs(got[pos] - want_q) < 1e-6, (pos, got[pos], want_q)
+    # the h track is gone
+    assert not any(k[2] == "h" for k in mb)
+
+
+def test_model_comparison(trained_model, chunks_config):
+    """model_comparison prints one metrics row per model."""
+    res = _run(
+        [
+            os.path.join(SCRIPTS, "model_comparison.py"),
+            str(chunks_config),
+            "--models",
+            str(trained_model),
+            str(trained_model),
+            "--batch-size",
+            "64",
+        ]
+    )
+    assert res.returncode == 0, res.stderr
+    lines = [
+        ln for ln in res.stdout.splitlines() if ln.strip()
+    ]
+    assert lines[0].startswith("model\t")
+    rows = [ln for ln in lines[1:] if str(trained_model) in ln]
+    assert len(rows) == 2
+    # identical models must report identical metrics
+    assert rows[0].split("\t")[1:] == rows[1].split("\t")[1:]
