@@ -64,8 +64,12 @@ def main():
     seg_map0 = seg_map - seg_map[0]
 
     path, _scores, _tb, seq_band, _offs = refine_signal_mapping(
-        sig, rread.seq_to_sig_map[st : en + 1], levels,
-        smr.half_bandwidth, smr.algo, smr.sd_arr,
+        sig,
+        rread.seq_to_sig_map[st : en + 1],
+        levels,
+        refine_algo=smr.algo,
+        short_dwell_pen=smr.sd_arr,
+        band_half_width=smr.half_bandwidth,
     )
     path0 = path - seg_map[0]
 

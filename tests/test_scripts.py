@@ -264,3 +264,24 @@ def test_model_comparison(trained_model, chunks_config):
     assert len(rows) == 2
     # identical models must report identical metrics
     assert rows[0].split("\t")[1:] == rows[1].split("\t")[1:]
+
+
+def test_plot_map_refine(levels_table, tmp_path):
+    """plot_map_refine renders the banded-DP visualization for a real
+    bundled read."""
+    out = tmp_path / "map_refine.png"
+    res = _run(
+        [
+            os.path.join(SCRIPTS, "plot_map_refine.py"),
+            "/root/reference/tests/data/can_reads.pod5",
+            "/root/reference/tests/data/can_mappings.bam",
+            "--levels",
+            str(levels_table),
+            "--num-bases",
+            "30",
+            "--out-path",
+            str(out),
+        ]
+    )
+    assert res.returncode == 0, res.stderr
+    assert out.exists() and out.stat().st_size > 5000
