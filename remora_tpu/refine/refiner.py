@@ -86,10 +86,16 @@ def _dp_tb_budget_bytes():
 
     REMORA_TPU_DP_TB_BUDGET_MB overrides (default 4096 MB — a quarter of
     a v5e's 16GB, leaving room for staging, paths and the caller's
-    arrays). Reads whose tensor would exceed it route to the host DP."""
-    return int(os.environ.get("REMORA_TPU_DP_TB_BUDGET_MB", "4096")) * (
-        1024 * 1024
-    )
+    arrays). Reads whose tensor would exceed it route to the host DP;
+    an unparseable override fails fast (same contract as
+    REMORA_TPU_REFINE_DP) rather than silently degrading."""
+    raw = os.environ.get("REMORA_TPU_DP_TB_BUDGET_MB", "4096")
+    try:
+        return int(raw) * (1024 * 1024)
+    except ValueError:
+        raise RemoraError(
+            f"REMORA_TPU_DP_TB_BUDGET_MB={raw!r} is not an integer"
+        )
 
 
 def _refine_dp_devices():
@@ -562,6 +568,9 @@ class SigMapRefiner:
         # the cap in later scale iterations.
         host_states = []
         if states:
+            # config errors (bad budget env) fail fast, outside any
+            # per-read guard that would silently reroute to the host
+            tb_budget = _dp_tb_budget_bytes()
             device_states = []
             for st in states:
                 try:
@@ -575,7 +584,7 @@ class SigMapRefiner:
                     w_read = int((bd[1] - bd[0]).max())
                     wide = w_read > REFINE_DEVICE_MAX_BAND or (
                         _dp_tb_bytes(st["levels"].size, w_read)
-                        > _dp_tb_budget_bytes()
+                        > tb_budget
                     )
                 except Exception:  # noqa: BLE001 — let the loop report it
                     wide = False
@@ -614,6 +623,9 @@ class SigMapRefiner:
                 )
                 for st in states:
                     rd = st["read"]
+                    # a stale per-read error from the abandoned device
+                    # loop must not mask this read's fresh host result
+                    st["err"] = None
                     try:
                         # restart from the frozen post-rough-rescale
                         # state: the original map with shift/scale from
@@ -810,12 +822,12 @@ class SigMapRefiner:
                     drain(dev)
                 sig_dev, lvl_dev = staged(dev)
                 with jax.default_device(dev):
-                    active, seq_lens, paths_dev = self._launch_dp_bucket(
+                    b_active, b_lens, paths_dev = self._launch_dp_bucket(
                         states, bucket, w_bucket, single_round,
                         sig_dev, lvl_dev, interpret,
                     )
                 outstanding[dev] = outstanding.get(dev, 0) + tb_b
-                pending.append([dev, tb_b, active, seq_lens, paths_dev])
+                pending.append([dev, tb_b, b_active, b_lens, paths_dev])
             drain()
             # rescale in the ORIGINAL bucket-major read order: the
             # precise rescale consumes the global NumPy RNG (reference
@@ -847,8 +859,14 @@ class SigMapRefiner:
         overlap (the caller joins and rescales in a stable order)."""
         import jax.numpy as jnp
 
-        from remora_tpu.kernels.pallas_dp import banded_dp_batch_pallas
+        from remora_tpu.kernels.pallas_dp import (
+            LANES,
+            banded_dp_batch_pallas,
+        )
 
+        # the launch chunking and _dp_tb_bytes both model one read-lane
+        # tile; if the kernel geometry ever changes they must follow
+        assert LANES == _DP_LAUNCH_LANES, (LANES, _DP_LAUNCH_LANES)
         active = [r for r, _bd in bucket]
         bands = [bd for _r, bd in bucket]
         n_act = max(states[r]["levels"].size for r in active)

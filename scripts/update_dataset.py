@@ -39,7 +39,7 @@ def main():
     # bases are unambiguous, so there is no meaningful default
     if "motifs" in data:
         motifs = [(str(m[0]), int(m[1])) for m in data["motifs"]]
-    elif "motif_sequences" in data:
+    elif "motif_sequences" in data and "motif_offsets" in data:
         motifs = list(
             zip(
                 (str(s) for s in data["motif_sequences"]),
