@@ -502,7 +502,7 @@ def _dp_jit(signal, levels, band_starts, band_widths, seq_lens, sdp,
                          memory_space=pltpu.VMEM),
         ],
         # unblocked HBM output, written by per-base DMA from staging
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((N, W, R), jnp.int16),
         scratch_shapes=fwd_scratch,
         compiler_params=pltpu.CompilerParams(
@@ -527,7 +527,7 @@ def _dp_jit(signal, levels, band_starts, band_widths, seq_lens, sdp,
         grid=(R // LANES, NC),
         in_specs=[
             # unblocked: per-base rows stream in by prefetching DMA
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((K, LANES), lambda r, c: (NC - 1 - c, r),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda r, c: (0, r),
